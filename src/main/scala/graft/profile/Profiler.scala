@@ -1,0 +1,159 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass column profiler.
+  *
+  * Re-expresses the reference's "data profiling of 51 data characteristics …
+  * fast in database SQL execution (no data copies)"
+  * (reference README.md:207-209; parameter vocabulary in
+  * demo/input_data/data_tests.csv — Baseline_Ct / Baseline_Value_Ct /
+  * Baseline_Unique_Ct / Baseline_Avg / Baseline_SD / Baseline_Sum / min-max
+  * dates / value lengths) as a single wide Spark `agg()`: one struct of
+  * statistics per input column, then `explode` to one profile row per column.
+  *
+  * Scale notes (100 TB): the whole profile is ONE scan + ONE partial-aggregate
+  * shuffle of a single row per stat; with `exactDistinct=false` the distinct
+  * counts use HyperLogLog (`approx_count_distinct`) so the plan has no Expand
+  * and stays a straight partial/final agg. `exactDistinct=true` (needed for
+  * DuckDB-oracle parity at test scale) adds the Expand branch per distinct
+  * column, which is the documented cost of exactness.
+  *
+  * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
+  * addition-order-independent, so results hash-match any other engine
+  * computing the same decimal sums. Mean/stddev are then *derived* from the
+  * exact sums in double math, which is deterministic given identical inputs.
+  */
+object Profiler {
+
+  /** DECIMAL type used for exact, order-independent numeric sums. */
+  val SumDec: DecimalType = DecimalType(28, 6)
+
+  def typeLabel(dt: DataType): String = dt match {
+    case LongType      => "bigint"
+    case IntegerType   => "int"
+    case DoubleType    => "double"
+    case FloatType     => "float"
+    case StringType    => "string"
+    case TimestampType => "timestamp"
+    case _: DecimalType => "decimal"
+    case BooleanType   => "boolean"
+    case other         => other.simpleString
+  }
+
+  /** Profile every (profilable) column of `df` in one aggregate pass.
+    * Output: one row per column, ordered by column_name (deterministic for
+    * the oracle hash compare).
+    */
+  def profile(df: DataFrame, tableName: String,
+              exactDistinct: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.zipWithIndex.filter {
+      case (f, _) => isProfilable(f.dataType)
+    }
+    require(fields.nonEmpty, s"no profilable columns in $tableName")
+    val structs = fields.map { case (f, i) =>
+      columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
+    }
+    df.agg(structs.head, structs.tail: _*)
+      .select(explode(array(fields.map { case (_, i) => col(s"__p_$i") }: _*))
+        .as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
+  def isProfilable(dt: DataType): Boolean = dt match {
+    case StringType | TimestampType => true
+    case _: NumericType             => true
+    case _                          => false
+  }
+
+  /** stddev from exact decimal sums: sqrt((s2 - s1^2/n) / (n-1)).
+    * Deterministic across engines because s1/s2 are exact decimals.
+    */
+  private def derivedStd(s1: Column, s2: Column, n: Column): Column = {
+    val num = s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) / n
+    when(n > 1, sqrt(greatest(num, lit(0.0)) / (n - lit(1))))
+  }
+
+  private def columnStats(f: StructField, i: Int, table: String,
+                          exactDistinct: Boolean): Column = {
+    val c = col(f.name)
+    val isStr = f.dataType == StringType
+    val isNum = f.dataType.isInstanceOf[NumericType]
+    val isTs = f.dataType == TimestampType
+    val isFrac = f.dataType == DoubleType || f.dataType == FloatType ||
+      f.dataType.isInstanceOf[DecimalType]
+    def nl = lit(null).cast(LongType)
+    def nd = lit(null).cast(DoubleType)
+    def ns = lit(null).cast(StringType)
+    def nt = lit(null).cast(TimestampType)
+
+    val distinctCt =
+      if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
+    val valueCt = count(c)
+    // exact decimal sums for numeric columns
+    val dec = c.cast(SumDec)
+    val s1 = sum(dec)
+    val s2 = sum((c.cast(DoubleType) * c.cast(DoubleType)).cast(SumDec))
+    val lenSum = sum(length(c).cast(LongType))
+
+    struct(
+      lit(table).as("table_name"),
+      lit(f.name).as("column_name"),
+      lit(i.toLong).as("ordinal"),
+      lit(typeLabel(f.dataType)).as("data_type"),
+      count(lit(1)).as("record_ct"),
+      valueCt.as("value_ct"),
+      count(when(c.isNull, 1)).as("null_ct"),
+      distinctCt.as("distinct_ct"),
+      (if (isStr) min(length(c)).cast(LongType) else nl).as("min_len"),
+      (if (isStr) max(length(c)).cast(LongType) else nl).as("max_len"),
+      (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4) else nd)
+        .as("avg_len"),
+      (if (isStr) count(when(trim(c) === "", 1)) else nl).as("blank_ct"),
+      (if (isStr) min(c) else ns).as("min_str"),
+      (if (isStr) max(c) else ns).as("max_str"),
+      (if (isNum) min(c).cast(DoubleType) else nd).as("min_num"),
+      (if (isNum) max(c).cast(DoubleType) else nd).as("max_num"),
+      (if (isNum) round(s1.cast(DoubleType) / valueCt, 4) else nd)
+        .as("avg_num"),
+      (if (isNum) round(derivedStd(s1, s2, valueCt), 4) else nd)
+        .as("stdev_num"),
+      (if (isNum) s1.cast(DecimalType(38, 6)) else
+        lit(null).cast(DecimalType(38, 6))).as("sum_num"),
+      (if (isFrac)
+        sum(dec - floor(c).cast(SumDec)).cast(DecimalType(38, 6))
+      else lit(null).cast(DecimalType(38, 6))).as("frac_sum"),
+      (if (isNum) count(when(c === 0, 1)) else nl).as("zero_ct"),
+      (if (isNum) count(when(c < 0, 1)) else nl).as("neg_ct"),
+      (if (isTs) min(c) else nt).as("min_ts"),
+      (if (isTs) max(c) else nt).as("max_ts"),
+      (if (isTs)
+        (if (exactDistinct) countDistinct(to_date(c))
+         else approx_count_distinct(to_date(c)))
+      else nl).as("distinct_date_ct"),
+    )
+  }
+
+  /** Top-k most frequent values of one column (the profiling "LOV"
+    * characteristic backing LOV_Match test generation —
+    * reference demo/input_data/data_tests.csv `Baseline_Value=('No','Yes')`).
+    * Separate grouped pass; at scale this is a partial-agg'd groupBy on a
+    * single column (map-side combine), cheap relative to the main scan.
+    */
+  def topK(df: DataFrame, tableName: String, column: String,
+           k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("value_ct"))
+    val w = Window.orderBy(col("value_ct").desc, col("value"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(lit(tableName).as("table_name"), lit(column).as("column_name"),
+        col("value"), col("value_ct"), col("rk").cast(LongType).as("rk"))
+      .orderBy("rk")
+  }
+}

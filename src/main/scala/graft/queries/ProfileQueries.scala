@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.profile.{ProfileOracle, Profiler}
+
+/** Profiling surface wired into the driver contract (SparkEntry). */
+object ProfileQueries {
+
+  private def prof(table: String)(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(s, dir, table), table)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_customer" -> prof("customer") _,
+    "profile_orders" -> prof("orders") _,
+    "profile_lineitem" -> prof("lineitem") _,
+    "profile_events" -> prof("events") _,
+    "profile_documents" -> prof("documents") _,
+    "topk_c_mktsegment" -> ((s: SparkSession, dir: String) =>
+      Profiler.topK(Tables.load(s, dir, "customer"), "customer",
+        "c_mktsegment", 10)),
+    "topk_event_type" -> ((s: SparkSession, dir: String) =>
+      Profiler.topK(Tables.load(s, dir, "events"), "events",
+        "event_type", 10)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "profile_customer" -> ProfileOracle.sql("customer"),
+    "profile_orders" -> ProfileOracle.sql("orders"),
+    "profile_lineitem" -> ProfileOracle.sql("lineitem"),
+    "profile_events" -> ProfileOracle.sql("events"),
+    "profile_documents" -> ProfileOracle.sql("documents"),
+    "topk_c_mktsegment" -> ProfileOracle.topKSql("customer", "c_mktsegment", 10),
+    "topk_event_type" -> ProfileOracle.topKSql("events", "event_type", 10),
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.Profiler
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("profile computes exact counts on a tiny frame") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)), (2L, Some("bb"), Some(2.5)),
+      (3L, None, Some(-1.0)), (4L, Some("a"), None),
+    ).toDF("id", "s", "x")
+    val p = Profiler.profile(df, "t").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(p("id").getAs[Long]("record_ct") == 4)
+    assert(p("id").getAs[Long]("distinct_ct") == 4)
+    assert(p("s").getAs[Long]("null_ct") == 1)
+    assert(p("s").getAs[Long]("distinct_ct") == 2)
+    assert(p("s").getAs[Long]("max_len") == 2)
+    assert(p("x").getAs[Double]("min_num") == -1.0)
+    assert(p("x").getAs[Long]("neg_ct") == 1)
+    assert(p("x").getAs[java.math.BigDecimal]("sum_num").doubleValue() == 3.0)
+    // frac parts: 0.5 + 0.5 + 0.0 (=-1 - floor(-1)) = 1.0
+    assert(p("x").getAs[java.math.BigDecimal]("frac_sum").doubleValue() == 1.0)
+  }
+
+  test("profile of harness tables yields one row per profilable column") {
+    for ((t, cols) <- Tables.meta if t != "embeddings") {
+      val df = Tables.load(spark, SparkTestSession.sf, t)
+      val n = Profiler.profile(df, t).count()
+      assert(n == cols.size, s"table $t")
+    }
+  }
+
+  test("topK returns most frequent first") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
+    val rows = Profiler.topK(df, "t", "v", 2).collect()
+    assert(rows.map(_.getAs[String]("value")).toSeq == Seq("a", "b"))
+    assert(rows.head.getAs[Long]("value_ct") == 3)
+  }
+}
