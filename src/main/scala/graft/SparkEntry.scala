@@ -21,6 +21,7 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (ProfileQueries.queries, ProfileQueries.oracles),
     (RelationalQueries.queries, RelationalQueries.oracles),
+    (QualityQueries.queries, QualityQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,113 @@
+package graft.quality
+
+/** Static test suites over the harness tables, with baseline statistics
+  * captured from a profiling run of the sf0.001 data (playing the role of the
+  * reference's baseline profiling run — TestGen captures baselines, later
+  * refreshes are tested against them). Baselines are literals by design:
+  * that is exactly how the reference ships them in
+  * demo/input_data/data_tests.csv ("Baseline_Avg=2513.885, …").
+  *
+  * Coverage: all 25 reference test types appear across the three suites.
+  */
+object Suites {
+
+  private def t(table: String, column: String, tt: String,
+                kv: (String, String)*): TestDef =
+    TestDef(table, column, tt, kv.toMap)
+
+  val lineitem: Seq[TestDef] = Seq(
+    t("lineitem", "N/A", "Row_Ct", "Baseline_Ct" -> "6000",
+      "Threshold_Value" -> "6000"),
+    t("lineitem", "l_orderkey", "Required", "Threshold_Value" -> "0"),
+    t("lineitem", "l_quantity", "Missing_Pct", "Baseline_Ct" -> "6000",
+      "Baseline_Value_Ct" -> "6000", "Threshold_Value" -> "2"),
+    t("lineitem", "l_partkey", "Unique_Pct", "Baseline_Unique_Ct" -> "200",
+      "Baseline_Value_Ct" -> "6000", "Threshold_Value" -> "0.5"),
+    t("lineitem", "l_returnflag", "LOV_Match",
+      "Baseline_Value" -> "('A','N','R')", "Threshold_Value" -> "0"),
+    t("lineitem", "l_shipdate", "Distinct_Date_Ct",
+      "Baseline_Value" -> "2289", "Threshold_Value" -> "2289"),
+    t("lineitem", "l_shipdate", "Min_Date",
+      "Baseline_Value" -> "1995-01-02 00:00:00", "Threshold_Value" -> "0"),
+    t("lineitem", "l_shipdate", "Future_Date", "Threshold_Value" -> "0"),
+    t("lineitem", "l_shipdate", "Future_Date_1Y", "Threshold_Value" -> "0"),
+    t("lineitem", "l_shipdate", "Recency", "Threshold_Value" -> "9000"),
+    t("lineitem", "l_shipdate", "Monthly_Rec_Ct", "Threshold_Value" -> "0"),
+    t("lineitem", "l_shipdate", "Weekly_Rec_Ct", "Threshold_Value" -> "0"),
+    t("lineitem", "l_quantity", "Avg_Shift", "Baseline_Value_Ct" -> "6000",
+      "Baseline_Avg" -> "25.376166666666666",
+      "Baseline_SD" -> "14.521173370343169", "Threshold_Value" -> "0.5"),
+    t("lineitem", "l_extendedprice", "Dec_Trunc",
+      "Threshold_Value" -> "2980.31"),
+    t("lineitem", "l_extendedprice", "Incr_Avg_Shift",
+      "Baseline_Value_Ct" -> "6000", "Baseline_Sum" -> "317364757.3100006",
+      "Baseline_Avg" -> "52894.12621833343",
+      "Baseline_SD" -> "30141.111152195346", "Threshold_Value" -> "2"),
+    t("lineitem", "l_quantity", "Min_Val", "Baseline_Value" -> "1.0",
+      "Threshold_Value" -> "0"),
+    t("lineitem", "l_extendedprice", "Outlier_Pct_Above",
+      "Baseline_Avg" -> "52894.12621833343",
+      "Baseline_SD" -> "30141.111152195346", "Threshold_Value" -> "0.05"),
+    t("lineitem", "l_quantity", "Outlier_Pct_Below",
+      "Baseline_Avg" -> "25.376166666666666",
+      "Baseline_SD" -> "14.521173370343169", "Threshold_Value" -> "0.05"),
+    t("lineitem", "l_suppkey", "Distinct_Value_Ct",
+      "Baseline_Value" -> "10", "Threshold_Value" -> "10"),
+  )
+
+  val orders: Seq[TestDef] = Seq(
+    t("orders", "N/A", "Row_Ct", "Baseline_Ct" -> "1500",
+      "Threshold_Value" -> "1500"),
+    t("orders", "o_orderkey", "Unique", "Threshold_Value" -> "0"),
+    t("orders", "o_custkey", "Missing_Pct", "Baseline_Ct" -> "1500",
+      "Baseline_Value_Ct" -> "1500", "Threshold_Value" -> "2"),
+    t("orders", "o_orderdate", "Min_Date",
+      "Baseline_Value" -> "1995-01-01 00:00:00", "Threshold_Value" -> "0"),
+    t("orders", "o_orderdate", "Future_Date", "Threshold_Value" -> "0"),
+    t("orders", "o_orderdate", "Recency", "Threshold_Value" -> "9500"),
+    t("orders", "o_orderdate", "Monthly_Rec_Ct", "Threshold_Value" -> "0"),
+    t("orders", "o_orderdate", "Weekly_Rec_Ct", "Threshold_Value" -> "0"),
+    t("orders", "o_orderstatus", "Distinct_Value_Ct",
+      "Baseline_Value" -> "3", "Threshold_Value" -> "3"),
+    t("orders", "o_orderpriority", "LOV_Match",
+      "Baseline_Value" -> "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+      "Threshold_Value" -> "0"),
+    t("orders", "o_totalprice", "Avg_Shift", "Baseline_Value_Ct" -> "1500",
+      "Baseline_Avg" -> "249631.19440666703",
+      "Baseline_SD" -> "144962.92955051153", "Threshold_Value" -> "0.5"),
+    t("orders", "o_totalprice", "Incr_Avg_Shift",
+      "Baseline_Value_Ct" -> "1500", "Baseline_Sum" -> "374446791.61",
+      "Baseline_Avg" -> "249631.19440666703",
+      "Baseline_SD" -> "144962.92955051153", "Threshold_Value" -> "2"),
+  )
+
+  val customer: Seq[TestDef] = Seq(
+    t("customer", "N/A", "Row_Ct", "Baseline_Ct" -> "150",
+      "Threshold_Value" -> "150"),
+    t("customer", "c_custkey", "Unique", "Threshold_Value" -> "0"),
+    t("customer", "c_name", "Required", "Threshold_Value" -> "0"),
+    t("customer", "c_name", "Alpha_Trunc", "Baseline_Value" -> "18",
+      "Threshold_Value" -> "0"),
+    t("customer", "c_name", "Unique_Pct", "Baseline_Unique_Ct" -> "150",
+      "Baseline_Value_Ct" -> "150", "Threshold_Value" -> "0.5"),
+    t("customer", "c_name", "Pattern_Match",
+      "Baseline_Value" -> "Customer#[0-9]{9}", "Threshold_Value" -> "0"),
+    t("customer", "c_name", "Email_Format", "Threshold_Value" -> "0"),
+    t("customer", "c_mktsegment", "US_State", "Threshold_Value" -> "0"),
+    t("customer", "c_mktsegment", "LOV_Match",
+      "Baseline_Value" -> "('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')",
+      "Threshold_Value" -> "0"),
+    t("customer", "c_acctbal", "Missing_Pct", "Baseline_Ct" -> "150",
+      "Baseline_Value_Ct" -> "150", "Threshold_Value" -> "2"),
+    t("customer", "c_acctbal", "Min_Val", "Baseline_Value" -> "-846.69",
+      "Threshold_Value" -> "0"),
+    t("customer", "c_acctbal", "Avg_Shift", "Baseline_Value_Ct" -> "150",
+      "Baseline_Avg" -> "4346.81146666667",
+      "Baseline_SD" -> "3168.736464090096", "Threshold_Value" -> "0.5"),
+    t("customer", "c_nationkey", "Constant", "Baseline_Value" -> "10",
+      "Threshold_Value" -> "0"),
+  )
+
+  val all: Map[String, Seq[TestDef]] = Map(
+    "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer)
+}

@@ -1,0 +1,361 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Evaluates data-quality tests — the engine core re-expressing the
+  * reference's 25 column-test types (reference demo/input_data/data_tests.csv;
+  * semantics per each type's description column, SURVEY.md §2.B) as ONE wide
+  * Spark aggregation pass per table plus scalar threshold math.
+  *
+  * Execution shape (100 TB): all measures for all tests on a table are
+  * computed in a single `df.agg(...)` — one scan, partial aggregation
+  * map-side, a one-row shuffle. Baseline statistics arrive as literals inside
+  * the plan (captured by a prior profiling run), so no join is needed at all;
+  * the baseline-vs-measure comparison is constant-folded scalar math.
+  *
+  * Tri-state result semantics (engine-defined, consistent across both the
+  * Spark plan and the generated DuckDB oracle):
+  *   - family "count"  (violation count must be <= threshold, usually 0):
+  *       PASSED m<=T; WARNING m <= T + max(1, 0.5% of rows); else FAILED
+  *   - family "floor"  (measure must be >= threshold):
+  *       PASSED m>=T; WARNING m >= 0.95*T; else FAILED
+  *   - family "sigma"  (z/SD-unit shift must be <= threshold):
+  *       PASSED m<=T; WARNING m <= 1.5*T; else FAILED
+  * matching the reference's Pass/Warning/Fail tri-state
+  * (data_tests.csv col 6; PASSED/WARNING/FAILED mapping at reference
+  * demo/demo/demo_helper.py:839-841).
+  *
+  * Every measure is deterministic cross-engine: counts are exact, sums go
+  * through DECIMAL(28,6) (order-independent), and derived ratios/z-scores
+  * apply the identical double formula on both sides (see Profiler notes).
+  */
+object TestEvaluator {
+
+  /** Fixed evaluation instant for date-relative tests (Future_Date, Recency)
+    * so results are reproducible across the Spark and oracle runs.
+    */
+  val AsOfDate = "2026-01-01"
+  val AsOfTs = "2026-01-01 00:00:00"
+  val AsOfPlus1YTs = "2027-01-01 00:00:00"
+
+  val EmailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$"
+
+  val UsStates: Seq[String] = Seq(
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI", "ID",
+    "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI", "MN", "MS",
+    "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY", "NC", "ND", "OH", "OK",
+    "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV",
+    "WI", "WY", "DC", "PR")
+
+  case class Compiled(d: TestDef, measure: Column, measureSql: String,
+                      threshold: Double, family: String, op: String,
+                      message: String)
+
+  private val D = DoubleType
+  private def esc(s: String) = s.replace("'", "''")
+
+  // ---- paired Spark/SQL aggregate fragments ------------------------------
+  private def cnt(cond: Column): Column = count(when(cond, 1)).cast(D)
+  private def cntSql(cond: String): String =
+    s"CAST(count(CASE WHEN $cond THEN 1 END) AS DOUBLE)"
+  private def nAll: Column = count(lit(1)).cast(D)
+  private val nAllSql = "CAST(count(*) AS DOUBLE)"
+  private def nVal(c: Column): Column = count(c).cast(D)
+  private def nValSql(cs: String) = s"CAST(count($cs) AS DOUBLE)"
+  private def nDist(c: Column): Column = countDistinct(c).cast(D)
+  private def nDistSql(cs: String) = s"CAST(count(DISTINCT $cs) AS DOUBLE)"
+  private def sumDec(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(D)
+  private def sumDecSql(cs: String) =
+    s"CAST(sum(CAST($cs AS DECIMAL(28,6))) AS DOUBLE)"
+  private def ts(v: String): Column = to_timestamp(lit(v))
+
+  /** Two-proportion z statistic |p1-p0|/se with pooled se; 0 when se==0.
+    * x1/n1c are in-engine aggregates; x0/n0 baseline literals.
+    */
+  private def zProp(x1: Column, n1c: Column, x0: Double,
+                    n0: Double): Column = {
+    val p0 = lit(x0 / n0)
+    val pooled = (x1 + lit(x0)) / (n1c + lit(n0))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0 / n0) + lit(1.0) / n1c))
+    when(se > 0, round(abs(x1 / n1c - p0) / se, 4)).otherwise(0.0)
+  }
+  private def zPropSql(x1: String, n1: String, x0: Double,
+                       n0: Double): String = {
+    val p0 = (x0 / n0).toString
+    val pooled = s"(($x1 + $x0)/($n1 + $n0))"
+    val se = s"sqrt($pooled * (1.0 - $pooled) * (${1.0 / n0} + 1.0/$n1))"
+    s"CASE WHEN $se > 0 THEN round(abs($x1/$n1 - $p0)/$se, 4) ELSE 0.0 END"
+  }
+
+  private def inListSql(cs: String, values: Seq[String]): String =
+    values.map(v => s"'${esc(v)}'").mkString(s"$cs IN (", ", ", ")")
+
+  // ------------------------------------------------------------------------
+
+  def compile(d: TestDef): Compiled = {
+    val c = col(d.column)
+    val cs = d.column
+    def T = d.pDOr("Threshold_Value", 0.0)
+    def countFam(m: Column, sql: String, msg: String, thr: Double = -1) =
+      Compiled(d, m, sql, if (thr >= 0) thr else T, "count", "<=", msg)
+    def floorFam(m: Column, sql: String, msg: String, thr: Double) =
+      Compiled(d, m, sql, thr, "floor", ">=", msg)
+    def sigmaFam(m: Column, sql: String, msg: String, thr: Double) =
+      Compiled(d, m, sql, thr, "sigma", "<=", msg)
+
+    d.testType match {
+      case "Alpha_Trunc" =>
+        // max char length must not drop vs baseline (data_tests.csv:1)
+        floorFam(max(length(c)).cast(D), s"CAST(max(length($cs)) AS DOUBLE)",
+          "Maximum character length dropped vs. baseline.",
+          d.pD("Baseline_Value") - T)
+
+      case "Missing_Pct" =>
+        // significant shift in % missing vs baseline (data_tests.csv:2)
+        val n0 = d.pD("Baseline_Ct")
+        val miss0 = n0 - d.pD("Baseline_Value_Ct")
+        sigmaFam(zProp(nAll - nVal(c), nAll, miss0, n0),
+          zPropSql(s"($nAllSql - ${nValSql(cs)})", nAllSql, miss0, n0),
+          "Significant shift in missing-value percentage vs. baseline.", T)
+
+      case "Unique_Pct" =>
+        // significant shift in % unique vs baseline (data_tests.csv:3)
+        val v0 = d.pD("Baseline_Value_Ct")
+        val u0 = d.pD("Baseline_Unique_Ct")
+        sigmaFam(zProp(nDist(c), nVal(c), u0, v0),
+          zPropSql(nDistSql(cs), nValSql(cs), u0, v0),
+          "Significant shift in unique-value percentage vs. baseline.", T)
+
+      case "LOV_Match" =>
+        // all values in baseline list-of-values (data_tests.csv:5)
+        val values = TestDef.parseLov(d.pS("Baseline_Value"))
+        countFam(cnt(c.isNotNull && !c.isin(values: _*)),
+          cntSql(s"$cs IS NOT NULL AND NOT ${inListSql(cs, values)}"),
+          "Values not matching expected List-of-Values from baseline.")
+
+      case "Required" =>
+        // non-null in every record (data_tests.csv:6)
+        countFam((nAll - nVal(c)),
+          s"($nAllSql - ${nValSql(cs)})",
+          "Null values found in required column.")
+
+      case "Distinct_Date_Ct" =>
+        // count of distinct dates must not drop (data_tests.csv:7)
+        floorFam(nDist(to_date(c)), nDistSql(s"CAST($cs AS DATE)"),
+          "Distinct date count dropped vs. baseline.", T)
+
+      case "Min_Date" =>
+        // earliest date no earlier than baseline (data_tests.csv:8)
+        val bv = d.pS("Baseline_Value")
+        countFam(cnt(c < ts(bv)), cntSql(s"$cs < TIMESTAMP '$bv'"),
+          "Dates earlier than baseline minimum found.", 0.0)
+
+      case "Avg_Shift" =>
+        // significant shift in mean vs baseline (data_tests.csv:11)
+        val b = d.pD("Baseline_Avg"); val sd = d.pD("Baseline_SD")
+        val avg1 = sumDec(c) / nVal(c)
+        sigmaFam(
+          when(nVal(c) > 0, round(abs(avg1 - lit(b)) / lit(sd), 4))
+            .otherwise(0.0),
+          s"CASE WHEN ${nValSql(cs)} > 0 THEN round(abs(${sumDecSql(cs)}/${nValSql(cs)} - $b)/$sd, 4) ELSE 0.0 END",
+          "Significant shift in mean value vs. baseline.", T)
+
+      case "Dec_Trunc" =>
+        // sum of fractional parts >= baseline (data_tests.csv:12)
+        floorFam(
+          sum(c.cast(DecimalType(28, 6)) -
+            floor(c).cast(DecimalType(28, 6))).cast(D),
+          s"CAST(sum(CAST($cs AS DECIMAL(28,6)) - CAST(floor($cs) AS DECIMAL(28,6))) AS DOUBLE)",
+          "Possible decimal truncation: fractional sum dropped vs. baseline.",
+          T)
+
+      case "Incr_Avg_Shift" =>
+        // mean of NEW values vs baseline mean (data_tests.csv:13)
+        val v0 = d.pD("Baseline_Value_Ct"); val s0 = d.pD("Baseline_Sum")
+        val b = d.pD("Baseline_Avg"); val sd = d.pD("Baseline_SD")
+        val incr = (sumDec(c) - lit(s0)) / (nVal(c) - lit(v0))
+        sigmaFam(
+          when(nVal(c) > v0, round(abs(incr - lit(b)) / lit(sd), 4))
+            .otherwise(0.0),
+          s"CASE WHEN ${nValSql(cs)} > $v0 THEN round(abs((${sumDecSql(cs)} - $s0)/(${nValSql(cs)} - $v0) - $b)/$sd, 4) ELSE 0.0 END",
+          "Significant shift in mean of incremental values vs. baseline.", T)
+
+      case "Min_Val" =>
+        // minimum no lower than baseline minimum (data_tests.csv:14)
+        val bound = d.pD("Baseline_Value") - T
+        countFam(cnt(c < lit(bound)), cntSql(s"$cs < $bound"),
+          "Values lower than baseline minimum found.", 0.0)
+
+      case "Unique" =>
+        // no repeated values (data_tests.csv "hcp_dim_id" row)
+        countFam(nVal(c) - nDist(c),
+          s"(${nValSql(cs)} - ${nDistSql(cs)})",
+          "Duplicate values found in unique column.")
+
+      case "Constant" =>
+        // all values match baseline constant
+        val bv = d.pS("Baseline_Value")
+        val numeric = scala.util.Try(bv.toDouble).toOption
+        numeric match {
+          case Some(n) =>
+            countFam(cnt(c =!= lit(n)), cntSql(s"$cs <> $n"),
+              "Values differing from baseline constant found.")
+          case None =>
+            countFam(cnt(c =!= lit(bv)), cntSql(s"$cs <> '${esc(bv)}'"),
+              "Values differing from baseline constant found.")
+        }
+
+      case "Email_Format" =>
+        countFam(cnt(c.isNotNull && !c.rlike(EmailRe)),
+          cntSql(s"$cs IS NOT NULL AND NOT regexp_matches($cs, '$EmailRe')"),
+          "Values not matching standard email format found.")
+
+      case "Pattern_Match" =>
+        // values match baseline-derived pattern (anchored full match)
+        val pat = s"^(?:${d.pS("Baseline_Value")})$$"
+        countFam(cnt(c.isNotNull && !c.rlike(pat)),
+          cntSql(s"$cs IS NOT NULL AND NOT regexp_matches($cs, '${esc(pat)}')"),
+          "Values not matching baseline alpha-numeric pattern found.")
+
+      case "US_State" =>
+        countFam(cnt(c.isNotNull && !c.isin(UsStates: _*)),
+          cntSql(s"$cs IS NOT NULL AND NOT ${inListSql(cs, UsStates)}"),
+          "Values that are not valid US states found.")
+
+      case "Future_Date" =>
+        countFam(cnt(c > ts(AsOfTs)), cntSql(s"$cs > TIMESTAMP '$AsOfTs'"),
+          "Future dates found when absent in baseline.")
+
+      case "Future_Date_1Y" =>
+        countFam(cnt(c > ts(AsOfPlus1YTs)),
+          cntSql(s"$cs > TIMESTAMP '$AsOfPlus1YTs'"),
+          "Future dates beyond one year found when absent in baseline.")
+
+      case "Recency" =>
+        // max date recent enough (threshold = allowed days of staleness)
+        sigmaFam(
+          datediff(to_date(lit(AsOfDate)), max(to_date(c))).cast(D),
+          s"CAST(date_diff('day', max(CAST($cs AS DATE)), DATE '$AsOfDate') AS DOUBLE)",
+          "Data is staler than the baseline cadence allows.", T)
+
+      case "Monthly_Rec_Ct" =>
+        // >=1 record per calendar month in min/max range
+        val expected = months_between(date_trunc("MONTH", max(c)),
+          date_trunc("MONTH", min(c))) + lit(1.0)
+        countFam(expected - nDist(trunc(to_date(c), "MM")),
+          s"((CAST(date_diff('month', date_trunc('month', CAST(min($cs) AS DATE)), date_trunc('month', CAST(max($cs) AS DATE))) AS DOUBLE) + 1.0) - ${nDistSql(s"date_trunc('month', CAST($cs AS DATE))")})",
+          "At least one date per month expected in min/max date range.")
+
+      case "Weekly_Rec_Ct" =>
+        // >=1 record per calendar week (7-day buckets anchored Monday
+        // 1970-01-05) in min/max range
+        def widx(dc: Column) =
+          floor(datediff(dc, to_date(lit("1970-01-05"))) / lit(7.0))
+        def widxSql(e: String) =
+          s"floor(date_diff('day', DATE '1970-01-05', $e)/7.0)"
+        val expected = (widx(max(to_date(c))) - widx(min(to_date(c))))
+          .cast(D) + lit(1.0)
+        countFam(expected - nDist(widx(to_date(c))),
+          s"((CAST(${widxSql(s"max(CAST($cs AS DATE))")} - ${widxSql(s"min(CAST($cs AS DATE))")} AS DOUBLE) + 1.0) - ${nDistSql(widxSql(s"CAST($cs AS DATE)"))})",
+          "At least one date per week expected in min/max date range.")
+
+      case "Outlier_Pct_Above" =>
+        val hi = d.pD("Baseline_Avg") + 2 * d.pD("Baseline_SD")
+        sigmaFam(
+          when(nVal(c) > 0, round(cnt(c > lit(hi)) / nVal(c), 6))
+            .otherwise(0.0),
+          s"CASE WHEN ${nValSql(cs)} > 0 THEN round(${cntSql(s"$cs > $hi")}/${nValSql(cs)}, 6) ELSE 0.0 END",
+          "Percent of outliers above 2 SD over mean exceeds threshold.", T)
+
+      case "Outlier_Pct_Below" =>
+        val lo = d.pD("Baseline_Avg") - 2 * d.pD("Baseline_SD")
+        sigmaFam(
+          when(nVal(c) > 0, round(cnt(c < lit(lo)) / nVal(c), 6))
+            .otherwise(0.0),
+          s"CASE WHEN ${nValSql(cs)} > 0 THEN round(${cntSql(s"$cs < $lo")}/${nValSql(cs)}, 6) ELSE 0.0 END",
+          "Percent of outliers below 2 SD under mean exceeds threshold.", T)
+
+      case "Row_Ct" =>
+        // table row count must not drop vs baseline
+        floorFam(nAll, nAllSql, "Record count dropped vs. baseline.", T)
+
+      case "Distinct_Value_Ct" =>
+        floorFam(nDist(c), nDistSql(cs),
+          "Distinct value count dropped vs. baseline.", T)
+
+      case other => throw new IllegalArgumentException(
+        s"unknown test type: $other")
+    }
+  }
+
+  private def statusExpr(family: String, m: Column, t: Column,
+                         rc: Column): Column = family match {
+    case "count" => when(m <= t, "PASSED")
+      .when(m <= t + greatest(lit(1.0), round(lit(0.005) * rc, 0)), "WARNING")
+      .otherwise("FAILED")
+    case "floor" => when(m >= t, "PASSED")
+      .when(m >= t * lit(0.95), "WARNING").otherwise("FAILED")
+    case "sigma" => when(m <= t, "PASSED")
+      .when(m <= t * lit(1.5), "WARNING").otherwise("FAILED")
+  }
+
+  private def statusSql(family: String): String = family match {
+    case "count" =>
+      "CASE WHEN measure <= threshold THEN 'PASSED' WHEN measure <= threshold + greatest(1.0, round(0.005 * rc, 0)) THEN 'WARNING' ELSE 'FAILED' END"
+    case "floor" =>
+      "CASE WHEN measure >= threshold THEN 'PASSED' WHEN measure >= threshold * 0.95 THEN 'WARNING' ELSE 'FAILED' END"
+    case "sigma" =>
+      "CASE WHEN measure <= threshold THEN 'PASSED' WHEN measure <= threshold * 1.5 THEN 'WARNING' ELSE 'FAILED' END"
+  }
+
+  /** Run all tests against one table in a single aggregation pass. */
+  def run(df: DataFrame, defs: Seq[TestDef]): DataFrame = {
+    require(defs.nonEmpty)
+    val compiled = defs.map(compile)
+    val aggs = compiled.zipWithIndex.map { case (t, i) =>
+      t.measure.as(s"__m_$i")
+    } :+ count(lit(1)).cast(D).as("__rc")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val structs = compiled.zipWithIndex.map { case (t, i) =>
+      val m = col(s"__m_$i")
+      val thr = lit(t.threshold)
+      val status = statusExpr(t.family, m, thr, col("__rc"))
+      struct(
+        lit(t.d.table).as("table_name"),
+        lit(t.d.column).as("column_name"),
+        lit(t.d.testType).as("test_type"),
+        m.as("measure"),
+        thr.as("threshold"),
+        status.as("status"),
+        when(status === "PASSED", lit(null).cast(StringType))
+          .otherwise(lit(t.message)).as("message"),
+        when(m.isNull, lit(null).cast(StringType))
+          .otherwise(concat(format_string("%.4f", m), lit(s" ${t.op} "),
+            format_string("%.4f", thr))).as("result_expr"))
+    }
+    agged.select(explode(array(structs: _*)).as("r")).select("r.*")
+      .orderBy("column_name", "test_type")
+  }
+
+  /** DuckDB oracle mirror of [[run]] for a suite on one table. */
+  def oracleSql(table: String, defs: Seq[TestDef]): String = {
+    val parts = defs.map { d =>
+      val t = compile(d)
+      s"""SELECT table_name, column_name, test_type, measure, threshold, status,
+         |  CASE WHEN status = 'PASSED' THEN CAST(NULL AS VARCHAR) ELSE '${esc(t.message)}' END AS message,
+         |  CASE WHEN measure IS NULL THEN CAST(NULL AS VARCHAR) ELSE printf('%.4f', measure) || ' ${t.op} ' || printf('%.4f', threshold) END AS result_expr
+         |FROM (SELECT *, ${statusSql(t.family)} AS status FROM
+         |  (SELECT '${t.d.table}' AS table_name, '${t.d.column}' AS column_name, '${t.d.testType}' AS test_type,
+         |    ${t.measureSql} AS measure, CAST(${t.threshold} AS DOUBLE) AS threshold, $nAllSql AS rc
+         |   FROM $table))""".stripMargin
+    }
+    parts.mkString(
+      "SELECT table_name, column_name, test_type, measure, threshold, status, message, result_expr FROM (\n",
+      "\nUNION ALL\n",
+      "\n) ORDER BY column_name, test_type")
+  }
+}

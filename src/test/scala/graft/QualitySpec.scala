@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.Profiler
+import graft.quality._
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def results(df: org.apache.spark.sql.DataFrame,
+                      defs: Seq[TestDef]): Map[(String, String), (Double, String)] =
+    TestEvaluator.run(df, defs).collect().map { r =>
+      (r.getAs[String]("column_name"), r.getAs[String]("test_type")) ->
+        (Option(r.getAs[Double]("measure")).getOrElse(Double.NaN),
+         r.getAs[String]("status"))
+    }.toMap
+
+  test("param string parsing matches reference vocabulary") {
+    val p = TestDef.parseParams("Baseline_Value=('No','Yes'), Threshold_Value=0 ")
+    assert(p("Baseline_Value") == "('No','Yes')")
+    assert(p("Threshold_Value") == "0")
+    assert(TestDef.parseLov("('No','Yes')") == Seq("No", "Yes"))
+    assert(TestDef.parseParams("Threshold_Value=0") ==
+      Map("Threshold_Value" -> "0"))
+  }
+
+  test("count-family tri-state: pass, warn band, fail") {
+    val df = Seq.tabulate(1000)(i => (i.toLong,
+      if (i < 3) null else "x")).toDF("id", "s")
+    // 3 nulls, T=0, warn band = max(1, 0.005*1000=5) → WARNING
+    val warn = results(df, Seq(TestDef("t", "s", "Required",
+      Map("Threshold_Value" -> "0"))))
+    assert(warn(("s", "Required")) == (3.0, "WARNING"))
+    // T=3 → PASSED
+    val pass = results(df, Seq(TestDef("t", "s", "Required",
+      Map("Threshold_Value" -> "3"))))
+    assert(pass(("s", "Required"))._2 == "PASSED")
+    // 30 nulls → beyond band → FAILED
+    val df2 = Seq.tabulate(1000)(i => (i.toLong,
+      if (i < 30) null else "x")).toDF("id", "s")
+    val fail = results(df2, Seq(TestDef("t", "s", "Required",
+      Map("Threshold_Value" -> "0"))))
+    assert(fail(("s", "Required")) == (30.0, "FAILED"))
+  }
+
+  test("floor and sigma families") {
+    val df = Seq.tabulate(100)(i => i.toDouble).toDF("x")
+    val r = results(df, Seq(
+      TestDef("t", "x", "Row_Ct", Map("Threshold_Value" -> "100")),
+      TestDef("t", "x", "Distinct_Value_Ct",
+        Map("Baseline_Value" -> "100", "Threshold_Value" -> "104")),
+      TestDef("t", "x", "Avg_Shift", Map("Baseline_Value_Ct" -> "100",
+        "Baseline_Avg" -> "49.5", "Baseline_SD" -> "29.0114919758820247",
+        "Threshold_Value" -> "0.5"))))
+    assert(r(("x", "Row_Ct")) == (100.0, "PASSED"))
+    // 100 >= 0.95*104=98.8 → WARNING
+    assert(r(("x", "Distinct_Value_Ct"))._2 == "WARNING")
+    // identical mean → z=0 → PASSED
+    assert(r(("x", "Avg_Shift")) == (0.0, "PASSED"))
+  }
+
+  test("violation detectors count correctly") {
+    val df = Seq("AL", "CA", "XX", "aa@bb.com", null)
+      .toDF("v")
+    val r = results(df, Seq(
+      TestDef("t", "v", "US_State", Map("Threshold_Value" -> "0")),
+      TestDef("t", "v", "Email_Format", Map("Threshold_Value" -> "0")),
+      TestDef("t", "v", "LOV_Match",
+        Map("Baseline_Value" -> "('AL','CA')", "Threshold_Value" -> "0")),
+      TestDef("t", "v", "Unique", Map("Threshold_Value" -> "0"))))
+    assert(r(("v", "US_State"))._1 == 2.0)     // XX + email
+    assert(r(("v", "Email_Format"))._1 == 3.0) // AL, CA, XX
+    assert(r(("v", "LOV_Match"))._1 == 2.0)
+    assert(r(("v", "Unique"))._1 == 0.0)
+  }
+
+  test("date tests: gaps and future dates") {
+    val days = Seq("2024-01-01", "2024-01-08", "2024-01-22", // week gap
+      "2024-03-05", "2030-01-01")
+    val df = days
+      .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+      .toDF("d")
+    val r = results(df, Seq(
+      TestDef("t", "d", "Future_Date", Map("Threshold_Value" -> "0")),
+      TestDef("t", "d", "Monthly_Rec_Ct", Map("Threshold_Value" -> "0")),
+      TestDef("t", "d", "Min_Date", Map(
+        "Baseline_Value" -> "2024-01-01 00:00:00", "Threshold_Value" -> "0"))))
+    assert(r(("d", "Future_Date"))._1 == 1.0) // 2030
+    // months 2024-01..2030-01 = 73 expected, 3 distinct → 70 missing
+    assert(r(("d", "Monthly_Rec_Ct"))._1 == 70.0)
+    assert(r(("d", "Min_Date"))._1 == 0.0)
+  }
+
+  test("generator emits a sensible suite from a profile") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "b", 3.5))
+      .toDF("id", "s", "x")
+    val defs = TestGenerator.generate(Profiler.profile(df, "t"),
+      lovs = Map("s" -> Seq("a", "b")))
+    val types = defs.groupBy(_.column).view.mapValues(_.map(_.testType).toSet)
+    assert(types("N/A").contains("Row_Ct"))
+    assert(types("id").contains("Unique"))
+    assert(types("s").contains("Alpha_Trunc"))
+    assert(types("s").contains("LOV_Match"))
+    assert(types("x").contains("Avg_Shift"))
+    assert(types("x").contains("Dec_Trunc"))
+    // generated suite must evaluate all-PASSED on its own baseline data
+    val st = TestEvaluator.run(df, defs).collect()
+      .map(_.getAs[String]("status")).toSet
+    assert(st == Set("PASSED"))
+  }
+}
