@@ -1,0 +1,46 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Journey-DAG operations. The reference models journeys as directed edges
+  * between components (`PUT /journeys/{id}/dag` with `{left, right}` —
+  * reference demo/demo/demo_helper.py:252-276) and flags OUT_OF_SEQUENCE
+  * instance alerts (:1939-1956).
+  *
+  * Scale note: journey DAGs are tiny control-plane data (≤ dozens of nodes —
+  * demo_helper.py:69-112), so transitive closure via iterative self-join on
+  * a broadcastable edge list is the right tool; the result is broadcast into
+  * the event-stream join. For million-node graphs you would switch to an
+  * iterative Pregel-style loop with checkpointing — not this workload.
+  */
+object Dag {
+
+  /** Transitive closure (strict — no reflexive pairs) of an edge list
+    * DataFrame with columns (src, dst). Iterates to fixpoint.
+    */
+  def closure(edges: DataFrame): DataFrame = {
+    var acc = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var grew = true
+    while (grew) {
+      val next = acc.as("a")
+        .join(acc.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .unionByName(acc).distinct().localCheckpoint(true)
+      grew = next.count() > acc.count()
+      acc = next
+    }
+    acc
+  }
+
+  def edgeDf(spark: SparkSession, edges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** The demo journey over event types used by the event-analytics queries:
+    * signup → view → click → purchase.
+    */
+  val FunnelEdges: Seq[(String, String)] =
+    Seq(("signup", "view"), ("view", "click"), ("click", "purchase"))
+}

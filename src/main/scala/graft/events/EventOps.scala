@@ -1,0 +1,223 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch event-analytics operators over the Observability event model
+  * (SURVEY.md §2.C). The harness `events` table (event_id, ts, user_id,
+  * event_type, value, props) plays the event stream; `user_id` plays the
+  * pipeline/run key space.
+  *
+  * Scale notes: every operator here is keyed by user/pipeline — windows
+  * partition by key (no global windows on the event path), aggregations are
+  * partial-agg friendly, and the control-plane inputs (DAG closure, cron
+  * slots) are broadcast. Event-time ordering uses (ts, event_id) so results
+  * are total-ordered and deterministic under any partitioning.
+  */
+object EventOps {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** R1 — sessionization: cut each user's event stream into sessions at
+    * inactivity gaps (the batch analog of journey-instance assembly by
+    * START/END conditions, reference demo_helper.py:1049-1064).
+    */
+  def withSessionId(ev: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      (unix_micros(col("ts")) - unix_micros(prev)) >
+        gapSeconds * 1000000L, 1).otherwise(0)
+    ev.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType))
+      .drop("__new")
+  }
+
+  /** R1 summary — one row per (user, session). */
+  def sessionSummary(ev: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionId(ev, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("total_value"))
+      .orderBy("user_id", "session_id")
+
+  /** R6 — run-state rule: sessions whose final event is an error ⇒ FAILED
+    * run alert with templated action payload (reference rules
+    * `run_state matches FAILED` → SEND_EMAIL/CALL_WEBHOOK with
+    * `{datapoint.from_table}` templating, demo_helper.py:1876-1915).
+    */
+  def failedRunAlerts(ev: DataFrame, gapSeconds: Long): DataFrame = {
+    val sess = withSessionId(ev, gapSeconds)
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    sess.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("event_type") === "error")
+      .select(
+        col("user_id"), col("session_id"), col("ts").as("failed_at"),
+        lit("FAILED").as("run_state"),
+        lit("SEND_EMAIL").as("action"),
+        format_string("Run %d for user %d failed", col("session_id"),
+          col("user_id")).as("message"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** R2 — schedule lateness: expand a cron expectation driver-side
+    * (schedules are tiny), broadcast-join expected starts to each key's
+    * first event of the period, flag starts beyond the margin
+    * (reference schedule `{cron, margin: 600}`, demo_helper.py:653-660;
+    * LATE_START rules :1899).
+    */
+  def lateStarts(ev: DataFrame, cron: String, marginSeconds: Long,
+                 spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    val slots = Cron.expand(cron, lo.toInstant.minusSeconds(86400),
+        hi.toInstant.plusSeconds(86400))
+      .map(i => java.sql.Timestamp.from(i)).toDF("expected_start")
+      .withColumn("day", to_date(col("expected_start")))
+    val actual = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("actual_start"))
+    actual.join(broadcast(slots), "day")
+      .select(col("user_id"), col("day"), col("actual_start"),
+        col("expected_start"),
+        ((unix_micros(col("actual_start")) -
+          unix_micros(col("expected_start"))) >
+          marginSeconds * 1000000L).as("late_start"),
+        round((unix_micros(col("actual_start")) -
+          unix_micros(col("expected_start"))) / lit(6.0e7), 4)
+          .as("minutes_late"))
+      .orderBy("user_id", "day")
+  }
+
+  /** R3 — journey-instance assembly: instances cut by a START-condition
+    * component (reference instance conditions
+    * `{action: START, batch_pipeline: id}`, demo_helper.py:1049-1064).
+    * Events before the first START fall into instance 0.
+    */
+  def journeyInstances(ev: DataFrame, startType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("instance_id",
+        sum(when(col("event_type") === startType, 1).otherwise(0)).over(w)
+          .cast(LongType))
+      .groupBy(col("user_id"), col("instance_id"))
+      .agg(
+        min(col("ts")).as("instance_start"),
+        max(col("ts")).as("instance_end"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_payloads"))
+      .orderBy("user_id", "instance_id")
+  }
+
+  /** R4 — out-of-sequence detection: within a session, flag transitions
+    * that run strictly backwards along the journey DAG (reference
+    * `instance_alert.type_matches: [OUT_OF_SEQUENCE]`,
+    * demo_helper.py:1939-1956). `closureDf` is the strict transitive
+    * closure (src strictly precedes dst); a transition prev→cur is
+    * backwards iff (cur, prev) ∈ closure. Closure is broadcast.
+    */
+  def outOfSequence(ev: DataFrame, gapSeconds: Long,
+                    closureDf: DataFrame): DataFrame = {
+    val sess = withSessionId(ev, gapSeconds)
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val seq = sess.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    seq.join(broadcast(closureDf),
+        seq("event_type") === closureDf("src") &&
+          seq("prev_type") === closureDf("dst"))
+      .select(col("user_id"), col("session_id"), col("event_id"), col("ts"),
+        col("prev_type"), col("event_type"),
+        lit("OUT_OF_SEQUENCE").as("alert_type"))
+      .orderBy("event_id")
+  }
+
+  /** R5 — metric rule: `metric_log.key == k && value > v` → alert
+    * (reference demo_helper.py:1917-1937).
+    */
+  def metricRuleAlerts(ev: DataFrame, eventType: String,
+                       threshold: Double): DataFrame =
+    ev.filter(col("event_type") === eventType && col("value") > threshold)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(s"$eventType.value gt $threshold").as("rule"),
+        lit("CALL_WEBHOOK").as("action"))
+      .orderBy("event_id")
+
+  /** R7 — per-key activity/status rollup with worst-status precedence
+    * (reference TestOutcomes rollup + WARNING precedence,
+    * demo_helper.py:839-841, 790-900).
+    */
+  def userRollup(ev: DataFrame): DataFrame = {
+    def n(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    ev.groupBy(col("user_id"))
+      .agg(n("signup"), n("view"), n("click"), n("purchase"), n("error"),
+        sum(when(col("event_type") === "purchase", col("value").cast(D2)))
+          .cast(DecimalType(38, 2)).as("purchase_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("worst_status",
+        when(col("n_error") > 0, "FAILED")
+          .when(col("n_purchase") === 0, "WARNING").otherwise("PASSED"))
+      .orderBy("user_id")
+  }
+
+  /** R8 — volume-anomaly detection on daily per-type counts: z-score of
+    * today's volume against the prior 7 days, derived from exact integer
+    * window sums (deterministic cross-engine; reference dataset row-count
+    * metrics + shift tests, demo_helper.py:560-569, 887-897).
+    */
+  def volumeAnomalies(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val nPrior = count(col("n")).over(w)
+    val s1 = sum(col("n")).over(w).cast(DoubleType)
+    val s2 = sum(col("n") * col("n")).over(w).cast(DoubleType)
+    val mean = s1 / nPrior
+    val variance = (s2 - s1 * s1 / nPrior) / (nPrior - lit(1))
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val z = when(nPrior === 7 && std > 0,
+      round((col("n") - mean) / std, 4))
+    daily
+      .withColumn("prior_days", nPrior.cast(LongType))
+      .withColumn("mean_prior", round(when(nPrior > 0, mean), 4))
+      .withColumn("z", z)
+      .withColumn("anomalous", when(z.isNotNull, abs(z) > 2))
+      .orderBy("event_type", "day")
+  }
+
+  /** R9 — heartbeat liveness: stale when a key's latest event is older than
+    * one day before the stream's high-water mark (reference heartbeats every
+    * 25 s + liveness, heartbeat_demo.py:25-31, demo_helper.py:290-310).
+    */
+  def heartbeatLiveness(ev: DataFrame): DataFrame = {
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(hwm))
+      .select(col("user_id"), col("last_seen"), col("n_events"),
+        (unix_micros(col("last_seen")) <
+          unix_micros(col("hwm")) - 86400L * 1000000L).as("stale"))
+      .orderBy("user_id")
+  }
+
+  /** JSON props extraction + per-type aggregate (payload_keys / metadata
+    * handling, SURVEY.md §1.2 / §2.D array-map-json row).
+    */
+  def propsAggregate(ev: DataFrame): DataFrame =
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast(DoubleType) / count(col("k")), 4)
+          .as("avg_k"))
+      .orderBy("event_type")
+}
