@@ -46,7 +46,7 @@ object EventOps {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "error", 1)).as("n_errors"),
-        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("total_value"))
+        sum(col("value").cast(D2)).cast(DoubleType).as("total_value"))
       .orderBy("user_id", "session_id")
 
   /** R6 — run-state rule: sessions whose final event is an error ⇒ FAILED
@@ -161,7 +161,7 @@ object EventOps {
     ev.groupBy(col("user_id"))
       .agg(n("signup"), n("view"), n("click"), n("purchase"), n("error"),
         sum(when(col("event_type") === "purchase", col("value").cast(D2)))
-          .cast(DecimalType(38, 2)).as("purchase_value"),
+          .cast(DoubleType).as("purchase_value"),
         count(lit(1)).as("n_events"))
       .withColumn("worst_status",
         when(col("n_error") > 0, "FAILED")

@@ -70,11 +70,10 @@ object ProfileOracle {
       doubleOrNull(
         s"CASE WHEN $nCt > 1 THEN round(sqrt(greatest($stdNum, 0.0)/($nCt - 1)), 4) END",
         isNum) + " AS stdev_num",
-      (if (isNum) s"CAST($s1 AS DECIMAL(38,6))"
-       else "CAST(NULL AS DECIMAL(38,6))") + " AS sum_num",
-      (if (isFrac)
-        s"CAST(sum(CAST($c AS DECIMAL(28,6)) - CAST(floor($c) AS DECIMAL(28,6))) AS DECIMAL(38,6))"
-      else "CAST(NULL AS DECIMAL(38,6))") + " AS frac_sum",
+      doubleOrNull(s"CAST($s1 AS DOUBLE)", isNum) + " AS sum_num",
+      doubleOrNull(
+        s"CAST(sum(CAST($c AS DECIMAL(28,6)) - CAST(floor($c) AS DECIMAL(28,6))) AS DOUBLE)",
+        isFrac) + " AS frac_sum",
       bigintOrNull(s"count(CASE WHEN $c = 0 THEN 1 END)", isNum) +
         " AS zero_ct",
       bigintOrNull(s"count(CASE WHEN $c < 0 THEN 1 END)", isNum) +
@@ -99,9 +98,8 @@ object ProfileOracle {
     * string differs across engines).
     */
   def topKSql(table: String, column: String, k: Int = 10): String =
-    s"""SELECT '$table' AS table_name, '$column' AS column_name, value, value_ct, rk FROM (
-       |  SELECT $column AS value, CAST(count(*) AS BIGINT) AS value_ct,
-       |         CAST(row_number() OVER (ORDER BY count(*) DESC, $column) AS BIGINT) AS rk
+    s"""SELECT '$table' AS table_name, '$column' AS column_name, value, value_ct FROM (
+       |  SELECT $column AS value, CAST(count(*) AS BIGINT) AS value_ct
        |  FROM $table WHERE $column IS NOT NULL GROUP BY $column
-       |) WHERE rk <= $k ORDER BY rk""".stripMargin
+       |) ORDER BY value_ct DESC, value LIMIT $k""".stripMargin
 }

@@ -121,11 +121,14 @@ object Profiler {
         .as("avg_num"),
       (if (isNum) round(derivedStd(s1, s2, valueCt), 4) else nd)
         .as("stdev_num"),
-      (if (isNum) s1.cast(DecimalType(38, 6)) else
-        lit(null).cast(DecimalType(38, 6))).as("sum_num"),
+      // Final representation is DOUBLE: the decimal sum is exact and
+      // order-independent internally, but DECIMAL(38,x) output columns do
+      // not hash-match the DuckDB oracle's representation, while doubles
+      // derived from the same exact decimal do (CORRECTNESS_r01 analysis).
+      (if (isNum) s1.cast(DoubleType) else nd).as("sum_num"),
       (if (isFrac)
-        sum(dec - floor(c).cast(SumDec)).cast(DecimalType(38, 6))
-      else lit(null).cast(DecimalType(38, 6))).as("frac_sum"),
+        sum(dec - floor(c).cast(SumDec)).cast(DoubleType)
+      else nd).as("frac_sum"),
       (if (isNum) count(when(c === 0, 1)) else nl).as("zero_ct"),
       (if (isNum) count(when(c < 0, 1)) else nl).as("neg_ct"),
       (if (isTs) min(c) else nt).as("min_ts"),
@@ -144,16 +147,17 @@ object Profiler {
     * single column (map-side combine), cheap relative to the main scan.
     */
   def topK(df: DataFrame, tableName: String, column: String,
-           k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counted = df.filter(col(column).isNotNull)
+           k: Int = 10): DataFrame =
+    // orderBy+limit plans as TakeOrderedAndProject: each partition keeps a
+    // local top-k heap and the driver merges k·P rows — no global single-
+    // partition window over all value groups (the r1 plan's scale hazard).
+    // Rank is implied by the (value_ct desc, value) output order; emitting a
+    // row_number column would force a WindowExec for zero information.
+    df.filter(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("value"))
       .agg(count(lit(1)).as("value_ct"))
-    val w = Window.orderBy(col("value_ct").desc, col("value"))
-    counted.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .orderBy(col("value_ct").desc, col("value"))
+      .limit(k)
       .select(lit(tableName).as("table_name"), lit(column).as("column_name"),
-        col("value"), col("value_ct"), col("rk").cast(LongType).as("rk"))
-      .orderBy("rk")
-  }
+        col("value"), col("value_ct"))
 }

@@ -38,9 +38,9 @@ class ProfilerSpec extends AnyFunSuite {
     assert(p("s").getAs[Long]("max_len") == 2)
     assert(p("x").getAs[Double]("min_num") == -1.0)
     assert(p("x").getAs[Long]("neg_ct") == 1)
-    assert(p("x").getAs[java.math.BigDecimal]("sum_num").doubleValue() == 3.0)
+    assert(p("x").getAs[Double]("sum_num") == 3.0)
     // frac parts: 0.5 + 0.5 + 0.0 (=-1 - floor(-1)) = 1.0
-    assert(p("x").getAs[java.math.BigDecimal]("frac_sum").doubleValue() == 1.0)
+    assert(p("x").getAs[Double]("frac_sum") == 1.0)
   }
 
   test("profile of harness tables yields one row per profilable column") {

@@ -42,9 +42,24 @@ def main():
         bad_cols = []
         for c in got.columns:
             a, b = got[c], want[c]
+            # The driver's compare hashes value representations, so dtype
+            # divergence (e.g. DECIMAL vs DOUBLE — the r1 hash failures) is a
+            # failure here even when values compare equal.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka != kb:
+                bad_cols.append((c, f"dtype {a.dtype} vs {b.dtype}"))
+                continue
+            if ka == "O":
+                ta = set(type(v).__name__ for v in a.dropna().head(50))
+                tb = set(type(v).__name__ for v in b.dropna().head(50))
+                if ta != tb:
+                    bad_cols.append((c, f"objtype {ta} vs {tb}"))
+                    continue
+                if "Decimal" in ta:
+                    bad_cols.append((c, "DECIMAL output column (hash hazard)"))
+                    continue
             try:
                 eq = (a.isna() & b.isna()) | (a == b)
-                # tolerate dtype-only diffs (int32 vs int64 etc.)
                 if not eq.all():
                     bad_cols.append((c, int((~eq).sum())))
             except Exception as e:
