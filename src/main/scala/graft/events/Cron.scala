@@ -13,21 +13,31 @@ import java.time.{Instant, ZoneId, ZonedDateTime}
   */
 object Cron {
 
+  /** `domAny`/`dowAny` record whether the field was `*`: standard cron ORs
+    * day-of-month with day-of-week when BOTH are restricted, and ANDs
+    * otherwise (see crontab(5)).
+    */
   case class Spec(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
-                  months: Set[Int], dows: Set[Int]) {
-    def matches(t: ZonedDateTime): Boolean =
-      minutes(t.getMinute) && hours(t.getHour) && doms(t.getDayOfMonth) &&
-        months(t.getMonthValue) &&
-        dows(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+                  months: Set[Int], dows: Set[Int],
+                  domAny: Boolean, dowAny: Boolean) {
+    def matches(t: ZonedDateTime): Boolean = {
+      val domOk = doms(t.getDayOfMonth)
+      val dowOk = dows(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+      val dayOk =
+        if (!domAny && !dowAny) domOk || dowOk else domOk && dowOk
+      minutes(t.getMinute) && hours(t.getHour) &&
+        months(t.getMonthValue) && dayOk
+    }
   }
 
   def parse(expr: String): Spec = {
     val fs = expr.trim.split("\\s+")
     require(fs.length == 5, s"bad cron: $expr")
-    def field(s: String, lo: Int, hi: Int): Set[Int] = s.split(",").flatMap {
-      part =>
+    def field(s: String, lo: Int, hi: Int, isDow: Boolean = false)
+        : Set[Int] = {
+      val vals = s.split(",").flatMap { part =>
         val (rangePart, step) = part.split("/") match {
-          case Array(r)    => (r, 1)
+          case Array(r)     => (r, 1)
           case Array(r, s2) => (r, s2.toInt)
         }
         val (a, b) = rangePart match {
@@ -37,9 +47,15 @@ object Cron {
           case n => (n.toInt, n.toInt)
         }
         (a to b by step)
-    }.toSet
+      }.toSet
+      vals.foreach(v => require(v >= lo && v <= hi,
+        s"cron field value $v out of [$lo,$hi] in: $expr"))
+      // dow alias after validation: 7 == Sunday == 0 (crontab(5))
+      if (isDow) vals.map(_ % 7) else vals
+    }
     Spec(field(fs(0), 0, 59), field(fs(1), 0, 23), field(fs(2), 1, 31),
-      field(fs(3), 1, 12), field(fs(4), 0, 6))
+      field(fs(3), 1, 12), field(fs(4), 0, 7, isDow = true),
+      domAny = fs(2) == "*", dowAny = fs(4) == "*")
   }
 
   /** All fire instants in [from, to), minute granularity. */

@@ -1,0 +1,62 @@
+package graft.profile
+
+import org.apache.spark.sql.DataFrame
+
+/** Driver-side materialization of one profile row (the output schema of
+  * [[Profiler.profile]]). This is the "baseline statistics" record the
+  * reference captures from a profiling run and later tests refreshes against
+  * (reference demo/input_data/data_tests.csv parameter vocabulary:
+  * Baseline_Ct / Baseline_Value_Ct / Baseline_Unique_Ct / Baseline_Avg /
+  * Baseline_SD / Baseline_Sum / min-max dates and lengths).
+  *
+  * A table profile is one row per column — tiny at any data scale — so
+  * collecting it driver-side is free, and pinning it as literals (see
+  * [[graft.quality.PinnedBaselines]]) mirrors how the reference ships
+  * baselines inside its test definitions.
+  */
+case class ColProfile(
+    table: String, column: String, ordinal: Long, dataType: String,
+    recordCt: Long, valueCt: Long, nullCt: Long, distinctCt: Long,
+    minLen: Option[Long], maxLen: Option[Long], avgLen: Option[Double],
+    blankCt: Option[Long], minStr: Option[String], maxStr: Option[String],
+    minNum: Option[Double], maxNum: Option[Double], avgNum: Option[Double],
+    stdevNum: Option[Double], sumNum: Option[Double], fracSum: Option[Double],
+    zeroCt: Option[Long], negCt: Option[Long],
+    minTs: Option[String], maxTs: Option[String],
+    distinctDateCt: Option[Long])
+
+object ColProfile {
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Collect a profile DataFrame (output of [[Profiler.profile]]) into
+    * driver-side records. One row per column — never large.
+    */
+  def fromRows(profile: DataFrame): Seq[ColProfile] = {
+    profile.collect().toSeq.map { r =>
+      def l(f: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(f))) None
+        else Some(r.getAs[Number](f).longValue())
+      def d(f: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(f))) None
+        else Some(r.getAs[Number](f).doubleValue())
+      def s(f: String): Option[String] =
+        Option(r.getAs[String](f))
+      def t(f: String): Option[String] =
+        if (r.isNullAt(r.fieldIndex(f))) None
+        else Some(TsFmt.format(r.getAs[java.sql.Timestamp](f).toInstant))
+      ColProfile(
+        r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+        r.getAs[Long]("ordinal"), r.getAs[String]("data_type"),
+        r.getAs[Long]("record_ct"), r.getAs[Long]("value_ct"),
+        r.getAs[Long]("null_ct"), r.getAs[Long]("distinct_ct"),
+        l("min_len"), l("max_len"), d("avg_len"), l("blank_ct"),
+        s("min_str"), s("max_str"),
+        d("min_num"), d("max_num"), d("avg_num"), d("stdev_num"),
+        d("sum_num"), d("frac_sum"), l("zero_ct"), l("neg_ct"),
+        t("min_ts"), t("max_ts"), l("distinct_date_ct"))
+    }
+  }
+}

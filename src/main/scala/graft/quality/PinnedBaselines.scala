@@ -1,0 +1,78 @@
+package graft.quality
+
+import graft.profile.ColProfile
+
+/** Baseline profiles captured from a `Profiler.profile` run over the
+  * sf0.001 harness data (via `graft.Verify /root/testdata/sf0.001`), pinned
+  * as literals — exactly how the reference ships baseline statistics inside
+  * its test definitions (reference demo/input_data/data_tests.csv:
+  * `Baseline_Avg=2513.885, Baseline_SD=…`). Pinning makes the generated
+  * suite a *static* function of the baseline, so the DuckDB oracle SQL can
+  * be produced without running Spark (TestEvaluator.oracleSql applies), and
+  * evaluation against a data refresh needs no runtime profiling pass.
+  *
+  * To refresh after a data change: re-run `graft.Verify` at the baseline SF
+  * and transcribe `profile_lineitem` (see ColProfile field order).
+  */
+object PinnedBaselines {
+
+  /** sf0.001 lineitem profile (11 columns, 6000 rows). */
+  val lineitem: Seq[ColProfile] = Seq(
+    ColProfile("lineitem", "l_orderkey", 0L, "bigint", 6000L, 6000L, 0L, 1473L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(1499.0), Some(748.2542), Some(433.3829),
+      Some(4489525.0), None, Some(2L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_partkey", 1L, "bigint", 6000L, 6000L, 0L, 200L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(199.0), Some(98.751), Some(57.8385),
+      Some(592506.0), None, Some(37L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_suppkey", 2L, "bigint", 6000L, 6000L, 0L, 10L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(9.0), Some(4.5147), Some(2.8577),
+      Some(27088.0), None, Some(545L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_linenumber", 3L, "int", 6000L, 6000L, 0L, 7L,
+      None, None, None, None, None, None,
+      Some(1.0), Some(7.0), Some(4.0428), Some(2.0232),
+      Some(24257.0), None, Some(0L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_quantity", 4L, "double", 6000L, 6000L, 0L, 50L,
+      None, None, None, None, None, None,
+      Some(1.0), Some(50.0), Some(25.3762), Some(14.5212),
+      Some(152257.0), Some(0.0), Some(0L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_extendedprice", 5L, "double", 6000L, 6000L, 0L,
+      5998L, None, None, None, None, None, None,
+      Some(914.44), Some(104998.18), Some(52894.1262), Some(30141.1112),
+      Some(3.1736475731e8), Some(2980.31), Some(0L), Some(0L),
+      None, None, None),
+    ColProfile("lineitem", "l_discount", 6L, "double", 6000L, 6000L, 0L, 11L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(0.1), Some(0.0505), Some(0.0289),
+      Some(302.75), Some(302.75), Some(290L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_tax", 7L, "double", 6000L, 6000L, 0L, 9L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(0.08), Some(0.04), Some(0.0235),
+      Some(239.87), Some(239.87), Some(361L), Some(0L), None, None, None),
+    ColProfile("lineitem", "l_returnflag", 8L, "string", 6000L, 6000L, 0L, 3L,
+      Some(1L), Some(1L), Some(1.0), Some(0L), Some("A"), Some("R"),
+      None, None, None, None, None, None, None, None, None, None, None),
+    ColProfile("lineitem", "l_linestatus", 9L, "string", 6000L, 6000L, 0L, 2L,
+      Some(1L), Some(1L), Some(1.0), Some(0L), Some("F"), Some("O"),
+      None, None, None, None, None, None, None, None, None, None, None),
+    ColProfile("lineitem", "l_shipdate", 10L, "timestamp", 6000L, 6000L, 0L,
+      2289L, None, None, None, None, None, None,
+      None, None, None, None, None, None, None, None,
+      Some("1995-01-02 00:00:00"), Some("2001-11-04 00:00:00"), Some(2289L)),
+  )
+
+  /** Top-k LOVs of the low-cardinality string columns (Profiler.topK order:
+    * count desc, value asc) — feeds LOV_Match generation.
+    */
+  val lineitemLovs: Map[String, Seq[String]] = Map(
+    "l_returnflag" -> Seq("N", "R", "A"),
+    "l_linestatus" -> Seq("F", "O"))
+
+  /** The generated suite over the pinned baseline — static, so it has a
+    * DuckDB oracle like any hand-written suite.
+    */
+  lazy val lineitemDefs: Seq[TestDef] =
+    TestGenerator.generate(lineitem, lineitemLovs)
+}

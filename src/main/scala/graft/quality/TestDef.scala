@@ -35,10 +35,13 @@ object TestDef {
       }.toMap
   }
 
-  /** Parse a list-of-values literal `('No','Yes')` into its members. */
+  /** Parse a list-of-values literal `('No','Yes')` into its members.
+    * Commas inside quoted members — `('a,b','c')` — do not split, and a
+    * doubled quote inside a member unescapes: `('it''s')` → `it's`.
+    */
   def parseLov(s: String): Seq[String] = {
     val inner = s.trim.stripPrefix("(").stripSuffix(")")
-    // split on commas outside quotes
-    inner.split(",").toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
+    inner.split(",(?=(?:[^']*'[^']*')*[^']*$)").toSeq
+      .map(_.trim.stripPrefix("'").stripSuffix("'").replace("''", "'"))
   }
 }

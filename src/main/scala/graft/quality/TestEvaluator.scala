@@ -9,11 +9,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
   * semantics per each type's description column, SURVEY.md §2.B) as ONE wide
   * Spark aggregation pass per table plus scalar threshold math.
   *
-  * Execution shape (100 TB): all measures for all tests on a table are
-  * computed in a single `df.agg(...)` — one scan, partial aggregation
-  * map-side, a one-row shuffle. Baseline statistics arrive as literals inside
-  * the plan (captured by a prior profiling run), so no join is needed at all;
-  * the baseline-vs-measure comparison is constant-folded scalar math.
+  * Execution shape (100 TB): all non-distinct measures for all tests on a
+  * table are computed in a single `df.agg(...)` — one scan, partial
+  * aggregation map-side, a one-row shuffle. Baseline statistics arrive as
+  * literals inside the plan (captured by a prior profiling run), so no join
+  * is needed at all; the baseline-vs-measure comparison is constant-folded
+  * scalar math.
+  *
+  * Distinct-counting measures (Unique, Unique_Pct, Distinct_Value_Ct,
+  * Distinct_Date_Ct, and the weekly-monthly gap tests) are split into ONE
+  * EXTRA PASS PER DISTINCT EXPRESSION and the
+  * one-row results recombined with crossJoin. Rationale: k distinct
+  * aggregates in a single agg() make Catalyst plan an Expand that replicates
+  * EVERY input row k+1 times (the r1 dq_autogen query spent 119 s there at
+  * sf0.1 — a guaranteed scale-killer at 100 TB). With one distinct
+  * expression per pass, Spark plans the no-Expand two-stage distinct
+  * aggregate, and column pruning means each extra pass scans only the one
+  * column it needs. The passes are independent stages, so the scheduler can
+  * overlap them.
   *
   * Tri-state result semantics (engine-defined, consistent across both the
   * Spark plan and the generated DuckDB oracle):
@@ -49,9 +62,13 @@ object TestEvaluator {
     "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV",
     "WI", "WY", "DC", "PR")
 
+  /** `distinctKey` names the distinct-aggregation expression the measure
+    * needs (None = plain aggregate): measures sharing a key can share one
+    * no-Expand aggregation pass; different keys must not be mixed.
+    */
   case class Compiled(d: TestDef, measure: Column, measureSql: String,
                       threshold: Double, family: String, op: String,
-                      message: String)
+                      message: String, distinctKey: Option[String] = None)
 
   private val D = DoubleType
   private def esc(s: String) = s.replace("'", "''")
@@ -97,6 +114,19 @@ object TestEvaluator {
   // ------------------------------------------------------------------------
 
   def compile(d: TestDef): Compiled = {
+    val base = compileBase(d)
+    val dk = d.testType match {
+      case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" =>
+        Some(s"col:${d.column}")
+      case "Distinct_Date_Ct" => Some(s"date:${d.column}")
+      case "Monthly_Rec_Ct"   => Some(s"month:${d.column}")
+      case "Weekly_Rec_Ct"    => Some(s"week:${d.column}")
+      case _                  => None
+    }
+    base.copy(distinctKey = dk)
+  }
+
+  private def compileBase(d: TestDef): Compiled = {
     val c = col(d.column)
     val cs = d.column
     def T = d.pDOr("Threshold_Value", 0.0)
@@ -312,15 +342,29 @@ object TestEvaluator {
       "CASE WHEN measure <= threshold THEN 'PASSED' WHEN measure <= threshold * 1.5 THEN 'WARNING' ELSE 'FAILED' END"
   }
 
-  /** Run all tests against one table in a single aggregation pass. */
+  /** Run all tests against one table: one base aggregation pass for plain
+    * measures plus one narrow pass per distinct expression (see class doc),
+    * all one-row results crossJoined back together.
+    */
   def run(df: DataFrame, defs: Seq[TestDef]): DataFrame = {
     require(defs.nonEmpty)
     val compiled = defs.map(compile)
-    val aggs = compiled.zipWithIndex.map { case (t, i) =>
-      t.measure.as(s"__m_$i")
-    } :+ count(lit(1)).cast(D).as("__rc")
-    val agged = df.agg(aggs.head, aggs.tail: _*)
-    val structs = compiled.zipWithIndex.map { case (t, i) =>
+    val indexed = compiled.zipWithIndex
+    val byKey = indexed.groupBy(_._1.distinctKey)
+    val plain = byKey.getOrElse(None, Seq.empty)
+    val distinctGroups = byKey.collect { case (Some(k), ms) => k -> ms }
+      .toSeq.sortBy(_._1)
+    // base pass always exists: plain measures + the row count that the
+    // count-family warning band needs
+    val baseAggs = plain.map { case (t, i) => t.measure.as(s"__m_$i") } :+
+      count(lit(1)).cast(D).as("__rc")
+    val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
+    val distinctPasses = distinctGroups.map { case (_, ms) =>
+      val aggs = ms.map { case (t, i) => t.measure.as(s"__m_$i") }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
+    val structs = indexed.map { case (t, i) =>
       val m = col(s"__m_$i")
       val thr = lit(t.threshold)
       val status = statusExpr(t.family, m, thr, col("__rc"))

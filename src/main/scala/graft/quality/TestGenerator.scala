@@ -1,92 +1,143 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame, Row}
+import graft.profile.ColProfile
+import org.apache.spark.sql.DataFrame
 
 /** Algorithmic test generation from a column profile — the reference's
   * "auto-generation of 32 data quality validation tests" (README.md:207-209):
-  * a pure function ColumnProfile → List[TestDef]. The profile DataFrame is
-  * one row per column (tiny at any data scale), so collecting it driver-side
-  * is free; the generated defs then evaluate distributed via TestEvaluator.
+  * a pure function over baseline profile statistics. Profiles are one row per
+  * column (tiny at any data scale), so generation is driver-side; the
+  * generated defs then evaluate distributed via TestEvaluator.
+  *
+  * Rule inventory (emitted type ← trigger):
+  *   Row_Ct            ← always (table-level)
+  *   Required          ← zero nulls
+  *   Missing_Pct       ← some nulls
+  *   Unique            ← distinct == values
+  *   Unique_Pct        ← 1 < distinct < values
+  *   Constant          ← single distinct value (string or numeric)
+  *   LOV_Match         ← string, 2..20 distinct, LOV supplied (from topK)
+  *   Alpha_Trunc       ← string with max length
+  *   Pattern_Match     ← string whose min/max values share a char-class
+  *                       skeleton (letters/digits/punctuation runs)
+  *   Min_Val / Avg_Shift / Incr_Avg_Shift / Outlier_Pct_Above/Below /
+  *   Dec_Trunc         ← numeric with the needed stats
+  *   Min_Date / Distinct_Date_Ct / Future_Date / Future_Date_1Y /
+  *   Recency           ← timestamp
+  *   Monthly_Rec_Ct / Weekly_Rec_Ct ← timestamp with dense date coverage
+  *   Distinct_Value_Ct ← low-cardinality column (≤ 50 distinct)
   */
 object TestGenerator {
 
-  def generate(profile: DataFrame,
-               lovs: Map[String, Seq[String]] = Map.empty): Seq[TestDef] = {
-    val rows = profile.collect()
-    if (rows.isEmpty) return Seq.empty
-    val table = rows.head.getAs[String]("table_name")
-    val recordCt = rows.head.getAs[Long]("record_ct")
+  /** Regex-escape a literal character for both Java and RE2-style engines. */
+  private def escRe(ch: Char): String =
+    if ("\\^$.|?*+()[]{}".indexOf(ch) >= 0) "\\" + ch else ch.toString
 
-    def num(r: Row, f: String): Option[Double] = {
-      if (r.isNullAt(r.fieldIndex(f))) None
-      else r.get(r.fieldIndex(f)) match {
-        case d: java.math.BigDecimal => Some(d.doubleValue())
-        case d: Double               => Some(d)
-        case l: Long                 => Some(l.toDouble)
-        case i: Int                  => Some(i.toDouble)
-        case _                       => None
+  /** Char-class skeleton: collapse letter runs to [A-Za-z]+, digit runs to
+    * [0-9]+, escape everything else literally. "Customer#000000001" →
+    * "[A-Za-z]+#[0-9]+". If a column's min and max string share a skeleton,
+    * the column very likely follows that pattern.
+    */
+  def skeleton(s: String): String = {
+    val sb = new StringBuilder
+    var last = ' '
+    s.foreach { ch =>
+      val cls = if (ch.isLetter) 'A' else if (ch.isDigit) '9' else 'x'
+      if (cls == 'x') { sb.append(escRe(ch)); last = ' ' }
+      else if (cls != last) {
+        sb.append(if (cls == 'A') "[A-Za-z]+" else "[0-9]+")
+        last = cls
       }
     }
+    sb.toString
+  }
+
+  def generate(profile: DataFrame): Seq[TestDef] =
+    generate(ColProfile.fromRows(profile), Map.empty)
+
+  def generate(profile: DataFrame,
+               lovs: Map[String, Seq[String]]): Seq[TestDef] =
+    generate(ColProfile.fromRows(profile), lovs)
+
+  def generate(profiles: Seq[ColProfile],
+               lovs: Map[String, Seq[String]]): Seq[TestDef] = {
+    if (profiles.isEmpty) return Seq.empty
+    val table = profiles.head.table
+    val recordCt = profiles.head.recordCt
     def p(kv: (String, String)*) = kv.toMap
+    def quoteLov(vs: Seq[String]): String =
+      vs.map(v => s"'${v.replace("'", "''")}'").mkString("(", ",", ")")
 
     val tableTests = Seq(TestDef(table, "N/A", "Row_Ct",
       p("Baseline_Ct" -> recordCt.toString,
         "Threshold_Value" -> recordCt.toString)))
 
-    val colTests = rows.toSeq.flatMap { r =>
-      val c = r.getAs[String]("column_name")
-      val dt = r.getAs[String]("data_type")
-      val valueCt = r.getAs[Long]("value_ct")
-      val nullCt = r.getAs[Long]("null_ct")
-      val distinctCt = r.getAs[Long]("distinct_ct")
-      val isNum = Set("int", "bigint", "double", "float", "decimal")(dt)
-      val isStr = dt == "string"
-      val isTs = dt == "timestamp"
+    val colTests = profiles.flatMap { cp =>
+      val c = cp.column
+      val isNum = Set("int", "bigint", "double", "float", "decimal")(cp.dataType)
+      val isStr = cp.dataType == "string"
+      val isTs = cp.dataType == "timestamp"
       val b = Seq.newBuilder[TestDef]
 
-      if (valueCt == 0) Seq.empty
+      if (cp.valueCt == 0) Seq.empty
       else {
-        if (nullCt == 0)
+        if (cp.nullCt == 0)
           b += TestDef(table, c, "Required", p("Threshold_Value" -> "0"))
         else
           b += TestDef(table, c, "Missing_Pct",
             p("Baseline_Ct" -> recordCt.toString,
-              "Baseline_Value_Ct" -> valueCt.toString,
+              "Baseline_Value_Ct" -> cp.valueCt.toString,
               "Threshold_Value" -> "2"))
-        if (distinctCt == valueCt && valueCt > 1)
+
+        if (cp.distinctCt == cp.valueCt && cp.valueCt > 1)
           b += TestDef(table, c, "Unique", p("Threshold_Value" -> "0"))
-        else if (distinctCt > 1)
+        else if (cp.distinctCt > 1)
           b += TestDef(table, c, "Unique_Pct",
-            p("Baseline_Unique_Ct" -> distinctCt.toString,
-              "Baseline_Value_Ct" -> valueCt.toString,
+            p("Baseline_Unique_Ct" -> cp.distinctCt.toString,
+              "Baseline_Value_Ct" -> cp.valueCt.toString,
               "Threshold_Value" -> "0.5"))
-        if (distinctCt == 1 && isStr)
-          // constant column: lock it down (needs the value via lovs)
-          lovs.get(c).flatMap(_.headOption).foreach { v =>
+
+        if (cp.distinctCt == 1) {
+          // single observed value: lock it down (no LOV needed — the
+          // profile's min == max IS the constant)
+          if (isStr) cp.minStr.foreach { v =>
             b += TestDef(table, c, "Constant",
               p("Baseline_Value" -> v, "Threshold_Value" -> "0"))
           }
-        if (isStr) {
-          num(r, "max_len").foreach { ml =>
-            b += TestDef(table, c, "Alpha_Trunc",
-              p("Baseline_Value" -> ml.toLong.toString,
-                "Threshold_Value" -> "0"))
+          if (isNum) cp.minNum.foreach { v =>
+            b += TestDef(table, c, "Constant",
+              p("Baseline_Value" -> v.toString, "Threshold_Value" -> "0"))
           }
-          if (distinctCt > 1 && distinctCt <= 20 && lovs.contains(c))
-            b += TestDef(table, c, "LOV_Match",
-              p("Baseline_Value" ->
-                lovs(c).map(v => s"'${v.replace("'", "''")}'")
-                  .mkString("(", ",", ")"),
-                "Threshold_Value" -> "0"))
         }
+
+        if (cp.distinctCt >= 2 && cp.distinctCt <= 50)
+          b += TestDef(table, c, "Distinct_Value_Ct",
+            p("Baseline_Value" -> cp.distinctCt.toString,
+              "Threshold_Value" -> cp.distinctCt.toString))
+
+        if (isStr) {
+          cp.maxLen.foreach { ml =>
+            b += TestDef(table, c, "Alpha_Trunc",
+              p("Baseline_Value" -> ml.toString, "Threshold_Value" -> "0"))
+          }
+          if (cp.distinctCt > 1 && cp.distinctCt <= 20 && lovs.contains(c))
+            b += TestDef(table, c, "LOV_Match",
+              p("Baseline_Value" -> quoteLov(lovs(c)),
+                "Threshold_Value" -> "0"))
+          for (lo <- cp.minStr; hi <- cp.maxStr
+               if lo.nonEmpty && cp.distinctCt > 1 &&
+                 skeleton(lo) == skeleton(hi))
+            b += TestDef(table, c, "Pattern_Match",
+              p("Baseline_Value" -> skeleton(lo), "Threshold_Value" -> "0"))
+        }
+
         if (isNum) {
-          for (mn <- num(r, "min_num"))
+          for (mn <- cp.minNum)
             b += TestDef(table, c, "Min_Val",
               p("Baseline_Value" -> mn.toString, "Threshold_Value" -> "0"))
-          for (avg <- num(r, "avg_num"); sd <- num(r, "stdev_num")
-               if sd > 0) {
+          for (avg <- cp.avgNum; sd <- cp.stdevNum if sd > 0) {
             b += TestDef(table, c, "Avg_Shift",
-              p("Baseline_Value_Ct" -> valueCt.toString,
+              p("Baseline_Value_Ct" -> cp.valueCt.toString,
                 "Baseline_Avg" -> avg.toString, "Baseline_SD" -> sd.toString,
                 "Threshold_Value" -> "0.5"))
             b += TestDef(table, c, "Outlier_Pct_Above",
@@ -95,32 +146,44 @@ object TestGenerator {
             b += TestDef(table, c, "Outlier_Pct_Below",
               p("Baseline_Avg" -> avg.toString, "Baseline_SD" -> sd.toString,
                 "Threshold_Value" -> "0.05"))
-            for (s <- num(r, "sum_num"))
+            for (s <- cp.sumNum)
               b += TestDef(table, c, "Incr_Avg_Shift",
-                p("Baseline_Value_Ct" -> valueCt.toString,
+                p("Baseline_Value_Ct" -> cp.valueCt.toString,
                   "Baseline_Sum" -> s.toString,
                   "Baseline_Avg" -> avg.toString,
                   "Baseline_SD" -> sd.toString, "Threshold_Value" -> "2"))
           }
-          for (fs <- num(r, "frac_sum") if fs > 0)
+          for (fs <- cp.fracSum if fs > 0)
             b += TestDef(table, c, "Dec_Trunc",
               p("Threshold_Value" -> fs.toString))
         }
+
         if (isTs) {
-          r.get(r.fieldIndex("min_ts")) match {
-            case ts: java.sql.Timestamp =>
-              b += TestDef(table, c, "Min_Date",
-                p("Baseline_Value" -> ts.toString.stripSuffix(".0"),
-                  "Threshold_Value" -> "0"))
-            case _ =>
-          }
-          for (dd <- num(r, "distinct_date_ct"))
+          for (ts <- cp.minTs)
+            b += TestDef(table, c, "Min_Date",
+              p("Baseline_Value" -> ts, "Threshold_Value" -> "0"))
+          for (dd <- cp.distinctDateCt)
             b += TestDef(table, c, "Distinct_Date_Ct",
-              p("Baseline_Value" -> dd.toLong.toString,
-                "Threshold_Value" -> dd.toLong.toString))
+              p("Baseline_Value" -> dd.toString,
+                "Threshold_Value" -> dd.toString))
           b += TestDef(table, c, "Future_Date", p("Threshold_Value" -> "0"))
           b += TestDef(table, c, "Future_Date_1Y",
             p("Threshold_Value" -> "0"))
+          for (hi <- cp.maxTs) {
+            // allowed staleness = staleness observed at baseline + 30 days
+            val stale = java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(hi.substring(0, 10)),
+              java.time.LocalDate.parse(TestEvaluator.AsOfDate))
+            b += TestDef(table, c, "Recency",
+              p("Threshold_Value" -> (stale + 30).toString))
+          }
+          // dense date coverage at baseline → expect no month/week gaps
+          for (dd <- cp.distinctDateCt if dd >= 60) {
+            b += TestDef(table, c, "Monthly_Rec_Ct",
+              p("Threshold_Value" -> "0"))
+            b += TestDef(table, c, "Weekly_Rec_Ct",
+              p("Threshold_Value" -> "0"))
+          }
         }
         b.result()
       }

@@ -2,37 +2,38 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.profile.Profiler
-import graft.quality.{Suites, TestEvaluator, TestGenerator}
+import graft.quality.{PinnedBaselines, Suites, TestEvaluator}
 
 /** Data-quality test surface wired into the driver contract. The three
   * static suites carry sf0.001-profiled baselines as literals and cover all
-  * 25 reference test types; `dq_autogen_lineitem` exercises the full
-  * profile→generate→evaluate pipeline (baselines derived from the data at
-  * runtime, so it gets the rows-only check — no static oracle can exist).
+  * 25 reference test types; `dq_autogen_lineitem` evaluates the
+  * auto-GENERATED suite (TestGenerator over the pinned sf0.001 baseline
+  * profile — the reference's profile→generate→test pipeline with the
+  * baseline captured ahead of time), which makes it a static function of the
+  * baseline and therefore oracle-checkable like the hand-written suites.
+  * The runtime profile→generate→evaluate path is exercised in QualitySpec.
   */
 object QualityQueries {
 
   private def suite(table: String)(s: SparkSession, dir: String): DataFrame =
     TestEvaluator.run(Tables.load(s, dir, table), Suites.all(table))
 
-  private def autogen(table: String)(s: SparkSession,
-                                     dir: String): DataFrame = {
-    val df = Tables.load(s, dir, table)
-    val profile = Profiler.profile(df, table)
-    TestEvaluator.run(df, TestGenerator.generate(profile))
-  }
+  private def autogen(s: SparkSession, dir: String): DataFrame =
+    TestEvaluator.run(Tables.load(s, dir, "lineitem"),
+      PinnedBaselines.lineitemDefs)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_lineitem" -> suite("lineitem") _,
     "dq_orders" -> suite("orders") _,
     "dq_customer" -> suite("customer") _,
-    "dq_autogen_lineitem" -> autogen("lineitem") _,
+    "dq_autogen_lineitem" -> (autogen _),
   )
 
   val oracles: Map[String, String] = Map(
     "dq_lineitem" -> TestEvaluator.oracleSql("lineitem", Suites.lineitem),
     "dq_orders" -> TestEvaluator.oracleSql("orders", Suites.orders),
     "dq_customer" -> TestEvaluator.oracleSql("customer", Suites.customer),
+    "dq_autogen_lineitem" ->
+      TestEvaluator.oracleSql("lineitem", PinnedBaselines.lineitemDefs),
   )
 }

@@ -25,6 +25,32 @@ class QualitySpec extends AnyFunSuite {
       Map("Threshold_Value" -> "0"))
   }
 
+  test("parseLov is quote-aware: embedded commas and doubled quotes") {
+    assert(TestDef.parseLov("('a,b','c')") == Seq("a,b", "c"))
+    assert(TestDef.parseLov("('it''s','x')") == Seq("it's", "x"))
+    assert(TestDef.parseLov("('No','Yes')") == Seq("No", "Yes"))
+  }
+
+  test("skeleton collapses char classes for pattern inference") {
+    assert(TestGenerator.skeleton("Customer#000000001") ==
+      "[A-Za-z]+#[0-9]+")
+    assert(TestGenerator.skeleton("A") == "[A-Za-z]+")
+    assert(TestGenerator.skeleton("a.b") == "[A-Za-z]+\\.[A-Za-z]+")
+  }
+
+  test("pinned-baseline generated suite is broad and self-consistent") {
+    val defs = PinnedBaselines.lineitemDefs
+    val types = defs.map(_.testType).toSet
+    assert(types.size >= 18, s"only ${types.size} types: $types")
+    assert(types.contains("LOV_Match") && types.contains("Pattern_Match") &&
+      types.contains("Recency") && types.contains("Weekly_Rec_Ct"))
+    // evaluated against its own baseline data → everything passes
+    val df = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val st = TestEvaluator.run(df, defs).collect()
+      .map(_.getAs[String]("status")).toSet
+    assert(st == Set("PASSED"))
+  }
+
   test("count-family tri-state: pass, warn band, fail") {
     val df = Seq.tabulate(1000)(i => (i.toLong,
       if (i < 3) null else "x")).toDF("id", "s")
