@@ -22,6 +22,7 @@ object SparkEntry {
     (ProfileQueries.queries, ProfileQueries.oracles),
     (RelationalQueries.queries, RelationalQueries.oracles),
     (QualityQueries.queries, QualityQueries.oracles),
+    (EventQueries.queries, EventQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.events.{Dag, EventOps}
+
+/** Event-analytics surface (SURVEY.md §2.C R1–R11 + A14 JSON extraction)
+  * wired into the driver contract, with a DuckDB oracle per query. The
+  * harness `events` table plays the Observability event stream; `user_id`
+  * plays the pipeline/run key space (reference event model:
+  * demo/demo/demo_helper.py:322-352 run events, :1876-1956 rules,
+  * heartbeat_demo.py:25-31 liveness).
+  *
+  * All oracles share the `ev` CTE that truncates the ns-precision parquet
+  * timestamps to micros exactly like Tables.load does on the Spark side.
+  */
+object EventQueries {
+
+  /** Inactivity gap that cuts sessions (R1/R4/R6). */
+  val GapSeconds = 1800L
+  /** Daily schedule + margin for lateness detection (R2). */
+  val LateCron = "0 6 * * *"
+  val MarginSeconds = 600L
+  /** Metric rule threshold (R5). */
+  val MetricThreshold = 90.0
+
+  private val EvCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, " +
+      "event_type, value, props FROM events)"
+
+  /** Session-id assignment shared by the session-based oracles — the SQL
+    * mirror of EventOps.withSessionId.
+    */
+  private val SessCte =
+    s"""$EvCte,
+       |sflag AS (SELECT *, CASE WHEN prev IS NULL OR
+       |    date_diff('microsecond', prev, ts) > ${GapSeconds}000000 THEN 1
+       |    ELSE 0 END AS nw
+       |  FROM (SELECT *, lag(ts) OVER
+       |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev)),
+       |sess AS (SELECT event_id, ts, user_id, event_type, value, props,
+       |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM sflag)""".stripMargin
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---- R1 sessionization ---------------------------------------------------
+
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionSummary(ev(s, dir), GapSeconds)
+
+  val sessionsSql: String =
+    s"""$SessCte
+       |SELECT user_id, session_id, min(ts) AS session_start,
+       |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- R6 run-state rule → alert ------------------------------------------
+
+  def failedRuns(s: SparkSession, dir: String): DataFrame =
+    EventOps.failedRunAlerts(ev(s, dir), GapSeconds)
+
+  val failedRunsSql: String =
+    s"""$SessCte,
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn FROM sess)
+       |SELECT user_id, session_id, ts AS failed_at, 'FAILED' AS run_state,
+       |  'SEND_EMAIL' AS action,
+       |  printf('Run %d for user %d failed', session_id, user_id) AS message
+       |FROM ranked WHERE rn = 1 AND event_type = 'error'
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- R2 schedule lateness ------------------------------------------------
+
+  def lateStarts(s: SparkSession, dir: String): DataFrame =
+    EventOps.lateStarts(ev(s, dir), LateCron, MarginSeconds, s)
+
+  val lateStartsSql: String =
+    s"""$EvCte,
+       |actual AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |    min(ts) AS actual_start FROM ev GROUP BY 1, 2)
+       |SELECT user_id, day, actual_start,
+       |  CAST(day AS TIMESTAMP) + INTERVAL 6 HOUR AS expected_start,
+       |  date_diff('microsecond', CAST(day AS TIMESTAMP) + INTERVAL 6 HOUR,
+       |    actual_start) > ${MarginSeconds}000000 AS late_start,
+       |  round(date_diff('microsecond', CAST(day AS TIMESTAMP) + INTERVAL 6 HOUR,
+       |    actual_start) / 6e7, 4) AS minutes_late
+       |FROM actual ORDER BY user_id, day""".stripMargin
+
+  // ---- R3 journey-instance assembly ---------------------------------------
+
+  def journeys(s: SparkSession, dir: String): DataFrame =
+    EventOps.journeyInstances(ev(s, dir), "signup")
+
+  val journeysSql: String =
+    s"""$EvCte,
+       |inst AS (SELECT *, CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+       |    ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS instance_id FROM ev)
+       |SELECT user_id, instance_id, min(ts) AS instance_start,
+       |  max(ts) AS instance_end, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_payloads
+       |FROM inst GROUP BY user_id, instance_id
+       |ORDER BY user_id, instance_id""".stripMargin
+
+  // ---- R4 out-of-sequence vs journey DAG ----------------------------------
+
+  def outOfSequence(s: SparkSession, dir: String): DataFrame = {
+    val closure = Dag.closure(Dag.edgeDf(s, Dag.FunnelEdges))
+    EventOps.outOfSequence(ev(s, dir), GapSeconds, closure)
+  }
+
+  /** Closure of the funnel DAG as a literal VALUES list (3 edges → 6 pairs). */
+  val outOfSequenceSql: String =
+    s"""$SessCte,
+       |seq AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id, session_id
+       |    ORDER BY ts, event_id) AS prev_type FROM sess),
+       |closure(src, dst) AS (VALUES
+       |  ('signup','view'), ('signup','click'), ('signup','purchase'),
+       |  ('view','click'), ('view','purchase'), ('click','purchase'))
+       |SELECT user_id, session_id, event_id, ts, prev_type, event_type,
+       |  'OUT_OF_SEQUENCE' AS alert_type
+       |FROM seq JOIN closure ON seq.event_type = closure.src
+       |  AND seq.prev_type = closure.dst
+       |WHERE prev_type IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
+  // ---- R5 metric rule ------------------------------------------------------
+
+  def metricAlerts(s: SparkSession, dir: String): DataFrame =
+    EventOps.metricRuleAlerts(ev(s, dir), "purchase", MetricThreshold)
+
+  val metricAlertsSql: String =
+    s"""$EvCte
+       |SELECT event_id, user_id, ts, value,
+       |  'purchase.value gt $MetricThreshold' AS rule,
+       |  'CALL_WEBHOOK' AS action
+       |FROM ev WHERE event_type = 'purchase' AND value > $MetricThreshold
+       |ORDER BY event_id""".stripMargin
+
+  // ---- R7 per-key rollup with worst-status --------------------------------
+
+  def rollup(s: SparkSession, dir: String): DataFrame =
+    EventOps.userRollup(ev(s, dir))
+
+  val rollupSql: String = {
+    def n(t: String) =
+      s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS n_$t"
+    s"""$EvCte,
+       |agg AS (SELECT user_id, ${n("signup")}, ${n("view")}, ${n("click")},
+       |    ${n("purchase")}, ${n("error")},
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM ev GROUP BY user_id)
+       |SELECT *, CASE WHEN n_error > 0 THEN 'FAILED'
+       |  WHEN n_purchase = 0 THEN 'WARNING' ELSE 'PASSED' END AS worst_status
+       |FROM agg ORDER BY user_id""".stripMargin
+  }
+
+  // ---- R8 volume anomalies -------------------------------------------------
+
+  def volumeAnomalies(s: SparkSession, dir: String): DataFrame =
+    EventOps.volumeAnomalies(ev(s, dir))
+
+  val volumeAnomaliesSql: String = {
+    val stdExpr = "sqrt(greatest((s2 - s1*s1/np)/(np - 1), 0.0))"
+    s"""$EvCte,
+       |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+       |win AS (SELECT *, count(n) OVER w AS np,
+       |    CAST(sum(n) OVER w AS DOUBLE) AS s1,
+       |    CAST(sum(n*n) OVER w AS DOUBLE) AS s2
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n, CAST(np AS BIGINT) AS prior_days,
+       |  CASE WHEN np > 0 THEN round(s1/np, 4) END AS mean_prior,
+       |  CASE WHEN np = 7 AND $stdExpr > 0
+       |    THEN round((n - s1/np)/$stdExpr, 4) END AS z,
+       |  CASE WHEN np = 7 AND $stdExpr > 0
+       |    THEN abs(round((n - s1/np)/$stdExpr, 4)) > 2 END AS anomalous
+       |FROM win ORDER BY event_type, day""".stripMargin
+  }
+
+  // ---- R9 heartbeat liveness ----------------------------------------------
+
+  def liveness(s: SparkSession, dir: String): DataFrame =
+    EventOps.heartbeatLiveness(ev(s, dir))
+
+  val livenessSql: String =
+    s"""$EvCte,
+       |agg AS (SELECT user_id, max(ts) AS last_seen,
+       |    CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY user_id)
+       |SELECT user_id, last_seen, n_events,
+       |  last_seen < (SELECT max(ts) FROM ev) - INTERVAL 1 DAY AS stale
+       |FROM agg ORDER BY user_id""".stripMargin
+
+  // ---- A14 JSON props extraction ------------------------------------------
+
+  def propsAgg(s: SparkSession, dir: String): DataFrame =
+    EventOps.propsAggregate(ev(s, dir))
+
+  val propsAggSql: String =
+    s"""$EvCte,
+       |ex AS (SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM ev)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(k) AS BIGINT) AS sum_k,
+       |  round(CAST(sum(k) AS DOUBLE)/count(k), 4) AS avg_k
+       |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- R10 entity search-by-name ------------------------------------------
+
+  def entitySearch(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .filter(col("c_name").contains("0000001"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+      .limit(1)
+
+  val entitySearchSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_name LIKE '%0000001%' ORDER BY c_custkey LIMIT 1""".stripMargin
+
+  // ---- R11 idempotent upsert (MERGE-like) ---------------------------------
+
+  /** Per-user snapshot MERGE: the latest purchase (if any) overrides the
+    * user's first-event snapshot — reference delete-then-create idempotent
+    * upsert (demo_helper.py:137-155) as anti-join + union.
+    */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val wAsc = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = e.withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        lit("existing").as("src"))
+    val upd = e.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        lit("updated").as("src"))
+    upd.unionByName(base.join(upd.select("user_id"), Seq("user_id"),
+        "left_anti"))
+      .orderBy("user_id")
+  }
+
+  val upsertSql: String =
+    s"""$EvCte,
+       |base AS (SELECT user_id, ts, event_type, 'existing' AS src FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn FROM ev) WHERE rn = 1),
+       |upd AS (SELECT user_id, ts, event_type, 'updated' AS src FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev
+       |    WHERE event_type = 'purchase') WHERE rn = 1)
+       |SELECT * FROM upd
+       |UNION ALL
+       |SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM upd)
+       |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sessions" -> (sessions _),
+    "ev_failed_runs" -> (failedRuns _),
+    "ev_late_starts" -> (lateStarts _),
+    "ev_journeys" -> (journeys _),
+    "ev_out_of_sequence" -> (outOfSequence _),
+    "ev_metric_alerts" -> (metricAlerts _),
+    "ev_rollup" -> (rollup _),
+    "ev_volume_anomalies" -> (volumeAnomalies _),
+    "ev_liveness" -> (liveness _),
+    "ev_props_agg" -> (propsAgg _),
+    "ev_entity_search" -> (entitySearch _),
+    "ev_upsert" -> (upsert _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_sessions" -> sessionsSql,
+    "ev_failed_runs" -> failedRunsSql,
+    "ev_late_starts" -> lateStartsSql,
+    "ev_journeys" -> journeysSql,
+    "ev_out_of_sequence" -> outOfSequenceSql,
+    "ev_metric_alerts" -> metricAlertsSql,
+    "ev_rollup" -> rollupSql,
+    "ev_volume_anomalies" -> volumeAnomaliesSql,
+    "ev_liveness" -> livenessSql,
+    "ev_props_agg" -> propsAggSql,
+    "ev_entity_search" -> entitySearchSql,
+    "ev_upsert" -> upsertSql,
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.events.{Dag, EventOps}
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** (event_id, ts, user_id, event_type, value, props) fixture: user 1 has
+    * two sessions split by a 2 h gap, the second ending in an error; user 2
+    * has one session with a backwards funnel transition (click → view).
+    */
+  private lazy val fixture = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, """{"k": 1}"""),
+    (2L, ts("2024-01-01 10:10:00"), 1L, "view", 2.0, """{"k": 2}"""),
+    (3L, ts("2024-01-01 13:00:00"), 1L, "purchase", 50.0, """{"k": 3}"""),
+    (4L, ts("2024-01-01 13:05:00"), 1L, "error", 0.0, """{"k": 4}"""),
+    (5L, ts("2024-01-01 09:00:00"), 2L, "signup", 1.0, """{"k": 5}"""),
+    (6L, ts("2024-01-01 09:10:00"), 2L, "click", 3.0, """{"k": 6}"""),
+    (7L, ts("2024-01-01 09:20:00"), 2L, "view", 4.0, """{"k": 7}"""),
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionization cuts at the inactivity gap") {
+    val sess = EventOps.sessionSummary(fixture, gapSeconds = 3600).collect()
+    val byKey = sess.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(byKey.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(byKey((1L, 1L)).getAs[Long]("n_events") == 2)
+    assert(byKey((1L, 2L)).getAs[Long]("n_errors") == 1)
+    assert(byKey((1L, 2L)).getAs[Double]("total_value") == 50.0)
+  }
+
+  test("failed-run alerts fire only for sessions ending in an error") {
+    val alerts = EventOps.failedRunAlerts(fixture, 3600).collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.getAs[Long]("user_id") == 1L)
+    assert(alerts.head.getAs[Long]("session_id") == 2L)
+    assert(alerts.head.getAs[String]("message") ==
+      "Run 2 for user 1 failed")
+  }
+
+  test("journey instances cut at the START-condition component") {
+    val inst = EventOps.journeyInstances(fixture, "signup").collect()
+    val u1 = inst.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toSeq == Seq(1L))
+    assert(u1.head.getAs[Long]("n_payloads") == 1L)
+  }
+
+  test("DAG closure and out-of-sequence detection") {
+    val closure = Dag.closure(Dag.edgeDf(spark, Dag.FunnelEdges))
+    val pairs = closure.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(pairs == Set(
+      "signup" -> "view", "signup" -> "click", "signup" -> "purchase",
+      "view" -> "click", "view" -> "purchase", "click" -> "purchase"))
+    val oos = EventOps.outOfSequence(fixture, 3600, closure).collect()
+    // user 2's click → view runs backwards along the funnel
+    assert(oos.length == 1)
+    assert(oos.head.getAs[Long]("event_id") == 7L)
+    assert(oos.head.getAs[String]("prev_type") == "click")
+    assert(oos.head.getAs[String]("event_type") == "view")
+  }
+
+  test("schedule lateness flags starts beyond cron + margin") {
+    val late = EventOps.lateStarts(fixture, "0 6 * * *", 600, spark)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    // user 1 first event 10:00 vs expected 06:00 → 240 min late
+    assert(late(1L).getAs[Boolean]("late_start"))
+    assert(late(1L).getAs[Double]("minutes_late") == 240.0)
+    assert(late(2L).getAs[Double]("minutes_late") == 180.0)
+  }
+
+  test("metric rule, rollup worst-status, liveness, props aggregation") {
+    val alerts = EventOps.metricRuleAlerts(fixture, "purchase", 40.0)
+    assert(alerts.count() == 1)
+    val roll = EventOps.userRollup(fixture).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(roll(1L).getAs[String]("worst_status") == "FAILED")
+    assert(roll(2L).getAs[String]("worst_status") == "WARNING") // no purchase
+    assert(roll(1L).getAs[Double]("purchase_value") == 50.0)
+    val live = EventOps.heartbeatLiveness(fixture).collect()
+    assert(live.forall(!_.getAs[Boolean]("stale"))) // span < 1 day
+    val props = EventOps.propsAggregate(fixture).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(props("signup").getAs[Long]("sum_k") == 6L) // 1 + 5
+  }
+
+  test("volume anomaly z-scores need a full 7-day prior window") {
+    // 9 days of stable volume then a spike
+    val rows = (0 until 9).flatMap { d =>
+      val n = if (d == 8) 40 else 10
+      (0 until n).map(i => (d * 1000L + i,
+        ts(f"2024-02-0${d + 1}%d 12:00:00"), 1L, "view", 1.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val va = EventOps.volumeAnomalies(df).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(va("2024-02-03").isNullAt(va("2024-02-03").fieldIndex("z")))
+    // day 9 spike: prior 7 days all 10 → sd 0 → z null; day 8? prior full
+    val spike = va("2024-02-09")
+    assert(spike.getAs[Long]("n") == 40)
+    assert(spike.getAs[Long]("prior_days") == 7)
+    // constant prior counts → zero variance → z undefined (null), honest
+    assert(spike.isNullAt(spike.fieldIndex("z")))
+  }
+}
