@@ -23,6 +23,7 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (QualityQueries.queries, QualityQueries.oracles),
     (EventQueries.queries, EventQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

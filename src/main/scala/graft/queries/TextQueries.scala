@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.text.{Dedup, TextOps}
+
+/** LLM-data-pipeline text surface over the `documents` table: dedup (exact,
+  * exact n-gram Jaccard, MinHash+LSH, SimHash, winnowing fingerprints) and
+  * text analysis (language ID, quality scoring, token counting, corpus
+  * stats). Queries whose semantics are ANSI-expressible carry a DuckDB
+  * oracle; the hash-based ops (MinHash/SimHash/fingerprints — xxhash64 is
+  * Spark-specific) are registered rows-only and verified in TextSpec
+  * against exact computations.
+  */
+object TextQueries {
+
+  /** Near-dup parameters: bigram shingles, 128-wide MinHash, 32 bands of 4
+    * rows → LSH s-curve threshold (1/32)^(1/4) ≈ 0.42, verified at exact
+    * Jaccard ≥ 0.4. The harness corpus contains ~25 planted pairs ≥ 0.5.
+    */
+  val ShingleN = 2
+  val MinhashK = 128
+  val LshBands = 32
+  val MinJaccard = 0.4
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val NormSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val ToksCte =
+    "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') " +
+      "AS w FROM documents)"
+
+  private val ShCte =
+    s"""$ToksCte,
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |    for i in range(1, len(w))]) AS shingle FROM toks))""".stripMargin
+
+  // ---- exact dedup ---------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "text", "doc_id")
+
+  val dedupExactSql: String =
+    s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash,
+       |  CAST(count(*) AS BIGINT) AS n_dupes
+       |FROM (SELECT doc_id, md5($NormSql) AS content_hash FROM documents)
+       |GROUP BY content_hash ORDER BY doc_id""".stripMargin
+
+  // ---- exact n-gram Jaccard near-dups -------------------------------------
+
+  def neardupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", ShingleN,
+      MinJaccard)
+
+  val neardupNgramSql: String =
+    s"""$ShCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS c FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash+LSH / SimHash / fingerprints (rows-only) -------------------
+
+  def neardupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docs(s, dir), "text", "doc_id", ShingleN,
+      MinhashK, LshBands, MinJaccard)
+
+  def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "text", "doc_id")
+
+  def fingerprintDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprints(docs(s, dir), "text", "doc_id", n = 3, window = 4)
+
+  // ---- language ID ---------------------------------------------------------
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langIdConfusion(docs(s, dir), "text", "lang")
+
+  val langIdSql: String = {
+    val scores = TextOps.Stopwords.map { case (l, sw) =>
+      l -> ("len(list_intersect(w, [" +
+        sw.map(x => s"'$x'").mkString(", ") + "]))")
+    }
+    val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, e) =>
+      s"WHEN $e = g AND $e > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""$ToksCte,
+       |scored AS (SELECT lang, $g AS g, w FROM
+       |  (SELECT lang, w FROM toks JOIN documents USING (doc_id))),
+       |pred AS (SELECT lang, CASE $cases ELSE 'und' END AS predicted
+       |  FROM scored)
+       |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---- quality scoring -----------------------------------------------------
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScores(docs(s, dir), "text", "doc_id", limit = 100)
+
+  val qualitySql: String = {
+    val en = TextOps.Stopwords.head._2.map(x => s"'$x'").mkString(", ")
+    s"""$ToksCte,
+       |m AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(w), 4) AS avg_word_len,
+       |    round(CAST(len(list_intersect(w, [$en])) AS DOUBLE)/len(w), 4)
+       |      AS stop_ratio,
+       |    round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4)
+       |      AS dup_ratio
+       |  FROM toks JOIN documents USING (doc_id))
+       |SELECT doc_id, n_words, avg_word_len, stop_ratio, dup_ratio,
+       |  floor((least(1.0, CAST(n_words AS DOUBLE)/50.0)*0.3 +
+       |    stop_ratio*0.3 + (1.0 - dup_ratio)*0.4) * 10000) / 10000 AS score
+       |FROM m ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  // ---- token counting ------------------------------------------------------
+
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(s, dir), "text", "source")
+
+  val tokenCountsSql: String =
+    s"""WITH t AS (SELECT source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.TokenRe}')) AS BIGINT) AS re,
+       |    CAST(length(text) AS BIGINT) AS ch
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(re) AS BIGINT) AS regex_tokens,
+       |  round(CAST(sum(ch) AS DOUBLE)/sum(re), 4) AS chars_per_token,
+       |  round(CAST(sum(re) AS DOUBLE)/count(*), 4) AS tokens_per_doc
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- corpus stats --------------------------------------------------------
+
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusStats(docs(s, dir), "text", "lang", "source")
+
+  val corpusStatsSql: String = {
+    val en = TextOps.Stopwords.head._2.map(x => s"'$x'").mkString(", ")
+    s"""$ToksCte,
+       |m AS (SELECT lang, source,
+       |    CAST(length(text) AS BIGINT) AS ch,
+       |    CAST(len(w) AS BIGINT) AS nw,
+       |    CAST(len(list_intersect(w, [$en])) AS BIGINT) AS ns
+       |  FROM toks JOIN documents USING (doc_id))
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ch) AS BIGINT) AS total_chars,
+       |  round(CAST(sum(ch) AS DOUBLE)/count(*), 4) AS avg_chars,
+       |  round(CAST(sum(nw) AS DOUBLE)/count(*), 4) AS avg_words,
+       |  round(CAST(sum(ns) AS DOUBLE)/sum(nw), 4) AS stop_ratio
+       |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_documents" -> (dedupExact _),
+    "neardup_ngram_documents" -> (neardupNgram _),
+    "neardup_minhash_documents" -> (neardupMinhash _),
+    "simhash_documents" -> (simhashDocs _),
+    "fingerprint_documents" -> (fingerprintDocs _),
+    "langid_documents" -> (langId _),
+    "quality_documents" -> (quality _),
+    "tokencount_documents" -> (tokenCounts _),
+    "corpus_stats_documents" -> (corpusStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_documents" -> dedupExactSql,
+    "neardup_ngram_documents" -> neardupNgramSql,
+    "langid_documents" -> langIdSql,
+    "quality_documents" -> qualitySql,
+    "tokencount_documents" -> tokenCountsSql,
+    "corpus_stats_documents" -> corpusStatsSql,
+  )
+}

@@ -1,0 +1,185 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large text corpora (SURVEY.md M6; the
+  * LLM-training-data side of the engine). Four tiers, all shuffle-by-key —
+  * never all-pairs:
+  *
+  *  - exact:     hash of normalized text, groupBy hash (one shuffle).
+  *  - n-gram:    exact Jaccard via an inverted shingle index self-join —
+  *               pairs are generated per shingle bucket, so cost is
+  *               Σ bucket², not n² (drop ultra-frequent shingles at scale).
+  *  - MinHash:   k-permutation signatures + banded LSH; candidate pairs come
+  *               only from shared (band, bandHash) buckets — the 100 TB path
+  *               where even the shingle index is too hot.
+  *  - SimHash:   64-bit near-dup fingerprint; hamming distance via
+  *               bit_count(a XOR b).
+  *
+  * Everything is deterministic: hashes are xxhash64 with fixed seeds, so the
+  * same corpus always yields the same signatures/candidates.
+  */
+object Dedup {
+
+  /** Whitespace-collapse + trim + lowercase — the canonical form exact
+    * dedup keys on.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup: one row per distinct normalized content, keeping the
+    * smallest id (deterministic keeper) and the duplicate count.
+    * Plain groupBy — a single hash-partitioned shuffle on the content hash,
+    * no window, no sort of the full data.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normalize(col(textCol))).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+      .select(col(idCol), col("content_hash"), col("n_dupes"))
+      .orderBy(idCol)
+
+  /** Distinct word n-gram shingles: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String,
+               n: Int): DataFrame = {
+    require(n >= 1)
+    val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via the inverted shingle
+    * index: self-join on shingle → per-pair intersection counts → sizes
+    * join → Jaccard filter. No cartesian product anywhere.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col(s"a.shingle") === col(s"b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast(DoubleType) /
+      (col("sa") + col("sb") - col("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(seed=i,
+    * shingle). One groupBy over the exploded shingles — k min-aggregates,
+    * map-side partial aggregation, no Expand.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(array((0 until k).map(i =>
+        min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+
+  /** Banded-LSH candidate pairs: split the k-wide signature into `bands`
+    * bands, hash each band, and emit pairs of ids sharing any (band,
+    * bandHash) bucket. Only bucket-mates ever meet — the join key is the
+    * bucket, so the plan is explode → shuffle on bucket → per-bucket join.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
+                    bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * r until (j + 1) * r).map(i => col("sig")(i)): _*)
+          .as("bh"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection: LSH candidates, then exact Jaccard
+    * verification restricted to the candidate pairs (shingle join against
+    * the candidate set — candidates are a tiny fraction of all pairs).
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                     n: Int, k: Int, bands: Int,
+                     minJaccard: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val cand = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col(s"sa.$idCol"))
+      .join(sh.as("sb"), col("doc_b") === col(s"sb.$idCol") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast(DoubleType) /
+      (col("sa") + col("sb") - col("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over word unigrams: per bit, sum ±1 weighted by whether
+    * the word hash has that bit set; the fingerprint packs the sign bits.
+    * One explode + one groupBy with 64 small sums — partial-agg friendly.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    words.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+      .orderBy(idCol)
+  }
+
+  /** Hamming distance between two packed simhash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing-style document fingerprints: hash word n-grams, keep the
+    * minimum hash of each sliding window of `window` consecutive shingles,
+    * dedup. Identical passages share fingerprints regardless of position.
+    * The window partitions by document — no global ordering.
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+                   n: Int, window: Int): DataFrame = {
+    val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    val positioned = df.select(col(idCol),
+        split(normalize(col(textCol)), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))")).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos"), xxhash64(col("shingle")).as("h"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(0, window - 1)
+    positioned.withColumn("fp", min(col("h")).over(w))
+      .select(col(idCol), col("fp")).distinct()
+      .orderBy(idCol, "fp")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for corpus curation (SURVEY.md M6): language
+  * identification, quality scoring, token counting, corpus statistics. All
+  * are pure column expressions over one scan — per-document work is
+  * embarrassingly parallel, per-group work is a partial-agg'd groupBy.
+  * Ratios divide exact integer counts, so results are cross-engine
+  * deterministic after round(,4).
+  */
+object TextOps {
+
+  /** Distinct-stopword evidence per language (array_intersect semantics —
+    * both Spark and DuckDB dedup, keeping the two engines identical).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for",
+      "with"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "las", "un",
+      "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "ein", "eine"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "dans",
+      "est"),
+  )
+
+  /** Tokens that a byte-pair-ish tokenizer would emit: letter runs, digit
+    * runs, or single punctuation marks.
+    */
+  val TokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def words(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Per-document language prediction from distinct-stopword evidence;
+    * deterministic argmax with ties resolved in Stopwords order, "und"
+    * (undetermined) when no list matches.
+    */
+  def langScores(wordsCol: Column): Seq[(String, Column)] =
+    Stopwords.map { case (lang, sw) =>
+      lang -> size(array_intersect(wordsCol, lit(sw.toArray)))
+    }
+
+  def predictedLang(wordsCol: Column): Column = {
+    val scores = langScores(wordsCol)
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast(StringType)) { case (acc, (lang, s)) =>
+      coalesce(acc, when(s === maxScore && s > 0, lang))
+    } match { case c => coalesce(c, lit("und")) }
+  }
+
+  /** Language-ID confusion matrix: declared lang × predicted lang. */
+  def langIdConfusion(df: DataFrame, textCol: String,
+                      langCol: String): DataFrame =
+    df.select(col(langCol).as("lang"),
+        predictedLang(words(col(textCol))).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** Per-document quality metrics + composite score (top `limit` docs).
+    * Signals: length (saturating at 50 words), English-stopword ratio,
+    * repetition (1 - distinct/total words).
+    */
+  def qualityScores(df: DataFrame, textCol: String, idCol: String,
+                    limit: Int): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast(LongType)
+    val nStop = size(array_intersect(w,
+      lit(Stopwords.head._2.toArray))).cast(LongType)
+    val dupRatio = round(lit(1.0) -
+      size(array_distinct(w)).cast(DoubleType) / nWords, 4)
+    val stopRatio = round(nStop.cast(DoubleType) / nWords, 4)
+    val lengthScore = least(lit(1.0), nWords.cast(DoubleType) / lit(50.0))
+    // floor-scale instead of round: the weighted sum of 4-dp inputs lands
+    // exactly on .xxxx5 constantly, where round() tie-breaking differs
+    // between engines; floor of bit-identical doubles is bit-identical.
+    val score = floor((lengthScore * 0.3 + stopRatio * 0.3 +
+      (lit(1.0) - dupRatio) * 0.4) * 10000) / 10000
+    df.select(col(idCol), nWords.as("n_words"),
+        round(length(regexp_replace(col(textCol), "\\s", ""))
+          .cast(DoubleType) / nWords, 4).as("avg_word_len"),
+        stopRatio.as("stop_ratio"), dupRatio.as("dup_ratio"),
+        score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
+  /** Token counts per source: whitespace tokens vs regex (BPE-ish) tokens,
+    * plus chars-per-token — the budget arithmetic of an LLM data pipeline.
+    */
+  def tokenCounts(df: DataFrame, textCol: String,
+                  groupCol: String): DataFrame = {
+    val wsTokens = size(words(col(textCol))).cast(LongType)
+    val reTokens = size(regexp_extract_all(col(textCol), lit(TokenRe),
+      lit(0))).cast(LongType)
+    val chars = length(col(textCol)).cast(LongType)
+    df.select(col(groupCol), wsTokens.as("ws"), reTokens.as("re"),
+        chars.as("ch"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("regex_tokens"),
+        round(sum(col("ch")).cast(DoubleType) / sum(col("re")), 4)
+          .as("chars_per_token"),
+        round(sum(col("re")).cast(DoubleType) / count(lit(1)), 4)
+          .as("tokens_per_doc"))
+      .orderBy(groupCol)
+  }
+
+  /** Corpus statistics per (lang, source) — group-level profile of a
+    * document collection.
+    */
+  def corpusStats(df: DataFrame, textCol: String, langCol: String,
+                  sourceCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast(LongType)
+    val nStop = size(array_intersect(w,
+      lit(Stopwords.head._2.toArray))).cast(LongType)
+    df.select(col(langCol), col(sourceCol),
+        length(col(textCol)).cast(LongType).as("ch"),
+        nWords.as("nw"), nStop.as("ns"))
+      .groupBy(col(langCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ch")).as("total_chars"),
+        round(sum(col("ch")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_chars"),
+        round(sum(col("nw")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_words"),
+        round(sum(col("ns")).cast(DoubleType) / sum(col("nw")), 4)
+          .as("stop_ratio"))
+      .orderBy(langCol, sourceCol)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextOps}
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "THE  quick brown fox jumps over the lazy dog "), // exact dup of 1
+    (5L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keys on normalized content and keeps the smallest id") {
+    val out = Dedup.exact(planted, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("n_dupes")).toMap
+    assert(byId(1L) == 3) // docs 1, 4 (case/space-normalized), 5
+    assert(byId(2L) == 1 && byId(3L) == 1)
+  }
+
+  test("exact n-gram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(planted, "text", "doc_id",
+        n = 2, minJaccard = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // 7 of 9 bigrams shared
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the exact high-jaccard pairs on the corpus") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDuplicates(docs, "text", "doc_id", 2, 128, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // at threshold 0.5 with the s-curve at ~0.42, recall should be total
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    val sh = Dedup.simhash(planted, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L) && sh(1L) == sh(5L)) // same words → same hash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 16)
+  }
+
+  test("fingerprints: shared passages share fingerprints") {
+    val fp = Dedup.fingerprints(planted, "text", "doc_id", n = 3, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) == fp(4L)) // identical normalized-ish text
+    assert((fp(1L) & fp(2L)).nonEmpty)   // shared prefix passage
+    assert((fp(1L) & fp(3L)).isEmpty)    // nothing shared
+  }
+
+  test("language id votes on distinct stopword evidence") {
+    val df = Seq(
+      (1L, "the cat sat on the mat with a hat", "en"),
+      (2L, "el gato en la casa de los perros", "es"),
+      (3L, "der hund ist von den katzen und eine maus", "de"),
+      (4L, "zzz qqq www", "xx"),
+    ).toDF("doc_id", "text", "lang")
+    val conf = TextOps.langIdConfusion(df, "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(conf == Set(("en", "en"), ("es", "es"), ("de", "de"),
+      ("xx", "und")))
+  }
+
+  test("quality score favors long, varied, stopword-bearing text") {
+    val df = Seq(
+      (1L, "the cat and the dog walked to a house in the field of green " +
+        "grass with many other animals on a sunny day for fun"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityScores(df, "text", "doc_id", 10).collect()
+    assert(out.head.getLong(0) == 1L)
+    val scores = out.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(scores(1L) > scores(2L))
+    val dup = out.find(_.getLong(0) == 2L).get.getAs[Double]("dup_ratio")
+    assert(dup == 0.875) // 1 distinct of 8 words
+  }
+
+  test("token counting: regex tokens split punctuation and digits") {
+    val df = Seq((1L, "hello world42 x!", "s1")).toDF("doc_id", "text",
+      "source")
+    val out = TextOps.tokenCounts(df, "text", "source").collect().head
+    assert(out.getAs[Long]("ws_tokens") == 3)
+    // hello | world | 42 | x | !
+    assert(out.getAs[Long]("regex_tokens") == 5)
+  }
+}
