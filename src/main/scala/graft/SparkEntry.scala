@@ -24,6 +24,7 @@ object SparkEntry {
     (QualityQueries.queries, QualityQueries.oracles),
     (EventQueries.queries, EventQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
+    (SimQueries.queries, SimQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Similarity
+
+/** Embedding-similarity surface over the `embeddings` table (vec_id,
+  * embedding array<float>, label). Brute-force cosine top-k carries a DuckDB
+  * oracle (list_inner_product over CAST(... AS DOUBLE[]) composed exactly
+  * like the Spark fold); the LSH ANN variant is registered rows-only with
+  * recall measured against brute force in SimSpec.
+  */
+object SimQueries {
+
+  val K = 10
+  val NQueries = 5
+  val NPlanes = 4
+  val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def knn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnBruteForce(e, e.filter(col("vec_id") < NQueries),
+      "vec_id", "embedding", K)
+  }
+
+  val knnSql: String = {
+    val cos = "list_inner_product(qv, cv) / " +
+      "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+    s"""WITH c AS (SELECT vec_id AS neighbor_id,
+       |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (SELECT query_id, neighbor_id, round($cos, 4) AS cos_sim
+       |  FROM c, q WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnLsh(e, e.filter(col("vec_id") < NQueries),
+      "vec_id", "embedding", K, NPlanes, Dim)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_embeddings" -> (knn _),
+    "ann_lsh_embeddings" -> (annLsh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_embeddings" -> knnSql,
+  )
+}

@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md M6). Two paths:
+  *
+  *  - brute-force top-k cosine: broadcast the (small) query set against the
+  *    corpus — one corpus scan, per-partition scoring, per-query top-k via a
+  *    query-partitioned window. The right baseline, and exactly what a
+  *    shuffle-free 100 TB scoring pass looks like when queries fit in
+  *    memory.
+  *  - random-hyperplane LSH ANN: 4–16 sign bits bucket the corpus; queries
+  *    probe their own bucket plus all hamming-1 neighbors (multiprobe), so
+  *    candidate generation is a bucket-key join, never a cross product.
+  *    Recall < 1 by design; the spec measures it against brute force.
+  *
+  * All math is double (`array<float>` cast up exactly), products and the
+  * left-to-right `aggregate` fold are IEEE-identical cross-engine.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot / (|a|·|b|) — composed exactly as the oracle writes it. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-k cosine neighbors for each query vector (self
+    * excluded). `queries` must be small — it is broadcast; the corpus is
+    * scanned once with no shuffle before the per-query top-k.
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim` gaussians from a
+    * fixed seed. Tiny control-plane data, embedded as plan literals.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a vector against the hyperplanes. */
+  def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via multiprobe LSH: corpus bucketed once; each query probes its
+    * own bucket and every bucket at hamming distance 1 (planes+1 probes),
+    * then exact cosine ranks the candidates. Join key = bucket id.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", bucketExpr(col("cv"), planes))
+    val q0 = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket0", bucketExpr(col("qv"), planes))
+    val probes = array((lit(0L) +:
+      (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val q = q0.select(col("query_id"), col("qv"), col("bucket0"),
+        explode(probes).as("flip"))
+      .select(col("query_id"), col("qv"),
+        col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}
