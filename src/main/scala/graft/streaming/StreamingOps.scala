@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event as it arrives on the stream (the Observability event families
+  * collapse to this shape for the harness — SURVEY.md §1.2).
+  */
+case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String, value: Double)
+
+/** Sessionizer state carried between micro-batches per key. */
+case class SessionState(sessionId: Long, lastMicros: Long)
+
+case class SessionAssign(event_id: Long, user_id: Long,
+                         ts: java.sql.Timestamp, session_id: Long)
+
+/** Structured Streaming variants of the event-analytics operators
+  * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
+  * streaming system whose demo backdates events up to 55 hours
+  * (reference observability_demo.py:5-28), so the watermark default here
+  * is 55 hours — late data inside that horizon still lands in its
+  * event-time window; beyond it, state can be reclaimed.
+  *
+  * Scale notes: every stateful op keys by user/pipeline (state partitioned
+  * by key); the stateless rule filter has no state at all. These are the
+  * same logical ops as graft.events.EventOps — the batch/streaming pair is
+  * the point: one semantic, two execution modes.
+  */
+object StreamingOps {
+
+  val DefaultWatermark = "55 hours"
+
+  /** R5 streaming metric rule — stateless filter, no watermark needed. */
+  def metricRuleAlerts(ev: DataFrame, eventType: String,
+                       threshold: Double): DataFrame =
+    ev.filter(col("event_type") === eventType && col("value") > threshold)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(s"$eventType.value gt $threshold").as("rule"),
+        lit("CALL_WEBHOOK").as("action"))
+
+  /** R8 streaming volume: per-type tumbling event-time windows with the
+    * 55 h late-data horizon. Late events inside the watermark update their
+    * original window; beyond it they are dropped.
+    */
+  def windowedVolume(ev: DataFrame, watermarkDelay: String = DefaultWatermark,
+                     windowLength: String = "1 day"): DataFrame =
+    ev.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** R9 streaming liveness: running max event time per agent. */
+  def liveness(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events"))
+
+  /** R1/R3 streaming sessionization via flatMapGroupsWithState: per-key
+    * state carries (current session id, last event time); events in each
+    * micro-batch are processed in event-time order and extend or cut the
+    * session at the inactivity gap. Works identically on a batch Dataset
+    * (Spark runs the same function) — StreamingSpec asserts the streaming
+    * result equals the batch window implementation.
+    */
+  def assignSessions(events: Dataset[SEvent], gapSeconds: Long)
+      : Dataset[SessionAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (sid, last) = state.getOption
+            .map(s => (s.sessionId, s.lastMicros))
+            .getOrElse((0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val m = e.ts.getTime * 1000L
+            if (last == Long.MinValue || m - last > gapSeconds * 1000000L)
+              sid += 1
+            last = m
+            SessionAssign(e.event_id, user, e.ts, sid)
+          }
+          if (sorted.nonEmpty) state.update(SessionState(sid, last))
+          out.iterator
+      }
+  }
+
+  /** Read a drop-folder of event parquet files as a stream (one file per
+    * trigger) — the smoke path for wiring the ops above to a real file
+    * source without Kafka in the container. `dir` must be a directory;
+    * new files appearing in it become micro-batches.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

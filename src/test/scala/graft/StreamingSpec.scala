@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{SEvent, StreamingOps}
+
+/** MemoryStream-driven gate for the streaming operators — the driver's
+  * DuckDB oracle cannot run streaming queries, so these specs ARE the
+  * correctness check (watermark horizon per the reference demo's 55 h
+  * backdating).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmpCheckpoint() =
+    java.nio.file.Files.createTempDirectory("ckpt").toString
+
+  test("stateless metric rule fires per micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.metricRuleAlerts(in.toDF(), "purchase", 40.0)
+      .writeStream.format("memory").queryName("alerts")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        SEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 99.0),
+        SEvent(2, ts("2024-01-01 10:01:00"), 1, "purchase", 10.0),
+        SEvent(3, ts("2024-01-01 10:02:00"), 2, "view", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("alerts").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L))
+      assert(rows.head.getAs[String]("rule") == "purchase.value gt 40.0")
+    } finally q.stop()
+  }
+
+  test("watermarked windows absorb 55h-late events and drop older ones") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.windowedVolume(in.toDF(), "55 hours", "1 day")
+      .writeStream.format("memory").queryName("vol").outputMode("update")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      // three on-time events on day 10 → watermark = day10 12:00 − 55 h
+      in.addData(
+        SEvent(1, ts("2024-01-10 12:00:00"), 1, "view", 0),
+        SEvent(2, ts("2024-01-10 12:05:00"), 1, "view", 0),
+        SEvent(3, ts("2024-01-10 12:10:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // 26 h late (inside the 55 h horizon) → still counted in day 9
+      in.addData(SEvent(4, ts("2024-01-09 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // ~80 h late (outside) → dropped
+      in.addData(SEvent(5, ts("2024-01-07 01:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      val counts = spark.table("vol").collect()
+        .groupBy(_.getAs[Timestamp]("window_start").toString)
+        .view.mapValues(_.map(_.getAs[Long]("n")).max).toMap
+      assert(counts("2024-01-10 00:00:00.0") == 3)
+      assert(counts("2024-01-09 00:00:00.0") == 1) // late-but-inside landed
+      assert(!counts.contains("2024-01-07 00:00:00.0")) // too late: dropped
+    } finally q.stop()
+  }
+
+  test("liveness tracks the running max event time per agent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.liveness(in.toDF())
+      .writeStream.format("memory").queryName("live").outputMode("complete")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(SEvent(1, ts("2024-01-01 10:00:00"), 1, "hb", 0))
+      q.processAllAvailable()
+      in.addData(SEvent(2, ts("2024-01-01 11:00:00"), 1, "hb", 0),
+        SEvent(3, ts("2024-01-01 09:00:00"), 2, "hb", 0))
+      q.processAllAvailable()
+      val rows = spark.table("live").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Timestamp]("last_seen").toString).toMap
+      assert(rows(1L) == "2024-01-01 11:00:00.0")
+      assert(rows(2L) == "2024-01-01 09:00:00.0")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization carries session state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.assignSessions(in.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        SEvent(1, ts("2024-01-01 10:00:00"), 1, "signup", 0),
+        SEvent(2, ts("2024-01-01 10:10:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // batch 2: 10:30 continues session 1; 13:00 opens session 2
+      in.addData(
+        SEvent(3, ts("2024-01-01 10:30:00"), 1, "click", 0),
+        SEvent(4, ts("2024-01-01 13:00:00"), 1, "purchase", 0))
+      q.processAllAvailable()
+      val sess = spark.table("sess").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          r.getAs[Long]("session_id")).toMap
+      assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer agrees with the batch window implementation") {
+    import spark.implicits._
+    val events = Seq(
+      SEvent(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      SEvent(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+      SEvent(3, ts("2024-01-01 13:00:00"), 1, "purchase", 50.0),
+      SEvent(4, ts("2024-01-01 09:00:00"), 2, "signup", 1.0),
+      SEvent(5, ts("2024-01-01 09:10:00"), 2, "click", 3.0))
+    // same flatMapGroupsWithState function, batch execution
+    val viaState = StreamingOps.assignSessions(events.toDS(), 3600)
+      .collect().map(r => r.event_id -> r.session_id).toMap
+    val viaWindow = graft.events.EventOps.withSessionId(
+        events.toDF().withColumn("props", lit("{}")), 3600)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("session_id")).toMap
+    assert(viaState == viaWindow)
+  }
+
+  test("bounded file stream wires the real events table end-to-end") {
+    // stage the single-file table into a drop-folder (file streams read
+    // directories)
+    val dropDir = java.nio.file.Files.createTempDirectory("evdrop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sf}/events.parquet"),
+      dropDir.resolve("events-000.parquet"))
+    val stream = StreamingOps.eventStream(spark, dropDir.toString)
+    assert(stream.isStreaming)
+    val q = StreamingOps.windowedVolume(stream)
+      .writeStream.format("memory").queryName("filevol")
+      .outputMode("update")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("filevol")
+        .groupBy("window_start", "event_type").agg(max("n").as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(total == 1000L) // every sf0.001 event lands in a window
+    } finally q.stop()
+  }
+}
