@@ -25,6 +25,7 @@ object SparkEntry {
     (EventQueries.queries, EventQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (SimQueries.queries, SimQueries.oracles),
+    (MediaQueries.queries, MediaQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

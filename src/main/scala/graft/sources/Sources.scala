@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source formats beyond parquet (SURVEY.md §2.D scans row):
+  *
+  *  - quoted CSV (reference A1, demo/demo/demo_helper.py:949-954 — the
+  *    test-definition corpus ships as quoted CSV);
+  *  - JSON-lines event capture (reference A14, dk-installer.py:856-891 —
+  *    subprocess output captured as one JSON document per line);
+  *  - embedded-JSON columns via from_json (event `props`, §1.2 metadata).
+  *
+  * All are thin, schema-explicit wrappers over Spark's native readers, so
+  * pushdown/pruning behave exactly as for any DataSource scan. JDBC
+  * ("in-database SQL execution", reference README.md:209) would follow the
+  * same shape via spark.read.jdbc, but no database ships in this container.
+  */
+object Sources {
+
+  /** Quoted CSV with an explicit schema (never inferSchema at scale — it
+    * double-scans the input).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+
+  /** The reference's 8-column test-definition CSV shape
+    * (demo/input_data/data_tests.csv): kind, table, column, test_type,
+    * description, result, message, params.
+    */
+  val TestDefCsvSchema: StructType = StructType(Seq(
+    "kind", "table_name", "column_name", "test_type", "description",
+    "result", "message", "params").map(StructField(_, StringType)))
+
+  /** Read the reference-shaped test CSV into TestDefs (params parsed with
+    * the quote-aware "k=v, k=v" parser).
+    */
+  def testDefsFromCsv(spark: SparkSession, path: String)
+      : Seq[graft.quality.TestDef] = {
+    csv(spark, path, TestDefCsvSchema, header = false).collect().toSeq
+      .filter(_.getAs[String]("kind") == "dqe_test")
+      .map { r =>
+        graft.quality.TestDef(
+          r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+          r.getAs[String]("test_type"),
+          graft.quality.TestDef.parseParams(r.getAs[String]("params")),
+          Option(r.getAs[String]("description")).getOrElse(""))
+      }
+  }
+
+  /** JSON-lines file with explicit schema — one event document per line. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parse an embedded JSON string column into a typed struct. */
+  def parseJson(c: Column, schema: DataType): Column = from_json(c, schema)
+}

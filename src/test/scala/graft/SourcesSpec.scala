@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.multimodal.MultimodalOps
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("quoted CSV: commas and quotes inside fields survive") {
+    val dir = Files.createTempDirectory("csv")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f,
+      "id,name,note\n" +
+        "1,\"a,b\",plain\n" +
+        "2,\"say \"\"hi\"\"\",x\n")
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("note", StringType)))
+    val rows = Sources.csv(spark, f.toString, schema).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(1) == "a,b")
+    assert(rows(2) == "say \"hi\"")
+  }
+
+  test("reference-shaped test CSV loads into TestDefs") {
+    val dir = Files.createTempDirectory("csv")
+    val f = dir.resolve("tests.csv")
+    Files.writeString(f,
+      "dqe_test,customer,c_name,Required,desc,Pass,,Threshold_Value=0\n" +
+        "dqe_test,customer,c_mktsegment,LOV_Match,desc,Pass,," +
+        "\"Baseline_Value=('A','B'), Threshold_Value=0\"\n" +
+        "other_kind,x,y,z,,,,\n")
+    val defs = Sources.testDefsFromCsv(spark, f.toString)
+    assert(defs.length == 2)
+    assert(defs.head.testType == "Required")
+    val lov = defs(1)
+    assert(lov.params("Baseline_Value") == "('A','B')")
+    assert(graft.quality.TestDef.parseLov(lov.params("Baseline_Value")) ==
+      Seq("A", "B"))
+  }
+
+  test("JSON-lines events parse with explicit schema") {
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("ev.jsonl")
+    Files.writeString(f,
+      """{"event_id": 1, "event_type": "view", "value": 2.5}""" + "\n" +
+        """{"event_id": 2, "event_type": "error", "value": 0.0}""" + "\n")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rows = Sources.jsonLines(spark, f.toString, schema).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("event_type")).toSet ==
+      Set("view", "error"))
+  }
+
+  test("multimodal: magic-byte sniffing, frame slicing, stub features") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3, 4, 5, 6)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte,
+      9, 9, 9, 9)
+    val txt = "hello world, not media".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpg), (3L, txt)).toDF("id", "media")
+    val meta = MultimodalOps.withMediaMeta(df, "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("format")).toMap
+    assert(meta == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
+
+    val frames = MultimodalOps.frameSample(df, "media", "id", 2).collect()
+    val f1 = frames.filter(_.getLong(0) == 1L)
+    assert(f1.map(_.getAs[Long]("frame_no")).toSeq == Seq(0L, 1L))
+    assert(f1.forall(_.getAs[Array[Byte]]("frame").length == 5))
+
+    val ds = df.as[(Long, Array[Byte])]
+    val feats = MultimodalOps
+      .extractFeatures(ds, new MultimodalOps.StubDecoder(16))
+      .collect().toMap
+    assert(feats(1L).length == 16)
+    // deterministic: same bytes → same features
+    assert(feats(1L).toSeq ==
+      new MultimodalOps.StubDecoder(16).decode(png).toSeq)
+  }
+}
