@@ -57,23 +57,53 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via the inverted shingle
-    * index: self-join on shingle → per-pair intersection counts → sizes
-    * join → Jaccard filter. No cartesian product anywhere.
+    * index: self-join on shingle → per-pair intersection counts → size
+    * join → threshold. Cost is Σ df² over shingle document-frequencies,
+    * not n² over documents. The index is checkpointed so the self-join and
+    * the size aggregate share one computation (at warehouse scale you
+    * would materialize it as a table instead). Corpora with heavy-hitter
+    * shingles (stop-bigrams) make the hottest buckets quadratic — there,
+    * use [[nearDuplicates]] (MinHash+LSH), whose candidate generation is
+    * frequency-independent.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col(s"a.shingle") === col(s"b.shingle") &&
+        col("a.shingle") === col("b.shingle") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast(DoubleType) /
-      (col("sa") + col("sb") - col("inter"))
+      (col("na") + col("nb") - col("inter"))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("nb")), "doc_b")
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. The shingle sets are
+    * packed into one array per document, so each candidate pair is ONE row
+    * and the intersection is a cheap in-row array_intersect — no join
+    * re-expansion to (pair × shingle) rows. Array size is bounded by
+    * document length, and the two joins are plain key joins on doc id.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          idCol: String, minJaccard: Double): DataFrame = {
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("shs"),
+        count(lit(1)).as("sz"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+      .cast(DoubleType)
+    val j = inter / (col("na") + col("nb") - inter)
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("shs").as("sa"),
+        col("sz").as("na")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shs").as("sb"),
+        col("sz").as("nb")), "doc_b")
       .filter(j >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -119,23 +149,9 @@ object Dedup {
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
                      n: Int, k: Int, bands: Int,
                      minJaccard: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
     val cand = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col(s"sa.$idCol"))
-      .join(sh.as("sb"), col("doc_b") === col(s"sb.$idCol") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast(DoubleType) /
-      (col("sa") + col("sb") - col("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
-      .filter(j >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(cand, sh, idCol, minJaccard)
   }
 
   /** 64-bit SimHash over word unigrams: per bit, sum ±1 weighted by whether
