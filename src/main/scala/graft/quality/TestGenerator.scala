@@ -124,6 +124,16 @@ object TestGenerator {
             b += TestDef(table, c, "LOV_Match",
               p("Baseline_Value" -> quoteLov(lovs(c)),
                 "Threshold_Value" -> "0"))
+          // format detectors: when every observed top value fits a known
+          // format, lock the column to it
+          for (vs <- lovs.get(c) if vs.nonEmpty) {
+            if (vs.forall(_.matches(TestEvaluator.EmailRe)))
+              b += TestDef(table, c, "Email_Format",
+                p("Threshold_Value" -> "0"))
+            if (vs.forall(TestEvaluator.UsStates.contains))
+              b += TestDef(table, c, "US_State",
+                p("Threshold_Value" -> "0"))
+          }
           for (lo <- cp.minStr; hi <- cp.maxStr
                if lo.nonEmpty && cp.distinctCt > 1 &&
                  skeleton(lo) == skeleton(hi))

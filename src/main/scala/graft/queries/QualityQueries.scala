@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.quality.{PinnedBaselines, Suites, TestEvaluator}
+import graft.quality.{Hygiene, PinnedBaselines, Suites, TestEvaluator}
 
 /** Data-quality test surface wired into the driver contract. The three
   * static suites carry sf0.001-profiled baselines as literals and cover all
@@ -22,11 +22,18 @@ object QualityQueries {
     TestEvaluator.run(Tables.load(s, dir, "lineitem"),
       PinnedBaselines.lineitemDefs)
 
+  private def hygiene(table: String)(s: SparkSession,
+                                     dir: String): DataFrame =
+    Hygiene.report(Tables.load(s, dir, table), table)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_lineitem" -> suite("lineitem") _,
     "dq_orders" -> suite("orders") _,
     "dq_customer" -> suite("customer") _,
     "dq_autogen_lineitem" -> (autogen _),
+    "hygiene_customer" -> hygiene("customer") _,
+    "hygiene_orders" -> hygiene("orders") _,
+    "hygiene_documents" -> hygiene("documents") _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -35,5 +42,8 @@ object QualityQueries {
     "dq_customer" -> TestEvaluator.oracleSql("customer", Suites.customer),
     "dq_autogen_lineitem" ->
       TestEvaluator.oracleSql("lineitem", PinnedBaselines.lineitemDefs),
+    "hygiene_customer" -> Hygiene.oracleSql("customer"),
+    "hygiene_orders" -> Hygiene.oracleSql("orders"),
+    "hygiene_documents" -> Hygiene.oracleSql("documents"),
   )
 }

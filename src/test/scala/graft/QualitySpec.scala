@@ -51,6 +51,43 @@ class QualitySpec extends AnyFunSuite {
     assert(st == Set("PASSED"))
   }
 
+  test("generator emits format tests when LOV evidence fits") {
+    val df = Seq("a@x.com", "b@y.org", "a@x.com").toDF("email")
+      .withColumn("state",
+        org.apache.spark.sql.functions.lit("CA"))
+    val defs = TestGenerator.generate(Profiler.profile(df, "t"),
+      lovs = Map("email" -> Seq("a@x.com", "b@y.org"),
+        "state" -> Seq("CA")))
+    val types = defs.groupBy(_.column).view
+      .mapValues(_.map(_.testType).toSet)
+    assert(types("email").contains("Email_Format"))
+    assert(types("state").contains("US_State"))
+    assert(types("state").contains("Constant"))
+    assert(!types("email").contains("US_State"))
+  }
+
+  test("hygiene detectors fire on planted dirt") {
+    val df = Seq(
+      (" padded ", "42", Some(0.0), "1970-01-01 00:00:00"),
+      ("clean", "7", Some(0.0), "2024-05-01 00:00:00"),
+      ("x", "9", None, "2030-01-01 00:00:00"),
+    ).toDF("s", "numstr", "z", "d")
+      .withColumn("d", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("d")))
+    val fired = Hygiene.report(df, "t").collect()
+      .filter(_.getAs[Boolean]("triggered"))
+      .map(r => (r.getAs[String]("column_name"),
+        r.getAs[String]("detector"))).toSet
+    assert(fired.contains(("s", "untrimmed_values")))
+    assert(fired.contains(("numstr", "numeric_as_string")))
+    assert(fired.contains(("z", "zero_heavy")))
+    assert(fired.contains(("z", "zero_variance")))
+    assert(fired.contains(("z", "high_missing"))) // 1 of 3 null
+    assert(fired.contains(("d", "future_dates")))
+    assert(fired.contains(("d", "epoch_defaults")))
+    assert(!fired.contains(("s", "numeric_as_string")))
+  }
+
   test("count-family tri-state: pass, warn band, fail") {
     val df = Seq.tabulate(1000)(i => (i.toLong,
       if (i < 3) null else "x")).toDF("id", "s")
