@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * dates / value lengths) as a single wide Spark `agg()`: one struct of
   * statistics per input column, then `explode` to one profile row per column.
   *
-  * Scale notes (100 TB): the whole profile is ONE scan + ONE partial-aggregate
-  * shuffle of a single row per stat; with `exactDistinct=false` the distinct
-  * counts use HyperLogLog (`approx_count_distinct`) so the plan has no Expand
-  * and stays a straight partial/final agg. `exactDistinct=true` (needed for
-  * DuckDB-oracle parity at test scale) adds the Expand branch per distinct
-  * column, which is the documented cost of exactness.
+  * Scale notes (100 TB): the non-distinct statistics are ONE scan + ONE
+  * partial-aggregate shuffle of a single row. Distinct counts are computed
+  * in ONE NARROW PASS PER DISTINCT EXPRESSION (column pruning means each
+  * pass scans only its own column) and recombined with crossJoin — putting
+  * them all in one agg() would make Catalyst plan an Expand that replicates
+  * every input row once per distinct expression, the same scale hazard the
+  * quality evaluator avoids (see TestEvaluator). `exactDistinct=false`
+  * switches the distinct passes to HyperLogLog (`approx_count_distinct`)
+  * when oracle parity is not required.
   *
   * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
   * addition-order-independent, so results hash-match any other engine
@@ -53,15 +56,42 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }
     require(fields.nonEmpty, s"no profilable columns in $tableName")
-    val structs = fields.map { case (f, i) =>
-      columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
+    def dct(c: Column) =
+      if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
+
+    // base pass: every non-distinct statistic for every column, one scan
+    val baseAggs = fields.map { case (f, i) =>
+      columnStats(f, i, tableName).as(s"__p_$i")
     }
-    df.agg(structs.head, structs.tail: _*)
-      .select(explode(array(fields.map { case (_, i) => col(s"__p_$i") }: _*))
-        .as("p"))
+    val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
+    // one narrow pass per distinct expression — no Expand anywhere
+    val distinctPasses = fields.map { case (f, i) =>
+      df.agg(dct(col(f.name)).as(s"__d_$i"))
+    } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
+      df.agg(dct(to_date(col(f.name))).as(s"__dd_$i"))
+    }
+    val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
+
+    val structs = fields.map { case (f, i) =>
+      val isTs = f.dataType == TimestampType
+      val baseCols = BaseFieldsHead.map(n => col(s"__p_$i.$n").as(n))
+      val tailCols = BaseFieldsTail.map(n => col(s"__p_$i.$n").as(n))
+      struct((baseCols :+ col(s"__d_$i").as("distinct_ct")) ++ tailCols :+
+        (if (isTs) col(s"__dd_$i") else lit(null).cast(LongType))
+          .as("distinct_date_ct"): _*)
+    }
+    agged.select(explode(array(structs: _*)).as("p"))
       .select("p.*")
       .orderBy("column_name")
   }
+
+  /** Output field order around the two distinct-count slots. */
+  private val BaseFieldsHead = Seq("table_name", "column_name", "ordinal",
+    "data_type", "record_ct", "value_ct", "null_ct")
+  private val BaseFieldsTail = Seq("min_len", "max_len", "avg_len",
+    "blank_ct", "min_str", "max_str", "min_num", "max_num", "avg_num",
+    "stdev_num", "sum_num", "frac_sum", "zero_ct", "neg_ct", "min_ts",
+    "max_ts")
 
   def isProfilable(dt: DataType): Boolean = dt match {
     case StringType | TimestampType => true
@@ -77,8 +107,10 @@ object Profiler {
     when(n > 1, sqrt(greatest(num, lit(0.0)) / (n - lit(1))))
   }
 
-  private def columnStats(f: StructField, i: Int, table: String,
-                          exactDistinct: Boolean): Column = {
+  /** All non-distinct statistics of one column (the distinct counts are
+    * separate passes — see [[profile]]).
+    */
+  private def columnStats(f: StructField, i: Int, table: String): Column = {
     val c = col(f.name)
     val isStr = f.dataType == StringType
     val isNum = f.dataType.isInstanceOf[NumericType]
@@ -90,8 +122,6 @@ object Profiler {
     def ns = lit(null).cast(StringType)
     def nt = lit(null).cast(TimestampType)
 
-    val distinctCt =
-      if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
     val valueCt = count(c)
     // exact decimal sums for numeric columns
     val dec = c.cast(SumDec)
@@ -107,7 +137,6 @@ object Profiler {
       count(lit(1)).as("record_ct"),
       valueCt.as("value_ct"),
       count(when(c.isNull, 1)).as("null_ct"),
-      distinctCt.as("distinct_ct"),
       (if (isStr) min(length(c)).cast(LongType) else nl).as("min_len"),
       (if (isStr) max(length(c)).cast(LongType) else nl).as("max_len"),
       (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4) else nd)
@@ -133,10 +162,6 @@ object Profiler {
       (if (isNum) count(when(c < 0, 1)) else nl).as("neg_ct"),
       (if (isTs) min(c) else nt).as("min_ts"),
       (if (isTs) max(c) else nt).as("max_ts"),
-      (if (isTs)
-        (if (exactDistinct) countDistinct(to_date(c))
-         else approx_count_distinct(to_date(c)))
-      else nl).as("distinct_date_ct"),
     )
   }
 
