@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter grouping keys. A straight
+  * `groupBy(key)` sends every row of a hot key to one reducer; salting
+  * splits each key into `buckets` partial groups first, so no single task
+  * owns a hot key, then merges the (tiny) partials. Use when AQE's skew
+  * handling can't help — e.g. a skewed aggregation rather than a join.
+  * Only algebraic aggregates (count/sum/min/max) decompose this way.
+  */
+object Skew {
+
+  private def salt(buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+
+  /** count(*) per key via two-stage salted aggregation. */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+    df.withColumn("__salt", salt(buckets))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"))
+
+  /** sum(valueCol) per key via two-stage salted aggregation (exact when
+    * summed through DECIMAL by the caller beforehand if exactness across
+    * merge order matters).
+    */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+                buckets: Int): DataFrame =
+    df.withColumn("__salt", salt(buckets))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__s")).as("total"))
+}

@@ -2,13 +2,21 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.profile.{ProfileOracle, Profiler}
+import graft.profile.{ProfileCompare, ProfileOracle, Profiler}
+import graft.quality.PinnedBaselines
 
 /** Profiling surface wired into the driver contract (SparkEntry). */
 object ProfileQueries {
 
   private def prof(table: String)(s: SparkSession, dir: String): DataFrame =
     Profiler.profile(Tables.load(s, dir, table), table)
+
+  /** Migration/baseline comparison: live lineitem profile vs the pinned
+    * sf0.001 baseline (reference README.md:211 source-vs-target compare).
+    */
+  private def compareLineitem(s: SparkSession, dir: String): DataFrame =
+    ProfileCompare.diffAgainstPinned(Tables.load(s, dir, "lineitem"),
+      "lineitem", PinnedBaselines.lineitem, s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_customer" -> prof("customer") _,
@@ -22,6 +30,7 @@ object ProfileQueries {
     "topk_event_type" -> ((s: SparkSession, dir: String) =>
       Profiler.topK(Tables.load(s, dir, "events"), "events",
         "event_type", 10)),
+    "profile_compare_lineitem" -> (compareLineitem _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -32,5 +41,7 @@ object ProfileQueries {
     "profile_documents" -> ProfileOracle.sql("documents"),
     "topk_c_mktsegment" -> ProfileOracle.topKSql("customer", "c_mktsegment", 10),
     "topk_event_type" -> ProfileOracle.topKSql("events", "event_type", 10),
+    "profile_compare_lineitem" ->
+      ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
   )
 }

@@ -78,6 +78,46 @@ class JobsSpec extends AnyFunSuite {
     assert(rec.log.isEmpty)
   }
 
+  test("retry: succeeds after transient failures, backs off exponentially") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = graft.jobs.Retry.withRetries(4, baseBackoffMs = 10,
+      sleeper = ms => sleeps += ms) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L))
+    intercept[RuntimeException] {
+      graft.jobs.Retry.withRetries(2, 1, _ => ())(
+        throw new RuntimeException("always"))
+    }
+  }
+
+  test("salted aggregation matches direct groupBy on skewed keys") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail
+    val df = (Seq.fill(10000)("hot") ++ (1 to 500).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew.saltedCount(df, "k", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    val directSum = df.groupBy("k").sum("v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedSum = graft.operators.Skew.saltedSum(df, "k", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedSum.keySet == directSum.keySet)
+    assert(saltedSum.forall { case (k, v) =>
+      math.abs(v - directSum(k)) < 1e-6 })
+  }
+
   test("steps share context; a profile→generate→evaluate pipeline runs") {
     val spark = SparkTestSession.spark
     val r = MultiStepJob.execute(Seq(

@@ -51,6 +51,20 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("profile compare: identical sides all match, drift surfaces") {
+    import graft.profile.{ProfileCompare, Profiler}
+    val df = Tables.load(spark, SparkTestSession.sf, "customer")
+    val p = Profiler.profile(df, "customer")
+    val same = ProfileCompare.diff(p, p).collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Boolean]("matches")))
+    // drop rows → record_ct must surface as drift
+    val p2 = Profiler.profile(df.limit(100), "customer")
+    val drift = ProfileCompare.diff(p, p2).collect()
+      .filter(r => r.getAs[String]("stat") == "record_ct")
+    assert(drift.forall(!_.getAs[Boolean]("matches")))
+    assert(drift.head.getAs[Double]("delta") == -50.0)
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()
