@@ -62,4 +62,16 @@ object Sources {
 
   /** Parse an embedded JSON string column into a typed struct. */
   def parseJson(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** Chunked delivery to an external sink — the reference posts test
+    * outcomes in batches of 100 per request (reference
+    * demo/demo/demo_helper.py:803-816). Batches form per partition on the
+    * executors; the driver never sees the rows. For streaming, call this
+    * from inside foreachBatch.
+    */
+  def foreachBatched(df: DataFrame, batchSize: Int)
+                    (send: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+    df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.grouped(batchSize).foreach(g => send(g.toSeq))
+    }
 }

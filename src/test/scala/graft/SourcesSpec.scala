@@ -57,6 +57,16 @@ class SourcesSpec extends AnyFunSuite {
       Set("view", "error"))
   }
 
+  test("batched sink delivers fixed-size chunks per partition") {
+    val sent = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val df = (1 to 250).toDF("i").repartition(2)
+    Sources.foreachBatched(df, batchSize = 100)(g => sent.add(g.size))
+    val sizes = sent.value
+    import scala.jdk.CollectionConverters._
+    assert(sizes.asScala.map(_.toInt).sum == 250)
+    assert(sizes.asScala.forall(_ <= 100))
+  }
+
   test("multimodal: magic-byte sniffing, frame slicing, stub features") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3, 4, 5, 6)
     val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte,
