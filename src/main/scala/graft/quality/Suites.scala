@@ -7,7 +7,9 @@ package graft.quality
   * that is exactly how the reference ships them in
   * demo/input_data/data_tests.csv ("Baseline_Avg=2513.885, …").
   *
-  * Coverage: all 25 reference test types appear across the three suites.
+  * Coverage: all 25 reference test types plus the extended types
+  * (Valid_Characters, Row_Ct_Pct, LOV_All, Daily_Record_Ct) appear across
+  * the three suites.
   */
 object Suites {
 
@@ -79,6 +81,9 @@ object Suites {
       "Baseline_Value_Ct" -> "1500", "Baseline_Sum" -> "374446791.61",
       "Baseline_Avg" -> "249631.19440666703",
       "Baseline_SD" -> "144962.92955051153", "Threshold_Value" -> "2"),
+    t("orders", "o_orderstatus", "LOV_All",
+      "Baseline_Value" -> "('F','O','P')", "Threshold_Value" -> "0"),
+    t("orders", "o_orderdate", "Daily_Record_Ct", "Threshold_Value" -> "0"),
   )
 
   val customer: Seq[TestDef] = Seq(
@@ -106,6 +111,9 @@ object Suites {
       "Baseline_SD" -> "3168.736464090096", "Threshold_Value" -> "0.5"),
     t("customer", "c_nationkey", "Constant", "Baseline_Value" -> "10",
       "Threshold_Value" -> "0"),
+    t("customer", "c_name", "Valid_Characters", "Threshold_Value" -> "0"),
+    t("customer", "N/A", "Row_Ct_Pct", "Baseline_Ct" -> "150",
+      "Threshold_Value" -> "10"),
   )
 
   val all: Map[String, Seq[TestDef]] = Map(

@@ -6,7 +6,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Evaluates data-quality tests — the engine core re-expressing the
   * reference's 25 column-test types (reference demo/input_data/data_tests.csv;
-  * semantics per each type's description column, SURVEY.md §2.B) as ONE wide
+  * semantics per each type's description column, SURVEY.md §2.B) plus six
+  * extended types toward the reference's declared 32-generated-type surface
+  * (reference README.md:207-209): Row_Ct_Pct, LOV_All, Daily_Record_Ct,
+  * Valid_Month, Valid_US_Zip, Valid_Characters — as ONE wide
   * Spark aggregation pass per table plus scalar threshold math.
   *
   * Execution shape (100 TB): all non-distinct measures for all tests on a
@@ -116,12 +119,13 @@ object TestEvaluator {
   def compile(d: TestDef): Compiled = {
     val base = compileBase(d)
     val dk = d.testType match {
-      case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" =>
+      case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" | "LOV_All" =>
         Some(s"col:${d.column}")
-      case "Distinct_Date_Ct" => Some(s"date:${d.column}")
-      case "Monthly_Rec_Ct"   => Some(s"month:${d.column}")
-      case "Weekly_Rec_Ct"    => Some(s"week:${d.column}")
-      case _                  => None
+      case "Distinct_Date_Ct" | "Daily_Record_Ct" =>
+        Some(s"date:${d.column}")
+      case "Monthly_Rec_Ct" => Some(s"month:${d.column}")
+      case "Weekly_Rec_Ct"  => Some(s"week:${d.column}")
+      case _                => None
     }
     base.copy(distinctKey = dk)
   }
@@ -312,6 +316,49 @@ object TestEvaluator {
       case "Row_Ct" =>
         // table row count must not drop vs baseline
         floorFam(nAll, nAllSql, "Record count dropped vs. baseline.", T)
+
+      case "Row_Ct_Pct" =>
+        // absolute percent deviation of row count vs baseline bounded
+        val b = d.pD("Baseline_Ct")
+        sigmaFam(round(abs(nAll - lit(b)) / lit(b) * 100, 4),
+          s"round(abs($nAllSql - $b)/$b*100, 4)",
+          "Record count differs from baseline by more than the allowed percent.",
+          T)
+
+      case "LOV_All" =>
+        // every baseline value must still occur (count of missing members)
+        val values = TestDef.parseLov(d.pS("Baseline_Value"))
+        countFam(
+          lit(values.size) - nDist(when(c.isin(values: _*), c)),
+          s"(${values.size} - ${nDistSql(s"CASE WHEN ${inListSql(cs, values)} THEN $cs END")})",
+          "Baseline values missing from the latest data.")
+
+      case "Daily_Record_Ct" =>
+        // >=1 record per day in min/max range
+        val expected = datediff(max(to_date(c)), min(to_date(c)))
+          .cast(D) + lit(1.0)
+        countFam(expected - nDist(to_date(c)),
+          s"((CAST(date_diff('day', min(CAST($cs AS DATE)), max(CAST($cs AS DATE))) AS DOUBLE) + 1.0) - ${nDistSql(s"CAST($cs AS DATE)")})",
+          "At least one record per day expected in min/max date range.")
+
+      case "Valid_Month" =>
+        // numeric month values must fall in 1..12
+        countFam(cnt(c.isNotNull && (c < 1 || c > 12)),
+          cntSql(s"$cs IS NOT NULL AND ($cs < 1 OR $cs > 12)"),
+          "Values outside the valid month range 1-12 found.")
+
+      case "Valid_US_Zip" =>
+        val zipRe = "^[0-9]{5}(-[0-9]{4})?$"
+        countFam(cnt(c.isNotNull && !c.rlike(zipRe)),
+          cntSql(s"$cs IS NOT NULL AND NOT regexp_matches($cs, '$zipRe')"),
+          "Values not matching US ZIP format found.")
+
+      case "Valid_Characters" =>
+        // control characters or the Unicode replacement char
+        val badRe = "[\\x00-\\x1F\\x7F]"
+        countFam(cnt(c.rlike(badRe)),
+          cntSql(s"regexp_matches($cs, '$badRe')"),
+          "Values containing non-printable characters found.")
 
       case "Distinct_Value_Ct" =>
         floorFam(nDist(c), nDistSql(cs),

@@ -68,9 +68,12 @@ object TestGenerator {
     def quoteLov(vs: Seq[String]): String =
       vs.map(v => s"'${v.replace("'", "''")}'").mkString("(", ",", ")")
 
-    val tableTests = Seq(TestDef(table, "N/A", "Row_Ct",
-      p("Baseline_Ct" -> recordCt.toString,
-        "Threshold_Value" -> recordCt.toString)))
+    val tableTests = Seq(
+      TestDef(table, "N/A", "Row_Ct",
+        p("Baseline_Ct" -> recordCt.toString,
+          "Threshold_Value" -> recordCt.toString)),
+      TestDef(table, "N/A", "Row_Ct_Pct",
+        p("Baseline_Ct" -> recordCt.toString, "Threshold_Value" -> "10")))
 
     val colTests = profiles.flatMap { cp =>
       val c = cp.column
@@ -120,10 +123,22 @@ object TestGenerator {
             b += TestDef(table, c, "Alpha_Trunc",
               p("Baseline_Value" -> ml.toString, "Threshold_Value" -> "0"))
           }
-          if (cp.distinctCt > 1 && cp.distinctCt <= 20 && lovs.contains(c))
+          if (cp.distinctCt > 1 && cp.distinctCt <= 20 && lovs.contains(c)) {
             b += TestDef(table, c, "LOV_Match",
               p("Baseline_Value" -> quoteLov(lovs(c)),
                 "Threshold_Value" -> "0"))
+            // the full domain was observed → every member should persist
+            if (lovs(c).size.toLong == cp.distinctCt)
+              b += TestDef(table, c, "LOV_All",
+                p("Baseline_Value" -> quoteLov(lovs(c)),
+                  "Threshold_Value" -> "0"))
+          }
+          b += TestDef(table, c, "Valid_Characters",
+            p("Threshold_Value" -> "0"))
+          if (cp.minLen.contains(5L) && cp.maxLen.contains(5L) &&
+              cp.minStr.exists(s => skeleton(s) == "[0-9]+"))
+            b += TestDef(table, c, "Valid_US_Zip",
+              p("Threshold_Value" -> "0"))
           // format detectors: when every observed top value fits a known
           // format, lock the column to it
           for (vs <- lovs.get(c) if vs.nonEmpty) {
@@ -145,6 +160,12 @@ object TestGenerator {
           for (mn <- cp.minNum)
             b += TestDef(table, c, "Min_Val",
               p("Baseline_Value" -> mn.toString, "Threshold_Value" -> "0"))
+          // month evidence: integral 1..12 domain with most months present
+          for (mn <- cp.minNum; mx <- cp.maxNum
+               if mn >= 1 && mx <= 12 && cp.distinctCt <= 12 &&
+                 cp.distinctCt >= 10)
+            b += TestDef(table, c, "Valid_Month",
+              p("Threshold_Value" -> "0"))
           for (avg <- cp.avgNum; sd <- cp.stdevNum if sd > 0) {
             b += TestDef(table, c, "Avg_Shift",
               p("Baseline_Value_Ct" -> cp.valueCt.toString,

@@ -66,6 +66,33 @@ class QualitySpec extends AnyFunSuite {
     assert(!types("email").contains("US_State"))
   }
 
+  test("extended test types: months, zips, control chars, LOV_All, daily") {
+    val df = Seq(
+      (1, "90210", "ok", "2024-01-01 00:00:00"),
+      (13, "1234", "bad\u0001", "2024-01-02 00:00:00"),
+      (6, "12345-6789", "fine", "2024-01-04 00:00:00"),
+    ).toDF("m", "zip", "s", "d")
+      .withColumn("d", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("d")))
+    val r = results(df, Seq(
+      TestDef("t", "m", "Valid_Month", Map("Threshold_Value" -> "0")),
+      TestDef("t", "zip", "Valid_US_Zip", Map("Threshold_Value" -> "0")),
+      TestDef("t", "s", "Valid_Characters", Map("Threshold_Value" -> "0")),
+      TestDef("t", "s", "LOV_All",
+        Map("Baseline_Value" -> "('ok','fine','gone')",
+          "Threshold_Value" -> "0")),
+      TestDef("t", "d", "Daily_Record_Ct", Map("Threshold_Value" -> "0")),
+      TestDef("t", "N/A", "Row_Ct_Pct",
+        Map("Baseline_Ct" -> "4", "Threshold_Value" -> "30"))))
+    assert(r(("m", "Valid_Month"))._1 == 1.0)       // 13
+    assert(r(("zip", "Valid_US_Zip"))._1 == 1.0)    // 1234
+    assert(r(("s", "Valid_Characters"))._1 == 1.0)  // control char
+    assert(r(("s", "LOV_All"))._1 == 1.0)           // 'gone' missing
+    assert(r(("d", "Daily_Record_Ct"))._1 == 1.0)   // Jan 3 missing
+    assert(r(("N/A", "Row_Ct_Pct"))._1 == 25.0)     // 3 vs 4 → 25%
+    assert(r(("N/A", "Row_Ct_Pct"))._2 == "PASSED")
+  }
+
   test("hygiene detectors fire on planted dirt") {
     val df = Seq(
       (" padded ", "42", Some(0.0), "1970-01-01 00:00:00"),
