@@ -38,6 +38,25 @@ object Dag {
     edges.toDF("src", "dst")
   }
 
+  /** Driver-side transitive closure for control-plane-sized DAGs (the
+    * reference's journeys have ≤ 5 nodes): same result as [[closure]]
+    * with zero Spark jobs — the closure then enters the event join as a
+    * broadcast literal. Use [[closure]] when the edge list doesn't fit on
+    * the driver.
+    */
+  def closureLocal(edges: Seq[(String, String)]): Seq[(String, String)] = {
+    var acc = edges.toSet
+    var grew = true
+    while (grew) {
+      val next = acc ++ (for {
+        (a, b) <- acc; (c, d) <- acc if b == c
+      } yield (a, d))
+      grew = next.size > acc.size
+      acc = next
+    }
+    acc.toSeq.sorted
+  }
+
   /** The demo journey over event types used by the event-analytics queries:
     * signup → view → click → purchase.
     */

@@ -114,7 +114,10 @@ object EventQueries {
   // ---- R4 out-of-sequence vs journey DAG ----------------------------------
 
   def outOfSequence(s: SparkSession, dir: String): DataFrame = {
-    val closure = Dag.closure(Dag.edgeDf(s, Dag.FunnelEdges))
+    // journey DAGs are control-plane data: close them driver-side and
+    // broadcast (Dag.closure stays available for edge lists that don't
+    // fit on the driver)
+    val closure = Dag.edgeDf(s, Dag.closureLocal(Dag.FunnelEdges))
     EventOps.outOfSequence(ev(s, dir), GapSeconds, closure)
   }
 

@@ -16,6 +16,12 @@ case class SessionState(sessionId: Long, lastMicros: Long)
 case class SessionAssign(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, session_id: Long)
 
+/** Out-of-sequence detector state: previous event type + time per key. */
+case class SeqState(lastType: String, lastMicros: Long)
+
+case class SeqAlert(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                    prev_type: String, event_type: String)
+
 /** Structured Streaming variants of the event-analytics operators
   * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
   * streaming system whose demo backdates events up to 55 hours
@@ -85,6 +91,38 @@ object StreamingOps {
           }
           if (sorted.nonEmpty) state.update(SessionState(sid, last))
           out.iterator
+      }
+  }
+
+  /** R4 streaming out-of-sequence detection: per-key state carries the
+    * previous event type (reset at the session gap); a transition
+    * prev → cur is an alert when (cur, prev) is in the DAG's strict
+    * transitive closure, i.e. the journey ran backwards. The closure is
+    * tiny control-plane data shipped inside the function closure.
+    */
+  def detectOutOfSequence(events: Dataset[SEvent], gapSeconds: Long,
+                          dagClosure: Set[(String, String)])
+      : Dataset[SeqAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent], state: GroupState[SeqState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption.orNull
+          val out = Seq.newBuilder[SeqAlert]
+          sorted.foreach { e =>
+            val m = e.ts.getTime * 1000L
+            val inSession =
+              prev != null && m - prev.lastMicros <= gapSeconds * 1000000L
+            if (inSession && dagClosure((e.event_type, prev.lastType)))
+              out += SeqAlert(e.event_id, user, e.ts, prev.lastType,
+                e.event_type)
+            prev = SeqState(e.event_type, m)
+          }
+          if (sorted.nonEmpty) state.update(prev)
+          out.result().iterator
       }
   }
 

@@ -57,6 +57,8 @@ class EventsSpec extends AnyFunSuite {
     assert(pairs == Set(
       "signup" -> "view", "signup" -> "click", "signup" -> "purchase",
       "view" -> "click", "view" -> "purchase", "click" -> "purchase"))
+    // the driver-side closure agrees with the distributed one
+    assert(Dag.closureLocal(Dag.FunnelEdges).toSet == pairs)
     val oos = EventOps.outOfSequence(fixture, 3600, closure).collect()
     // user 2's click → view runs backwards along the funnel
     assert(oos.length == 1)

@@ -111,6 +111,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming out-of-sequence alerts across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val closure = graft.events.Dag.closureLocal(
+      graft.events.Dag.FunnelEdges).toSet
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.detectOutOfSequence(in.toDS(), 3600, closure)
+      .writeStream.format("memory").queryName("oos")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(SEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 0))
+      q.processAllAvailable()
+      // view after click within the session → backwards along the funnel,
+      // and the prior state crossed the batch boundary
+      in.addData(SEvent(2, ts("2024-01-01 10:10:00"), 1, "view", 0),
+        SEvent(3, ts("2024-01-01 10:20:00"), 1, "purchase", 0))
+      q.processAllAvailable()
+      val alerts = spark.table("oos").collect()
+      assert(alerts.map(_.getAs[Long]("event_id")).toSeq == Seq(2L))
+      assert(alerts.head.getAs[String]("prev_type") == "click")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with the batch window implementation") {
     import spark.implicits._
     val events = Seq(
