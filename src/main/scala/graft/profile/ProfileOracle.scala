@@ -23,7 +23,8 @@ object ProfileOracle {
   }
 
   def profilable(kind: String): Boolean =
-    Set("string", "json", "int", "long", "double", "timestamp", "tsns")(kind)
+    Set("string", "json", "int", "long", "double", "timestamp", "tsns",
+      "floatarr")(kind)
 
   /** SQL for one column's profile row. */
   private def colSql(table: String, c: String, kind: String,
@@ -32,6 +33,7 @@ object ProfileOracle {
     val isNum = Set("int", "long", "double")(kind)
     val isTs = kind == "timestamp" || kind == "tsns"
     val isFrac = kind == "double"
+    val isArr = kind == "floatarr"
     // ns-precision parquet timestamps: truncate to micros like Spark does
     val tsCol = if (kind == "tsns") s"CAST($c AS TIMESTAMP)" else c
 
@@ -54,11 +56,15 @@ object ProfileOracle {
       s"CAST($nCt AS BIGINT) AS value_ct",
       s"CAST(count(*) - $nCt AS BIGINT) AS null_ct",
       s"CAST(count(DISTINCT $c) AS BIGINT) AS distinct_ct",
-      bigintOrNull(s"min(length($c))", isStr) + " AS min_len",
-      bigintOrNull(s"max(length($c))", isStr) + " AS max_len",
-      doubleOrNull(
+      (if (isArr) s"CAST(min(len($c)) AS BIGINT)"
+       else bigintOrNull(s"min(length($c))", isStr)) + " AS min_len",
+      (if (isArr) s"CAST(max(len($c)) AS BIGINT)"
+       else bigintOrNull(s"max(length($c))", isStr)) + " AS max_len",
+      (if (isArr)
+        s"round(CAST(sum(CAST(len($c) AS BIGINT)) AS DOUBLE)/$nCt, 4)"
+      else doubleOrNull(
         s"round(CAST(sum(CAST(length($c) AS BIGINT)) AS DOUBLE)/$nCt, 4)",
-        isStr) + " AS avg_len",
+        isStr)) + " AS avg_len",
       bigintOrNull(s"count(CASE WHEN trim($c) = '' THEN 1 END)", isStr) +
         " AS blank_ct",
       (if (isStr) s"min($c)" else "CAST(NULL AS VARCHAR)") + " AS min_str",

@@ -43,6 +43,7 @@ object Profiler {
     case TimestampType => "timestamp"
     case _: DecimalType => "decimal"
     case BooleanType   => "boolean"
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "floatarr"
     case other         => other.simpleString
   }
 
@@ -96,7 +97,10 @@ object Profiler {
   def isProfilable(dt: DataType): Boolean = dt match {
     case StringType | TimestampType => true
     case _: NumericType             => true
-    case _                          => false
+    // embedding columns: cardinality + element-count stats (min/max/avg
+    // length reuse the string length slots)
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   /** stddev from exact decimal sums: sqrt((s2 - s1^2/n) / (n-1)).
@@ -115,6 +119,7 @@ object Profiler {
     val isStr = f.dataType == StringType
     val isNum = f.dataType.isInstanceOf[NumericType]
     val isTs = f.dataType == TimestampType
+    val isArr = f.dataType.isInstanceOf[ArrayType]
     val isFrac = f.dataType == DoubleType || f.dataType == FloatType ||
       f.dataType.isInstanceOf[DecimalType]
     def nl = lit(null).cast(LongType)
@@ -137,10 +142,14 @@ object Profiler {
       count(lit(1)).as("record_ct"),
       valueCt.as("value_ct"),
       count(when(c.isNull, 1)).as("null_ct"),
-      (if (isStr) min(length(c)).cast(LongType) else nl).as("min_len"),
-      (if (isStr) max(length(c)).cast(LongType) else nl).as("max_len"),
-      (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4) else nd)
-        .as("avg_len"),
+      (if (isStr) min(length(c)).cast(LongType)
+       else if (isArr) min(size(c)).cast(LongType) else nl).as("min_len"),
+      (if (isStr) max(length(c)).cast(LongType)
+       else if (isArr) max(size(c)).cast(LongType) else nl).as("max_len"),
+      (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4)
+       else if (isArr)
+         round(sum(size(c).cast(LongType)).cast(DoubleType) / valueCt, 4)
+       else nd).as("avg_len"),
       (if (isStr) count(when(trim(c) === "", 1)) else nl).as("blank_ct"),
       (if (isStr) min(c) else ns).as("min_str"),
       (if (isStr) max(c) else ns).as("max_str"),

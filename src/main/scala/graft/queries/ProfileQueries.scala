@@ -24,6 +24,7 @@ object ProfileQueries {
     "profile_lineitem" -> prof("lineitem") _,
     "profile_events" -> prof("events") _,
     "profile_documents" -> prof("documents") _,
+    "profile_embeddings" -> prof("embeddings") _,
     "topk_c_mktsegment" -> ((s: SparkSession, dir: String) =>
       Profiler.topK(Tables.load(s, dir, "customer"), "customer",
         "c_mktsegment", 10)),
@@ -39,6 +40,7 @@ object ProfileQueries {
     "profile_lineitem" -> ProfileOracle.sql("lineitem"),
     "profile_events" -> ProfileOracle.sql("events"),
     "profile_documents" -> ProfileOracle.sql("documents"),
+    "profile_embeddings" -> ProfileOracle.sql("embeddings"),
     "topk_c_mktsegment" -> ProfileOracle.topKSql("customer", "c_mktsegment", 10),
     "topk_event_type" -> ProfileOracle.topKSql("events", "event_type", 10),
     "profile_compare_lineitem" ->

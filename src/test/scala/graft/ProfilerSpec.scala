@@ -44,11 +44,22 @@ class ProfilerSpec extends AnyFunSuite {
   }
 
   test("profile of harness tables yields one row per profilable column") {
-    for ((t, cols) <- Tables.meta if t != "embeddings") {
+    for ((t, cols) <- Tables.meta) {
       val df = Tables.load(spark, SparkTestSession.sf, t)
       val n = Profiler.profile(df, t).count()
       assert(n == cols.size, s"table $t")
     }
+  }
+
+  test("array columns profile cardinality and element-count stats") {
+    val df = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val p = Profiler.profile(df, "embeddings").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val emb = p("embedding")
+    assert(emb.getAs[String]("data_type") == "floatarr")
+    assert(emb.getAs[Long]("min_len") == 64 &&
+      emb.getAs[Long]("max_len") == 64)
+    assert(emb.getAs[Long]("distinct_ct") == 500)
   }
 
   test("profile compare: identical sides all match, drift surfaces") {
