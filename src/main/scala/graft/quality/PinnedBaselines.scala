@@ -75,4 +75,43 @@ object PinnedBaselines {
     */
   lazy val lineitemDefs: Seq[TestDef] =
     TestGenerator.generate(lineitem, lineitemLovs)
+
+  /** sf0.001 documents profile (5 columns, 500 rows) — the text-table
+    * generation path.
+    */
+  val documents: Seq[ColProfile] = Seq(
+    ColProfile("documents", "doc_id", 0L, "bigint", 500L, 500L, 0L, 500L,
+      None, None, None, None, None, None,
+      Some(0.0), Some(499.0), Some(249.5), Some(144.4818),
+      Some(124750.0), None, Some(1L), Some(0L), None, None, None),
+    ColProfile("documents", "text", 1L, "string", 500L, 500L, 0L, 500L,
+      Some(47L), Some(558L), Some(306.312), Some(0L),
+      Some("a a part batch customer agg data sort slow scan merge vector " +
+        "big filter spark stream group query part value data big line agg " +
+        "batch fast line part"),
+      Some("window vector stream scan query group small customer agg big " +
+        "small small row big agg fast spark"),
+      None, None, None, None, None, None, None, None, None, None, None),
+    ColProfile("documents", "lang", 2L, "string", 500L, 500L, 0L, 5L,
+      Some(2L), Some(2L), Some(2.0), Some(0L), Some("de"), Some("zh"),
+      None, None, None, None, None, None, None, None, None, None, None),
+    ColProfile("documents", "source", 3L, "string", 500L, 500L, 0L, 20L,
+      Some(4L), Some(5L), Some(4.5), Some(0L), Some("src0"), Some("src9"),
+      None, None, None, None, None, None, None, None, None, None, None),
+    ColProfile("documents", "n_chars", 4L, "bigint", 500L, 500L, 0L, 311L,
+      None, None, None, None, None, None,
+      Some(47.0), Some(558.0), Some(306.312), Some(143.4846),
+      Some(153156.0), None, Some(0L), Some(0L), None, None, None),
+  )
+
+  /** Full value domains of the low-cardinality document columns (count
+    * desc, then value — `source` needs all 20 members, not a top-k).
+    */
+  val documentsLovs: Map[String, Seq[String]] = Map(
+    "lang" -> Seq("en", "fr", "es", "zh", "de"),
+    "source" -> (Seq("src0", "src1") ++ (10 to 19).map(i => s"src$i") ++
+      (2 to 9).map(i => s"src$i")))
+
+  lazy val documentsDefs: Seq[TestDef] =
+    TestGenerator.generate(documents, documentsLovs)
 }

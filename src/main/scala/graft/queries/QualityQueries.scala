@@ -22,6 +22,10 @@ object QualityQueries {
     TestEvaluator.run(Tables.load(s, dir, "lineitem"),
       PinnedBaselines.lineitemDefs)
 
+  private def autogenDocs(s: SparkSession, dir: String): DataFrame =
+    TestEvaluator.run(Tables.load(s, dir, "documents"),
+      PinnedBaselines.documentsDefs)
+
   private def hygiene(table: String)(s: SparkSession,
                                      dir: String): DataFrame =
     Hygiene.report(Tables.load(s, dir, table), table)
@@ -31,6 +35,7 @@ object QualityQueries {
     "dq_orders" -> suite("orders") _,
     "dq_customer" -> suite("customer") _,
     "dq_autogen_lineitem" -> (autogen _),
+    "dq_autogen_documents" -> (autogenDocs _),
     "hygiene_customer" -> hygiene("customer") _,
     "hygiene_orders" -> hygiene("orders") _,
     "hygiene_documents" -> hygiene("documents") _,
@@ -42,6 +47,8 @@ object QualityQueries {
     "dq_customer" -> TestEvaluator.oracleSql("customer", Suites.customer),
     "dq_autogen_lineitem" ->
       TestEvaluator.oracleSql("lineitem", PinnedBaselines.lineitemDefs),
+    "dq_autogen_documents" ->
+      TestEvaluator.oracleSql("documents", PinnedBaselines.documentsDefs),
     "hygiene_customer" -> Hygiene.oracleSql("customer"),
     "hygiene_orders" -> Hygiene.oracleSql("orders"),
     "hygiene_documents" -> Hygiene.oracleSql("documents"),

@@ -49,6 +49,14 @@ class QualitySpec extends AnyFunSuite {
     val st = TestEvaluator.run(df, defs).collect()
       .map(_.getAs[String]("status")).toSet
     assert(st == Set("PASSED"))
+    // same for the text-table generation path
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val docSt = TestEvaluator
+      .run(docs, PinnedBaselines.documentsDefs).collect()
+      .map(_.getAs[String]("status")).toSet
+    assert(docSt == Set("PASSED"))
+    assert(PinnedBaselines.documentsDefs.map(_.testType)
+      .toSet.contains("LOV_All"))
   }
 
   test("generator emits format tests when LOV evidence fits") {
