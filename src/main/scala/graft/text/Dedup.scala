@@ -118,6 +118,15 @@ object Dedup {
       .agg(array((0 until k).map(i =>
         min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
 
+  /** Same signatures through the single-buffer [[MinHashAgg]] Aggregator —
+    * one Array[Long] buffer per group instead of k separate min-aggregate
+    * expressions (MinHashAgg scaladoc has the tradeoff).
+    */
+  def minhashSignaturesAgg(sh: DataFrame, idCol: String,
+                           k: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(udaf(new MinHashAgg(k)).apply(col("shingle")).as("sig"))
+
   /** Banded-LSH candidate pairs: split the k-wide signature into `bands`
     * bands, hash each band, and emit pairs of ids sharing any (band,
     * bandHash) bucket. Only bucket-mates ever meet — the join key is the

@@ -43,6 +43,15 @@ class TextSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
   }
 
+  test("aggregator-based minhash equals the expression-based signatures") {
+    val sh = Dedup.shingles(planted, "text", "doc_id", 2)
+    val exprSigs = Dedup.minhashSignatures(sh, "doc_id", 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggSigs = Dedup.minhashSignaturesAgg(sh, "doc_id", 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(aggSigs == exprSigs)
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = Dedup.simhash(planted, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
