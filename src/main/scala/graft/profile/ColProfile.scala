@@ -23,7 +23,13 @@ case class ColProfile(
     stdevNum: Option[Double], sumNum: Option[Double], fracSum: Option[Double],
     zeroCt: Option[Long], negCt: Option[Long],
     minTs: Option[String], maxTs: Option[String],
-    distinctDateCt: Option[Long])
+    distinctDateCt: Option[Long],
+    // shape characteristics (defaults keep older pinned baselines valid)
+    embeddedSpaceCt: Option[Long] = None, upperCt: Option[Long] = None,
+    lowerCt: Option[Long] = None, numericStrCt: Option[Long] = None,
+    dateStrCt: Option[Long] = None, posCt: Option[Long] = None,
+    fracValueCt: Option[Long] = None, futureCt: Option[Long] = None,
+    weekendCt: Option[Long] = None)
 
 object ColProfile {
 
@@ -56,7 +62,10 @@ object ColProfile {
         s("min_str"), s("max_str"),
         d("min_num"), d("max_num"), d("avg_num"), d("stdev_num"),
         d("sum_num"), d("frac_sum"), l("zero_ct"), l("neg_ct"),
-        t("min_ts"), t("max_ts"), l("distinct_date_ct"))
+        t("min_ts"), t("max_ts"), l("distinct_date_ct"),
+        l("embedded_space_ct"), l("upper_ct"), l("lower_ct"),
+        l("numeric_str_ct"), l("date_str_ct"), l("pos_ct"),
+        l("frac_value_ct"), l("future_ct"), l("weekend_ct"))
     }
   }
 }

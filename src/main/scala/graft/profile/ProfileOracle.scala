@@ -86,6 +86,29 @@ object ProfileOracle {
         " AS neg_ct",
       (if (isTs) s"min($tsCol)" else "CAST(NULL AS TIMESTAMP)") + " AS min_ts",
       (if (isTs) s"max($tsCol)" else "CAST(NULL AS TIMESTAMP)") + " AS max_ts",
+      bigintOrNull(s"count(CASE WHEN contains($c, ' ') THEN 1 END)", isStr) +
+        " AS embedded_space_ct",
+      bigintOrNull(s"count(CASE WHEN $c = upper($c) THEN 1 END)", isStr) +
+        " AS upper_ct",
+      bigintOrNull(s"count(CASE WHEN $c = lower($c) THEN 1 END)", isStr) +
+        " AS lower_ct",
+      bigintOrNull(
+        s"count(CASE WHEN TRY_CAST($c AS DOUBLE) IS NOT NULL THEN 1 END)",
+        isStr) + " AS numeric_str_ct",
+      bigintOrNull(
+        s"count(CASE WHEN TRY_CAST($c AS DATE) IS NOT NULL THEN 1 END)",
+        isStr) + " AS date_str_ct",
+      bigintOrNull(s"count(CASE WHEN $c > 0 THEN 1 END)", isNum) +
+        " AS pos_ct",
+      bigintOrNull(s"count(CASE WHEN $c <> floor($c) THEN 1 END)", isFrac) +
+        " AS frac_value_ct",
+      bigintOrNull(
+        s"count(CASE WHEN $tsCol > TIMESTAMP '${graft.quality.TestEvaluator.AsOfTs}' THEN 1 END)",
+        isTs) + " AS future_ct",
+      // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
+      bigintOrNull(
+        s"count(CASE WHEN dayofweek(CAST($tsCol AS DATE)) IN (0, 6) THEN 1 END)",
+        isTs) + " AS weekend_ct",
       bigintOrNull(s"count(DISTINCT CAST($c AS DATE))", isTs) +
         " AS distinct_date_ct",
     ).mkString("SELECT ", ", ", s" FROM $table")

@@ -92,7 +92,9 @@ object Profiler {
   private val BaseFieldsTail = Seq("min_len", "max_len", "avg_len",
     "blank_ct", "min_str", "max_str", "min_num", "max_num", "avg_num",
     "stdev_num", "sum_num", "frac_sum", "zero_ct", "neg_ct", "min_ts",
-    "max_ts")
+    "max_ts", "embedded_space_ct", "upper_ct", "lower_ct",
+    "numeric_str_ct", "date_str_ct", "pos_ct", "frac_value_ct",
+    "future_ct", "weekend_ct")
 
   def isProfilable(dt: DataType): Boolean = dt match {
     case StringType | TimestampType => true
@@ -171,6 +173,25 @@ object Profiler {
       (if (isNum) count(when(c < 0, 1)) else nl).as("neg_ct"),
       (if (isTs) min(c) else nt).as("min_ts"),
       (if (isTs) max(c) else nt).as("max_ts"),
+      // shape characteristics (toward the reference's 51-characteristic
+      // profile): string content classes, numeric sign, date placement
+      (if (isStr) count(when(c.contains(" "), 1)) else nl)
+        .as("embedded_space_ct"),
+      (if (isStr) count(when(c === upper(c), 1)) else nl).as("upper_ct"),
+      (if (isStr) count(when(c === lower(c), 1)) else nl).as("lower_ct"),
+      (if (isStr) count(when(c.try_cast(DoubleType).isNotNull, 1)) else nl)
+        .as("numeric_str_ct"),
+      (if (isStr) count(when(c.try_cast(DateType).isNotNull, 1)) else nl)
+        .as("date_str_ct"),
+      (if (isNum) count(when(c > 0, 1)) else nl).as("pos_ct"),
+      (if (isFrac) count(when(c =!= floor(c), 1)) else nl)
+        .as("frac_value_ct"),
+      (if (isTs)
+        count(when(c > to_timestamp(lit(graft.quality.TestEvaluator.AsOfTs)),
+          1))
+      else nl).as("future_ct"),
+      (if (isTs) count(when(dayofweek(c).isin(1, 7), 1)) else nl)
+        .as("weekend_ct"),
     )
   }
 
