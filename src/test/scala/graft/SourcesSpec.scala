@@ -42,6 +42,19 @@ class SourcesSpec extends AnyFunSuite {
       Seq("A", "B"))
   }
 
+  test("embedded JSON columns parse into typed structs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, """{"k": 87}"""), (2L, """{"k": 5}"""), (3L, "nope"))
+      .toDF("id", "props")
+    val parsed = df.select(col("id"),
+        Sources.parseJson(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(parsed == Map(1L -> Some(87L), 2L -> Some(5L), 3L -> None))
+  }
+
   test("JSON-lines events parse with explicit schema") {
     val dir = Files.createTempDirectory("jsonl")
     val f = dir.resolve("ev.jsonl")

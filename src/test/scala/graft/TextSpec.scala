@@ -59,6 +59,11 @@ class TextSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
     assert(ham(sh(1L), sh(2L)) <= 16)
+    // the column-level hamming helper agrees with the JVM computation
+    val hamDf = Seq((sh(1L), sh(2L))).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b")).as("h"))
+      .collect().head.getInt(0)
+    assert(hamDf == ham(sh(1L), sh(2L)))
   }
 
   test("fingerprints: shared passages share fingerprints") {
