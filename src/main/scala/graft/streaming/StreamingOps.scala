@@ -126,6 +126,22 @@ object StreamingOps {
       }
   }
 
+  /** Deliver a streaming alert/result DataFrame to an external API in
+    * fixed-size chunks: foreachBatch per micro-batch, then the batched
+    * per-partition sink (the reference posts 100 outcomes per request —
+    * demo_helper.py:803-816). Returns the started query.
+    */
+  def deliverBatched(alerts: DataFrame, batchSize: Int,
+                     checkpoint: String)
+                    (send: Seq[org.apache.spark.sql.Row] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    alerts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sources.foreachBatched(batch, batchSize)(send)
+      }
+      .start()
+
   /** Read a drop-folder of event parquet files as a stream (one file per
     * trigger) — the smoke path for wiring the ops above to a real file
     * source without Kafka in the container. `dir` must be a directory;

@@ -152,6 +152,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState == viaWindow)
   }
 
+  test("streaming alerts deliver to an external sink in bounded chunks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val chunks = spark.sparkContext.collectionAccumulator[Int]("chunks")
+    val alerts = StreamingOps.metricRuleAlerts(in.toDF(), "purchase", 40.0)
+    val q = StreamingOps.deliverBatched(alerts, batchSize = 2,
+      tmpCheckpoint())(g => chunks.add(g.size))
+    try {
+      in.addData((1 to 5).map(i =>
+        SEvent(i.toLong, ts(f"2024-01-01 10:0$i%d:00"), 1, "purchase",
+          50.0 + i)): _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = chunks.value.asScala.map(_.toInt)
+      assert(sizes.sum == 5)
+      assert(sizes.forall(_ <= 2))
+    } finally q.stop()
+  }
+
   test("bounded file stream wires the real events table end-to-end") {
     // stage the single-file table into a drop-folder (file streams read
     // directories)
