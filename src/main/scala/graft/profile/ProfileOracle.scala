@@ -41,6 +41,16 @@ object ProfileOracle {
     val s2 = s"sum(CAST(CAST($c AS DOUBLE)*CAST($c AS DOUBLE) AS DECIMAL(28,6)))"
     val nCt = s"count($c)"
     val stdNum = s"CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE)*CAST($s1 AS DOUBLE)/$nCt"
+    // 3rd/4th-power sums + central moments, mirroring Profiler's exact
+    // decimal sums and double formula trees term-for-term (IEEE doubles are
+    // deterministic given identical expression trees)
+    val cD = s"CAST($c AS DOUBLE)"
+    val s3 = s"sum(CAST($cD*$cD*$cD AS DECIMAL(38,6)))"
+    val s4 = s"sum(CAST($cD*$cD*$cD*$cD AS DECIMAL(38,6)))"
+    val meanS = s"(CAST($s1 AS DOUBLE)/$nCt)"
+    val m2S = s"(CAST($s2 AS DOUBLE)/$nCt - $meanS*$meanS)"
+    val m3S = s"(CAST($s3 AS DOUBLE)/$nCt - 3.0*$meanS*(CAST($s2 AS DOUBLE)/$nCt) + 2.0*$meanS*$meanS*$meanS)"
+    val m4S = s"(CAST($s4 AS DOUBLE)/$nCt - 4.0*$meanS*(CAST($s3 AS DOUBLE)/$nCt) + 6.0*$meanS*$meanS*(CAST($s2 AS DOUBLE)/$nCt) - 3.0*$meanS*$meanS*$meanS*$meanS)"
 
     def bigintOrNull(expr: String, cond: Boolean): String =
       if (cond) s"CAST($expr AS BIGINT)" else "CAST(NULL AS BIGINT)"
@@ -109,6 +119,67 @@ object ProfileOracle {
       bigintOrNull(
         s"count(CASE WHEN dayofweek(CAST($tsCol AS DATE)) IN (0, 6) THEN 1 END)",
         isTs) + " AS weekend_ct",
+      // round-2 widening (51-characteristic surface) — string content classes
+      bigintOrNull(s"count(CASE WHEN $c <> ltrim($c) THEN 1 END)", isStr) +
+        " AS lead_space_ct",
+      bigintOrNull(
+        s"count(CASE WHEN contains($c, '''') OR contains($c, '\"') THEN 1 END)",
+        isStr) + " AS quote_ct",
+      bigintOrNull(
+        s"count(CASE WHEN regexp_matches($c, '[^\\x00-\\x7F]') THEN 1 END)",
+        isStr) + " AS non_ascii_ct",
+      bigintOrNull(
+        s"count(CASE WHEN regexp_matches($c, '^[A-Za-z ]+$$') THEN 1 END)",
+        isStr) + " AS alpha_ct",
+      bigintOrNull(
+        s"count(CASE WHEN upper(trim($c)) IN ('Y','N','YES','NO','TRUE','FALSE','T','F') THEN 1 END)",
+        isStr) + " AS boolean_ct",
+      bigintOrNull(
+        s"count(CASE WHEN regexp_matches($c, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$') THEN 1 END)",
+        isStr) + " AS email_ct",
+      bigintOrNull(
+        s"count(CASE WHEN regexp_matches($c, '^[0-9]{5}(-[0-9]{4})?$$') THEN 1 END)",
+        isStr) + " AS zip_ct",
+      bigintOrNull(
+        s"count(CASE WHEN upper(trim($c)) IN ('N/A','NA','NONE','NULL','UNKNOWN','MISSING','-','?','TBD') THEN 1 END)",
+        isStr) + " AS dummy_ct",
+      doubleOrNull(
+        s"round(CAST(sum(CAST(CASE WHEN length(trim($c)) > 0 THEN len(regexp_split_to_array(trim($c), '\\s+')) ELSE 0 END AS BIGINT)) AS DOUBLE)/$nCt, 4)",
+        isStr) + " AS avg_words",
+      // numeric distribution shape
+      doubleOrNull(s"round(quantile_cont($cD, 0.25), 4)", isNum) +
+        " AS p25_num",
+      doubleOrNull(s"round(quantile_cont($cD, 0.5), 4)", isNum) +
+        " AS median_num",
+      doubleOrNull(s"round(quantile_cont($cD, 0.75), 4)", isNum) +
+        " AS p75_num",
+      doubleOrNull(
+        s"CASE WHEN $nCt > 2 AND $m2S > 0 THEN round($m3S / sqrt($m2S*$m2S*$m2S), 4) END",
+        isNum) + " AS skew_num",
+      doubleOrNull(
+        s"CASE WHEN $nCt > 3 AND $m2S > 0 THEN round($m4S / ($m2S*$m2S) - 3.0, 4) END",
+        isNum) + " AS kurt_num",
+      doubleOrNull(
+        s"CAST(max($c) AS DOUBLE) - CAST(min($c) AS DOUBLE)", isNum) +
+        " AS range_num",
+      doubleOrNull(
+        s"CASE WHEN $nCt > 1 AND CAST($s1 AS DOUBLE) <> 0.0 THEN round(sqrt(greatest($stdNum, 0.0)/($nCt - 1)) / $meanS, 4) END",
+        isNum) + " AS cv_num",
+      bigintOrNull(s"count(CASE WHEN $c % 10 = 0 THEN 1 END)", isNum) +
+        " AS round_num_ct",
+      // timestamp placement
+      bigintOrNull(
+        s"count(CASE WHEN date_trunc('day', $tsCol) = $tsCol THEN 1 END)",
+        isTs) + " AS midnight_ct",
+      bigintOrNull(
+        s"count(CASE WHEN hour($tsCol) >= 9 AND hour($tsCol) < 17 THEN 1 END)",
+        isTs) + " AS work_hours_ct",
+      bigintOrNull(
+        s"date_diff('day', CAST(min($tsCol) AS DATE), CAST(max($tsCol) AS DATE))",
+        isTs) + " AS span_days",
+      bigintOrNull(
+        s"date_diff('day', CAST(max($tsCol) AS DATE), DATE '${graft.quality.TestEvaluator.AsOfTs.take(10)}')",
+        isTs) + " AS recency_days",
       bigintOrNull(s"count(DISTINCT CAST($c AS DATE))", isTs) +
         " AS distinct_date_ct",
     ).mkString("SELECT ", ", ", s" FROM $table")

@@ -26,13 +26,22 @@ import org.apache.spark.sql.types._
   *
   * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
   * addition-order-independent, so results hash-match any other engine
-  * computing the same decimal sums. Mean/stddev are then *derived* from the
-  * exact sums in double math, which is deterministic given identical inputs.
+  * computing the same decimal sums. Mean/stddev/skew/kurtosis are then
+  * *derived* from the exact sums in double math, which is deterministic
+  * given identical expression trees. The output is 51 per-column
+  * characteristics, matching the cardinality the reference declares
+  * (README.md:207). Caveat for extreme-magnitude columns (|x| ≳ 1e8, e.g.
+  * epoch-millis stored as numbers): the 4th-power moment sums would
+  * overflow DECIMAL(38,6) — profile such columns centered/scaled, or accept
+  * null skew/kurtosis (Spark yields null on decimal overflow).
   */
 object Profiler {
 
   /** DECIMAL type used for exact, order-independent numeric sums. */
   val SumDec: DecimalType = DecimalType(28, 6)
+
+  /** Wider decimal for 3rd/4th-power sums (skewness/kurtosis moments). */
+  val MomDec: DecimalType = DecimalType(38, 6)
 
   def typeLabel(dt: DataType): String = dt match {
     case LongType      => "bigint"
@@ -62,7 +71,7 @@ object Profiler {
 
     // base pass: every non-distinct statistic for every column, one scan
     val baseAggs = fields.map { case (f, i) =>
-      columnStats(f, i, tableName).as(s"__p_$i")
+      columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
     }
     val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
     // one narrow pass per distinct expression — no Expand anywhere
@@ -94,7 +103,13 @@ object Profiler {
     "stdev_num", "sum_num", "frac_sum", "zero_ct", "neg_ct", "min_ts",
     "max_ts", "embedded_space_ct", "upper_ct", "lower_ct",
     "numeric_str_ct", "date_str_ct", "pos_ct", "frac_value_ct",
-    "future_ct", "weekend_ct")
+    "future_ct", "weekend_ct",
+    // round-2 widening toward the reference's declared 51 characteristics
+    "lead_space_ct", "quote_ct", "non_ascii_ct", "alpha_ct", "boolean_ct",
+    "email_ct", "zip_ct", "dummy_ct", "avg_words",
+    "p25_num", "median_num", "p75_num", "skew_num", "kurt_num", "range_num",
+    "cv_num", "round_num_ct",
+    "midnight_ct", "work_hours_ct", "span_days", "recency_days")
 
   def isProfilable(dt: DataType): Boolean = dt match {
     case StringType | TimestampType => true
@@ -116,7 +131,8 @@ object Profiler {
   /** All non-distinct statistics of one column (the distinct counts are
     * separate passes — see [[profile]]).
     */
-  private def columnStats(f: StructField, i: Int, table: String): Column = {
+  private def columnStats(f: StructField, i: Int, table: String,
+                          exact: Boolean): Column = {
     val c = col(f.name)
     val isStr = f.dataType == StringType
     val isNum = f.dataType.isInstanceOf[NumericType]
@@ -132,9 +148,31 @@ object Profiler {
     val valueCt = count(c)
     // exact decimal sums for numeric columns
     val dec = c.cast(SumDec)
+    val cd = c.cast(DoubleType)
     val s1 = sum(dec)
-    val s2 = sum((c.cast(DoubleType) * c.cast(DoubleType)).cast(SumDec))
+    val s2 = sum((cd * cd).cast(SumDec))
+    // 3rd/4th-power sums for the moment-derived shape stats
+    val s3 = sum((cd * cd * cd).cast(MomDec))
+    val s4 = sum((cd * cd * cd * cd).cast(MomDec))
     val lenSum = sum(length(c).cast(LongType))
+    // central moments derived from the exact decimal sums (double math is
+    // deterministic across engines given identical expression trees)
+    val mean = s1.cast(DoubleType) / valueCt
+    val m2 = s2.cast(DoubleType) / valueCt - mean * mean
+    val m3 = s3.cast(DoubleType) / valueCt -
+      lit(3.0) * mean * (s2.cast(DoubleType) / valueCt) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4.cast(DoubleType) / valueCt -
+      lit(4.0) * mean * (s3.cast(DoubleType) / valueCt) +
+      lit(6.0) * mean * mean * (s2.cast(DoubleType) / valueCt) -
+      lit(3.0) * mean * mean * mean * mean
+    // exact (sort-based) percentiles under oracle parity; KLL-style sketch
+    // (approx_percentile) at scale — exact percentile materializes the
+    // column per group, which does not survive 100 TB
+    def pct(p: Double) =
+      if (exact) percentile(cd, lit(p))
+      else approx_percentile(cd, lit(p), lit(10000))
+    val trimmed = trim(c)
 
     struct(
       lit(table).as("table_name"),
@@ -192,6 +230,50 @@ object Profiler {
       else nl).as("future_ct"),
       (if (isTs) count(when(dayofweek(c).isin(1, 7), 1)) else nl)
         .as("weekend_ct"),
+      // string content classes (round-2 widening)
+      (if (isStr) count(when(c =!= ltrim(c), 1)) else nl).as("lead_space_ct"),
+      (if (isStr) count(when(c.contains("'") || c.contains("\""), 1))
+       else nl).as("quote_ct"),
+      (if (isStr) count(when(c.rlike("[^\\x00-\\x7F]"), 1)) else nl)
+        .as("non_ascii_ct"),
+      (if (isStr) count(when(c.rlike("^[A-Za-z ]+$"), 1)) else nl)
+        .as("alpha_ct"),
+      (if (isStr) count(when(upper(trimmed).isin("Y", "N", "YES", "NO",
+        "TRUE", "FALSE", "T", "F"), 1)) else nl).as("boolean_ct"),
+      (if (isStr) count(when(
+        c.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"), 1))
+       else nl).as("email_ct"),
+      (if (isStr) count(when(c.rlike("^[0-9]{5}(-[0-9]{4})?$"), 1)) else nl)
+        .as("zip_ct"),
+      (if (isStr) count(when(upper(trimmed).isin("N/A", "NA", "NONE", "NULL",
+        "UNKNOWN", "MISSING", "-", "?", "TBD"), 1)) else nl).as("dummy_ct"),
+      (if (isStr) round(
+        sum(when(length(trimmed) > 0, size(split(trimmed, "\\s+")))
+          .otherwise(0).cast(LongType)).cast(DoubleType) / valueCt, 4)
+       else nd).as("avg_words"),
+      // numeric distribution shape
+      (if (isNum) round(pct(0.25), 4) else nd).as("p25_num"),
+      (if (isNum) round(pct(0.5), 4) else nd).as("median_num"),
+      (if (isNum) round(pct(0.75), 4) else nd).as("p75_num"),
+      (if (isNum) when(valueCt > 2 && m2 > 0,
+        round(m3 / sqrt(m2 * m2 * m2), 4)) else nd).as("skew_num"),
+      (if (isNum) when(valueCt > 3 && m2 > 0,
+        round(m4 / (m2 * m2) - lit(3.0), 4)) else nd).as("kurt_num"),
+      (if (isNum) max(c).cast(DoubleType) - min(c).cast(DoubleType)
+       else nd).as("range_num"),
+      (if (isNum) when(valueCt > 1 && s1.cast(DoubleType) =!= 0.0,
+        round(derivedStd(s1, s2, valueCt) / mean, 4)) else nd).as("cv_num"),
+      (if (isNum) count(when(c % lit(10) === 0, 1)) else nl)
+        .as("round_num_ct"),
+      // timestamp placement
+      (if (isTs) count(when(date_trunc("DAY", c) === c, 1)) else nl)
+        .as("midnight_ct"),
+      (if (isTs) count(when(hour(c) >= 9 && hour(c) < 17, 1)) else nl)
+        .as("work_hours_ct"),
+      (if (isTs) datediff(to_date(max(c)), to_date(min(c))).cast(LongType)
+       else nl).as("span_days"),
+      (if (isTs) datediff(to_date(lit(graft.quality.TestEvaluator.AsOfTs)),
+        to_date(max(c))).cast(LongType) else nl).as("recency_days"),
     )
   }
 

@@ -43,6 +43,34 @@ class ProfilerSpec extends AnyFunSuite {
     assert(p("x").getAs[Double]("frac_sum") == 1.0)
   }
 
+  test("shape characteristics: percentiles, moments, string classes") {
+    val df = Seq(
+      (1.0, Some(" padded"), Some("2024-01-02 00:00:00")),
+      (2.0, Some("user@example.com"), Some("2024-01-02 10:30:00")),
+      (3.0, Some("N/A"), Some("2024-01-06 12:00:00")),
+      (10.0, Some("hello world two"), None),
+    ).toDF("x", "s", "tstr")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("tstr")))
+      .drop("tstr")
+    val p = Profiler.profile(df, "t").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    // percentiles: sorted [1,2,3,10]; p50 = 2.5, p25 = 1.75
+    assert(p("x").getAs[Double]("median_num") == 2.5)
+    assert(p("x").getAs[Double]("p25_num") == 1.75)
+    assert(p("x").getAs[Double]("range_num") == 9.0)
+    assert(p("x").getAs[Long]("round_num_ct") == 1) // 10.0
+    // right-skewed data → positive skewness
+    assert(p("x").getAs[Double]("skew_num") > 0)
+    assert(p("s").getAs[Long]("lead_space_ct") == 1)
+    assert(p("s").getAs[Long]("email_ct") == 1)
+    assert(p("s").getAs[Long]("dummy_ct") == 1)
+    assert(p("s").getAs[Double]("avg_words") == 1.5) // 1+1+1+3 over 4
+    assert(p("ts").getAs[Long]("midnight_ct") == 1)
+    assert(p("ts").getAs[Long]("work_hours_ct") == 2) // 10:30 and 12:00
+    assert(p("ts").getAs[Long]("span_days") == 4)
+  }
+
   test("profile of harness tables yields one row per profilable column") {
     for ((t, cols) <- Tables.meta) {
       val df = Tables.load(spark, SparkTestSession.sf, t)
