@@ -123,6 +123,33 @@ class QualitySpec extends AnyFunSuite {
     assert(!fired.contains(("s", "numeric_as_string")))
   }
 
+  test("round-2 hygiene detectors fire on planted dirt") {
+    val df = Seq(
+      ("007", "N/A", "ABC", Some(3.0), Some(-1.0), "1940-01-01 00:00:00"),
+      ("12", "ok  dbl", "abc", Some(4.0), Some(50.0), "2024-05-06 00:00:00"),
+      ("9", "café", "Mixed", Some(5.0), Some(60.0), "2024-05-13 00:00:00"),
+    ).toDF("numstr", "s", "cased", "intish", "sent", "d")
+      .withColumn("d", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("d")))
+    val rows = Hygiene.report(df, "t").collect()
+    val fired = rows.filter(_.getAs[Boolean]("triggered"))
+      .map(r => (r.getAs[String]("column_name"),
+        r.getAs[String]("detector"))).toSet
+    assert(fired.contains(("numstr", "leading_zero_numbers")))
+    assert(fired.contains(("s", "dummy_values")))
+    assert(fired.contains(("s", "multi_space_values")))
+    assert(fired.contains(("s", "non_ascii_values")))
+    assert(fired.contains(("cased", "case_inconsistency")))
+    assert(fired.contains(("intish", "integer_as_float")))
+    assert(fired.contains(("sent", "sentinel_values"))) // -1
+    assert(fired.contains(("d", "far_past_dates")))
+    assert(fired.contains(("d", "single_weekday"))) // all Mondays
+    assert(fired.contains(("d", "midnight_only")))
+    // 27 distinct detectors across the registered type classes
+    val names = rows.map(_.getAs[String]("detector")).toSet
+    assert(names.size == 27, names)
+  }
+
   test("count-family tri-state: pass, warn band, fail") {
     val df = Seq.tabulate(1000)(i => (i.toLong,
       if (i < 3) null else "x")).toDF("id", "s")
