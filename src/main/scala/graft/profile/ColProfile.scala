@@ -29,7 +29,8 @@ case class ColProfile(
     lowerCt: Option[Long] = None, numericStrCt: Option[Long] = None,
     dateStrCt: Option[Long] = None, posCt: Option[Long] = None,
     fracValueCt: Option[Long] = None, futureCt: Option[Long] = None,
-    weekendCt: Option[Long] = None)
+    weekendCt: Option[Long] = None,
+    spanDays: Option[Long] = None, recencyDays: Option[Long] = None)
 
 object ColProfile {
 
@@ -65,7 +66,8 @@ object ColProfile {
         t("min_ts"), t("max_ts"), l("distinct_date_ct"),
         l("embedded_space_ct"), l("upper_ct"), l("lower_ct"),
         l("numeric_str_ct"), l("date_str_ct"), l("pos_ct"),
-        l("frac_value_ct"), l("future_ct"), l("weekend_ct"))
+        l("frac_value_ct"), l("future_ct"), l("weekend_ct"),
+        l("span_days"), l("recency_days"))
     }
   }
 }

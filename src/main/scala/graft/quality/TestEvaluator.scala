@@ -224,6 +224,13 @@ object TestEvaluator {
         countFam(cnt(c < lit(bound)), cntSql(s"$cs < $bound"),
           "Values lower than baseline minimum found.", 0.0)
 
+      case "Max_Val" =>
+        // maximum no higher than baseline maximum + threshold headroom
+        // (extended counterpart of Min_Val, data_tests.csv:14)
+        val bound = d.pD("Baseline_Value") + T
+        countFam(cnt(c > lit(bound)), cntSql(s"$cs > $bound"),
+          "Values higher than baseline maximum found.", 0.0)
+
       case "Unique" =>
         // no repeated values (data_tests.csv "hcp_dim_id" row)
         countFam(nVal(c) - nDist(c),

@@ -20,12 +20,17 @@ import org.apache.spark.sql.DataFrame
   *   Alpha_Trunc       ← string with max length
   *   Pattern_Match     ← string whose min/max values share a char-class
   *                       skeleton (letters/digits/punctuation runs)
-  *   Min_Val / Avg_Shift / Incr_Avg_Shift / Outlier_Pct_Above/Below /
+  *   Min_Val / Max_Val / Avg_Shift / Incr_Avg_Shift /
+  *   Outlier_Pct_Above/Below /
   *   Dec_Trunc         ← numeric with the needed stats
   *   Min_Date / Distinct_Date_Ct / Future_Date / Future_Date_1Y /
   *   Recency           ← timestamp
   *   Monthly_Rec_Ct / Weekly_Rec_Ct ← timestamp with dense date coverage
+  *   Daily_Record_Ct   ← timestamp with every day of its span present
   *   Distinct_Value_Ct ← low-cardinality column (≤ 50 distinct)
+  *
+  * 32 emitted types — matching the breadth the reference declares
+  * ("auto-generation of 32 data quality validation tests").
   */
 object TestGenerator {
 
@@ -160,6 +165,12 @@ object TestGenerator {
           for (mn <- cp.minNum)
             b += TestDef(table, c, "Min_Val",
               p("Baseline_Value" -> mn.toString, "Threshold_Value" -> "0"))
+          // headroom of one baseline range: new maxima slightly above the
+          // observed max are normal growth, a jump past max+range is not
+          for (mx <- cp.maxNum; mn <- cp.minNum)
+            b += TestDef(table, c, "Max_Val",
+              p("Baseline_Value" -> mx.toString,
+                "Threshold_Value" -> (mx - mn).abs.toString))
           // month evidence: integral 1..12 domain with most months present
           for (mn <- cp.minNum; mx <- cp.maxNum
                if mn >= 1 && mx <= 12 && cp.distinctCt <= 12 &&
@@ -215,6 +226,11 @@ object TestGenerator {
             b += TestDef(table, c, "Weekly_Rec_Ct",
               p("Threshold_Value" -> "0"))
           }
+          // every single day present at baseline → expect no daily gaps
+          for (dd <- cp.distinctDateCt; span <- cp.spanDays
+               if dd >= 60 && span + 1 == dd)
+            b += TestDef(table, c, "Daily_Record_Ct",
+              p("Threshold_Value" -> "0"))
         }
         b.result()
       }
