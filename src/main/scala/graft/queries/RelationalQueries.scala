@@ -195,18 +195,110 @@ object RelationalQueries {
       |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
       |) ORDER BY side, o_custkey""".stripMargin
 
+  /** Semi-join / EXISTS (TPC-H Q4 shape): orders with at least one line
+    * shipped more than 60 days after the order date. The EXISTS becomes a
+    * LEFT SEMI join — at scale both sides shuffle on orderkey (no fact-side
+    * broadcast), AQE may broadcast at small SF.
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PriorityExistsSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_ct
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subquery (TPC-H Q2 shape): parts priced at their
+    * brand's minimum. Spark-first: the correlated min is a tiny grouped
+    * aggregate broadcast back against the fact — no per-row subquery.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val minB = part.groupBy("p_brand")
+      .agg(min("p_retailprice").as("min_price"))
+    part.join(broadcast(minB), Seq("p_brand"))
+      .filter(col("p_retailprice") === col("min_price"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  val q2MinCostSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice FROM part p
+      |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+      |  WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
+  /** ROLLUP aggregation — computed WITHOUT Catalyst's Expand: the finest
+    * grouping is aggregated once (exact decimal sums), then the subtotal
+    * and grand-total levels re-aggregate that tiny result. Expand-based
+    * rollup replicates every input row once per grouping level — a 3× scan
+    * blowup at 100 TB for identical semantics.
+    */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val base = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(D2)).as("q"),
+        count(lit(1)).as("n"))
+    val lvl1 = base.groupBy("l_returnflag")
+      .agg(sum("q").as("q"), sum("n").as("n"))
+      .withColumn("l_linestatus", lit(null).cast(StringType))
+    val lvl0 = base.agg(sum("q").as("q"), sum("n").as("n"))
+      .withColumn("l_returnflag", lit(null).cast(StringType))
+      .withColumn("l_linestatus", lit(null).cast(StringType))
+    val cols = Seq("l_returnflag", "l_linestatus", "q", "n").map(col)
+    base.select(cols: _*)
+      .unionByName(lvl1.select(cols: _*))
+      .unionByName(lvl0.select(cols: _*))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("q").cast(DoubleType).as("sum_qty"), col("n").as("row_ct"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+
+  val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS row_ct
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "q2_min_cost" -> (q2MinCost _),
     "q3_top_orders" -> (q3TopOrders _),
+    "q4_priority_exists" -> (q4PriorityExists _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "rollup_pricing" -> (rollupPricing _),
     "w1_running_revenue" -> (w1RunningRevenue _),
     "set_compare_migration" -> (setCompareMigration _),
   )
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q2_min_cost" -> q2MinCostSql,
     "q3_top_orders" -> q3TopOrdersSql,
+    "q4_priority_exists" -> q4PriorityExistsSql,
     "q5_region_revenue" -> q5RegionRevenueSql,
+    "rollup_pricing" -> rollupPricingSql,
     "w1_running_revenue" -> w1RunningRevenueSql,
     "set_compare_migration" -> setCompareMigrationSql,
   )

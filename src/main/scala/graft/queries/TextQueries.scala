@@ -58,9 +58,12 @@ object TextQueries {
 
   val neardupNgramSql: String =
     s"""$ShCte,
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(*) <= ${Dedup.DefaultMaxDf}),
+       |shk AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    count(*) AS c FROM sh a JOIN sh b
+       |    count(*) AS c FROM shk a JOIN shk b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,

@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Default document-frequency cap for [[ngramJaccardPairs]] stop-shingle
+    * removal (shingles in more documents than this are dropped before pair
+    * generation).
+    */
+  val DefaultMaxDf = 64
+
   /** Whitespace-collapse + trim + lowercase — the canonical form exact
     * dedup keys on.
     */
@@ -67,8 +73,18 @@ object Dedup {
     * frequency-independent.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
+                        n: Int, minJaccard: Double,
+                        maxDf: Int = 64): DataFrame = {
+    val shAll = shingles(df, textCol, idCol, n).localCheckpoint(true)
+    // Stop-shingle removal: a shingle appearing in more than maxDf
+    // documents carries no discriminative signal but contributes df² pairs
+    // to the self-join — the quadratic term that kills the inverted-index
+    // approach at scale. The hot list is tiny (heavy hitters by
+    // definition), so the anti-join broadcasts.
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("shingle")
+    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
