@@ -58,6 +58,25 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** R2 streaming schedule lateness: the expected-start slots (cron
+    * expanded driver-side — schedules are tiny control-plane data) arrive
+    * as a STATIC frame broadcast into every micro-batch. A stream-static
+    * join is stateless and needs no watermark, so each start event later
+    * than its day's expected slot + margin emits a LATE_START alert
+    * immediately (reference schedule `{cron, margin: 600}`,
+    * demo_helper.py:653-660; LATE_START rules :1899).
+    * `slots` columns: (day DATE, expected_start TIMESTAMP).
+    */
+  def lateStartAlerts(ev: DataFrame, slots: DataFrame, startType: String,
+                      marginSeconds: Long): DataFrame =
+    ev.filter(col("event_type") === startType)
+      .withColumn("day", to_date(col("ts")))
+      .join(broadcast(slots), Seq("day"))
+      .filter(unix_micros(col("ts")) - unix_micros(col("expected_start")) >
+        marginSeconds * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("expected_start"), lit("LATE_START").as("alert"))
+
   /** R9 streaming liveness: running max event time per agent. */
   def liveness(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))

@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join flags late starts against cron slots") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // expected start 09:00 each day (driver-expanded cron), margin 600 s
+    val slots = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), ts("2024-01-01 09:00:00")),
+      (java.sql.Date.valueOf("2024-01-02"), ts("2024-01-02 09:00:00")),
+    ).toDF("day", "expected_start")
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.lateStartAlerts(in.toDF(), slots, "start", 600)
+      .writeStream.format("memory").queryName("late")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        SEvent(1, ts("2024-01-01 09:05:00"), 1, "start", 0), // within margin
+        SEvent(2, ts("2024-01-02 09:30:00"), 1, "start", 0), // 30 min late
+        SEvent(3, ts("2024-01-02 09:40:00"), 2, "task", 0))  // not a start
+      q.processAllAvailable()
+      val rows = spark.table("late").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(2L))
+      assert(rows.head.getAs[String]("alert") == "LATE_START")
+    } finally q.stop()
+  }
+
   test("watermarked windows absorb 55h-late events and drop older ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
