@@ -119,8 +119,13 @@ object TestEvaluator {
   def compile(d: TestDef): Compiled = {
     val base = compileBase(d)
     val dk = d.testType match {
-      case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" | "LOV_All" =>
+      case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" =>
         Some(s"col:${d.column}")
+      // LOV_All's distinct is over a CASE expression, not the bare column —
+      // sharing the col: pass would mix two distinct expressions in one
+      // agg() and bring back the Expand this design exists to avoid
+      case "LOV_All" =>
+        Some(s"lovall:${d.column}:${d.pS("Baseline_Value").hashCode}")
       case "Distinct_Date_Ct" | "Daily_Record_Ct" =>
         Some(s"date:${d.column}")
       case "Monthly_Rec_Ct" => Some(s"month:${d.column}")
