@@ -49,12 +49,35 @@ object SimQueries {
       "vec_id", "embedding", K, NPlanes, Dim)
   }
 
+  /** Cosine threshold for the exact near-dup pair tier. */
+  val NearDupTau = 0.4
+
+  def neardupCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+      NearDupTau)
+
+  val neardupCosineSql: String = {
+    val cos = "list_inner_product(va, vb) / " +
+      "(sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings)
+       |SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${cos.replace("va", "a.ve").replace("vb", "b.ve")}, 4)
+       |      AS cos_sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $NearDupTau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
+    "neardup_cosine_embeddings" -> (neardupCosine _),
   )
 
   val oracles: Map[String, String] = Map(
     "knn_embeddings" -> knnSql,
+    "neardup_cosine_embeddings" -> neardupCosineSql,
   )
 }

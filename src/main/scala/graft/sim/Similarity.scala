@@ -33,6 +33,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding-cosine near-duplicate pairs — the exact tier of the vector
+    * dedup ladder (SURVEY.md M6): every unordered pair with cosine ≥ tau.
+    * This is a deliberate all-pairs self-join — the verification baseline
+    * the oracle can replicate, same role as [[knnBruteForce]]. At corpus
+    * scale, generate candidates with the [[knnLsh]] sign-bucket join
+    * instead (recall < 1 by design) and verify only candidates exactly.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         tau: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector (self
     * excluded). `queries` must be small — it is broadcast; the corpus is
     * scanned once with no shuffle before the per-query top-k.

@@ -25,6 +25,18 @@ class SimSpec extends AnyFunSuite {
       .toSeq == Seq(4L, 3L, 2L))
   }
 
+  test("cosine near-dup pairs surface planted duplicates only") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.99f, 0.05f)), (4L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        0.95).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSeq == Seq((1L, 3L)))
+    assert(pairs.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
   test("LSH ANN achieves useful recall against brute force") {
     val e = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val q = e.filter(col("vec_id") < 20)
