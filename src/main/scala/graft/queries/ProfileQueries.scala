@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.profile.{ProfileCompare, ProfileOracle, Profiler}
+import graft.profile.{ProfileCompare, ProfileOracle, Profiler, SchemaDrift}
 import graft.quality.PinnedBaselines
 
 /** Profiling surface wired into the driver contract (SparkEntry). */
@@ -32,6 +32,8 @@ object ProfileQueries {
       Profiler.topK(Tables.load(s, dir, "events"), "events",
         "event_type", 10)),
     "profile_compare_lineitem" -> (compareLineitem _),
+    "schema_drift_events" -> ((s: SparkSession, dir: String) =>
+      SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -45,5 +47,6 @@ object ProfileQueries {
     "topk_event_type" -> ProfileOracle.topKSql("events", "event_type", 10),
     "profile_compare_lineitem" ->
       ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
+    "schema_drift_events" -> SchemaDrift.oracleSql("events"),
   )
 }

@@ -104,6 +104,22 @@ class ProfilerSpec extends AnyFunSuite {
     assert(drift.head.getAs[Double]("delta") == -50.0)
   }
 
+  test("schema drift: added, removed, and type-changed columns surface") {
+    import graft.profile.SchemaDrift
+    val df = Tables.load(spark, SparkTestSession.sf, "events")
+      .drop("props")                                     // removed
+      .withColumn("value",
+        org.apache.spark.sql.functions.col("value").cast("string")) // changed
+      .withColumn("extra", org.apache.spark.sql.functions.lit(1L))  // added
+    val rows = SchemaDrift.againstPinned(df, "events", spark).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[String]("status")).toMap
+    assert(rows("props") == "removed")
+    assert(rows("value") == "type_changed")
+    assert(rows("extra") == "added")
+    assert(rows("event_id") == "ok")
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()
