@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   *  - embedded-JSON columns via from_json (event `props`, §1.2 metadata).
   *
   * All are thin, schema-explicit wrappers over Spark's native readers, so
-  * pushdown/pruning behave exactly as for any DataSource scan. JDBC
-  * ("in-database SQL execution", reference README.md:209) would follow the
-  * same shape via spark.read.jdbc, but no database ships in this container.
+  * pushdown/pruning behave exactly as for any DataSource scan. The JDBC
+  * path ("in-database SQL execution", reference README.md:209) is covered
+  * against embedded Derby: predicates reach the database as PushedFilters
+  * (SourcesSpec asserts it), which is the reference's "no data copies"
+  * philosophy — at 100 TB the filter runs where the data lives. ORC and
+  * hive-partitioned parquet round out the columnar scan surface;
+  * partition pruning turns a partition-key filter into a directory skip.
   */
 object Sources {
 
@@ -62,6 +66,26 @@ object Sources {
 
   /** Parse an embedded JSON string column into a typed struct. */
   def parseJson(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** JDBC table scan. Catalyst pushes filters (and, with the DSv2 JDBC
+    * path, aggregates) into the database — profile/test SQL executes
+    * in-database with no data copies, per the reference's philosophy.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  /** ORC scan with explicit schema (same pushdown/pruning as parquet). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Hive-partitioned parquet write: one directory per distinct value of
+    * `partitionCol`. A reader filtering on the partition column prunes
+    * whole directories before any IO (PartitionFilters in the scan).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** Chunked delivery to an external sink — the reference posts test
     * outcomes in batches of 100 per request (reference

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.col
 import graft.multimodal.MultimodalOps
 import graft.sources.Sources
 
@@ -78,6 +79,52 @@ class SourcesSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(sizes.asScala.map(_.toInt).sum == 250)
     assert(sizes.asScala.forall(_ <= 100))
+  }
+
+  test("JDBC round-trip against embedded Derby pushes filters down") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val src = Tables.load(spark, SparkTestSession.sf, "nation")
+    src.write.format("jdbc")
+      .option("url", url).option("dbtable", "nation").save()
+    val back = Sources.jdbc(spark, url, "nation")
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("n_regionkey") === 2)
+    assert(filtered.count() ==
+      src.filter(col("n_regionkey") === 2).count())
+    // the predicate must reach the database, not run post-scan in Spark
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("n_regionkey"),
+      scan)
+  }
+
+  test("ORC round-trips with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val src = Tables.load(spark, SparkTestSession.sf, "region")
+    src.write.mode("overwrite").orc(s"$dir/region")
+    val back = Sources.orc(spark, s"$dir/region", src.schema)
+      .filter(col("r_regionkey") > 1)
+    assert(back.count() == src.filter(col("r_regionkey") > 1).count())
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(r_regionkey), " +
+      "GreaterThan(r_regionkey,1)]"), scan)
+  }
+
+  test("partitioned write prunes directories on a partition-key filter") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val src = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    Sources.writePartitioned(src, s"$dir/li", "l_returnflag")
+    val back = spark.read.parquet(s"$dir/li")
+      .filter(col("l_returnflag") === "R")
+    assert(back.count() ==
+      src.filter(col("l_returnflag") === "R").count())
+    val scan = back.queryExecution.executedPlan.toString
+    // pruning happens at planning: the filter appears as a PartitionFilter
+    // on the scan, not as a post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      scan)
+    assert("""\(l_returnflag#\d+ = R\)""".r.findFirstIn(scan).isDefined,
+      scan)
   }
 
   test("multimodal: magic-byte sniffing, frame slicing, stub features") {
