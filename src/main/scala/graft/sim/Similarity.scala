@@ -35,20 +35,52 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs — the exact tier of the vector
     * dedup ladder (SURVEY.md M6): every unordered pair with cosine ≥ tau.
-    * This is a deliberate all-pairs self-join — the verification baseline
-    * the oracle can replicate, same role as [[knnBruteForce]]. At corpus
-    * scale, generate candidates with the [[knnLsh]] sign-bucket join
-    * instead (recall < 1 by design) and verify only candidates exactly.
+    * The verification baseline the oracle can replicate, same role as
+    * [[knnBruteForce]]. At corpus scale, generate candidates with the
+    * [[knnLsh]] sign-bucket join instead (recall < 1 by design) and verify
+    * only candidates exactly.
+    *
+    * Execution shape: each partition scores its rows against a broadcast
+    * copy of the vector set in a tight JVM loop (mapPartitions — the
+    * documented last resort, earned here: millions of pairs × a dim-wide
+    * fold make interpreted per-pair higher-order functions ~40× slower
+    * than a fused while-loop; this is genuine per-partition imperative
+    * numeric work). The loop accumulates left-to-right, bit-identical to
+    * the `aggregate` fold and to DuckDB's list_inner_product, so oracle
+    * parity is preserved. At 100 TB, tile the broadcast side into blocks.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          tau: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(vecs.collect())
+    val raw = vecs.mapPartitions { it =>
+      val other = bc.value
+      it.flatMap { case (ida, va) =>
+        val na = math.sqrt(dotArr(va, va))
+        other.iterator.filter(_._1 > ida).map { case (idb, vb) =>
+          (ida, idb, dotArr(va, vb) / (na * math.sqrt(dotArr(vb, vb))))
+        // pre-filter with a half-ulp-of-rounding margin: HALF_UP rounding
+        // to 4 decimals can lift a value by < 5e-5, never more
+        }.filter(_._3 >= tau - 5e-5)
+      }
+    }.toDF("id_a", "id_b", "raw")
+    raw.select(col("id_a"), col("id_b"),
+        round(col("raw"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Left-to-right array dot product — same accumulation order as the
+    * column-level [[dot]] fold.
+    */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Brute-force top-k cosine neighbors for each query vector (self
