@@ -152,6 +152,58 @@ object EventOps {
         lit("CALL_WEBHOOK").as("action"))
       .orderBy("event_id")
 
+  /** Declarative alert rule — the reference's `simple_v1` rule schema
+    * (run-state / metric-comparison conditions → email/webhook actions
+    * with payload templating, reference demo_helper.py:1876-1956).
+    * `field` addresses the event's value column or a JSON props key
+    * (`props.<k>` — dynamically typed in the reference, SURVEY §1.2, so
+    * it is try_cast to double). `op`: gt | ge | lt | le | eq | match
+    * (match = event-type match only, the run-state rule form).
+    */
+  case class AlertRule(id: String, eventType: String, field: String,
+                       op: String, threshold: Double, action: String)
+
+  /** Compile a rule list into ONE scan of the event stream: every rule
+    * becomes a (fired, measured, …) struct, the per-row rule array is
+    * filtered to fired rules and exploded. Rules are control-plane data
+    * (tens, not millions) — the array is a plan literal, so this stays a
+    * stateless narrow pass at any data scale.
+    */
+  def ruleAlerts(ev: DataFrame, rules: Seq[AlertRule]): DataFrame = {
+    require(rules.nonEmpty)
+    val structs = rules.map { r =>
+      val raw =
+        if (r.field.startsWith("props."))
+          get_json_object(col("props"),
+            "$." + r.field.stripPrefix("props."))
+        else col(r.field)
+      val v = raw.try_cast(DoubleType)
+      val cond = r.op match {
+        case "gt"    => v > r.threshold
+        case "ge"    => v >= r.threshold
+        case "lt"    => v < r.threshold
+        case "le"    => v <= r.threshold
+        case "eq"    => v === r.threshold
+        case "match" => lit(true)
+        case other   => throw new IllegalArgumentException(other)
+      }
+      struct(
+        lit(r.id).as("rule_id"),
+        (col("event_type") === r.eventType && cond).as("fired"),
+        v.as("measured"),
+        lit(r.action).as("action"),
+        format_string(s"rule ${r.id} fired for user %d", col("user_id"))
+          .as("message"))
+    }
+    ev.select(col("event_id"), col("user_id"), col("ts"),
+        explode(filter(array(structs: _*), s => s.getField("fired")))
+          .as("r"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r.rule_id"), col("r.measured"), col("r.action"),
+        col("r.message"))
+      .orderBy("rule_id", "event_id")
+  }
+
   /** R7 — per-key activity/status rollup with worst-status precedence
     * (reference TestOutcomes rollup + WARNING precedence,
     * demo_helper.py:839-841, 790-900).

@@ -220,6 +220,49 @@ object EventQueries {
        |  round(CAST(sum(k) AS DOUBLE)/count(k), 4) AS avg_k
        |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- generalized rule engine (R5/R6 unified) ----------------------------
+
+  /** Three reference-shaped rules: a metric comparison on the value
+    * column, a metric comparison on a dynamically-typed JSON props field,
+    * and a run-state-style type match.
+    */
+  val Rules = Seq(
+    EventOps.AlertRule("high_purchase", "purchase", "value", "gt",
+      MetricThreshold, "CALL_WEBHOOK"),
+    EventOps.AlertRule("hot_props", "click", "props.k", "gt", 40.0,
+      "SEND_EMAIL"),
+    EventOps.AlertRule("error_seen", "error", "value", "match", 0.0,
+      "SEND_EMAIL"),
+  )
+
+  def ruleEngine(s: SparkSession, dir: String): DataFrame =
+    EventOps.ruleAlerts(ev(s, dir), Rules)
+
+  val ruleEngineSql: String = {
+    val parts = Rules.map { r =>
+      val field =
+        if (r.field.startsWith("props."))
+          s"TRY_CAST(json_extract_string(props, '$$.${r.field.stripPrefix("props.")}') AS DOUBLE)"
+        else s"TRY_CAST(${r.field} AS DOUBLE)"
+      val cond = r.op match {
+        case "gt"    => s"$field > ${r.threshold}"
+        case "ge"    => s"$field >= ${r.threshold}"
+        case "lt"    => s"$field < ${r.threshold}"
+        case "le"    => s"$field <= ${r.threshold}"
+        case "eq"    => s"$field = ${r.threshold}"
+        case "match" => "TRUE"
+      }
+      s"""SELECT event_id, user_id, ts, '${r.id}' AS rule_id,
+         |  $field AS measured, '${r.action}' AS action,
+         |  printf('rule ${r.id} fired for user %d', user_id) AS message
+         |FROM ev WHERE event_type = '${r.eventType}' AND $cond""".stripMargin
+    }
+    s"""$EvCte
+       |SELECT * FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) ORDER BY rule_id, event_id""".stripMargin
+  }
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -285,6 +328,7 @@ object EventQueries {
     "ev_volume_anomalies" -> (volumeAnomalies _),
     "ev_liveness" -> (liveness _),
     "ev_props_agg" -> (propsAgg _),
+    "ev_rule_engine" -> (ruleEngine _),
     "ev_entity_search" -> (entitySearch _),
     "ev_upsert" -> (upsert _),
   )
@@ -300,6 +344,7 @@ object EventQueries {
     "ev_volume_anomalies" -> volumeAnomaliesSql,
     "ev_liveness" -> livenessSql,
     "ev_props_agg" -> propsAggSql,
+    "ev_rule_engine" -> ruleEngineSql,
     "ev_entity_search" -> entitySearchSql,
     "ev_upsert" -> upsertSql,
   )

@@ -110,4 +110,23 @@ class EventsSpec extends AnyFunSuite {
     // constant prior counts → zero variance → z undefined (null), honest
     assert(spike.isNullAt(spike.fieldIndex("z")))
   }
+
+  test("rule engine: one scan fires value, props, and match rules") {
+    val rules = Seq(
+      EventOps.AlertRule("big_buy", "purchase", "value", "gt", 40.0,
+        "CALL_WEBHOOK"),
+      EventOps.AlertRule("hot_k", "click", "props.k", "ge", 6.0,
+        "SEND_EMAIL"),
+      EventOps.AlertRule("err", "error", "value", "match", 0.0,
+        "SEND_EMAIL"),
+    )
+    val alerts = EventOps.ruleAlerts(fixture, rules).collect()
+    val fired = alerts.map(r => (r.getAs[String]("rule_id"),
+      r.getAs[Long]("event_id"))).toSet
+    assert(fired == Set(("big_buy", 3L), ("hot_k", 6L), ("err", 4L)))
+    val buy = alerts.find(_.getAs[String]("rule_id") == "big_buy").get
+    assert(buy.getAs[Double]("measured") == 50.0)
+    assert(buy.getAs[String]("message") == "rule big_buy fired for user 1")
+    assert(buy.getAs[String]("action") == "CALL_WEBHOOK")
+  }
 }
