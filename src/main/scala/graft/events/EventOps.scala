@@ -169,7 +169,8 @@ object EventOps {
     * (tens, not millions) — the array is a plan literal, so this stays a
     * stateless narrow pass at any data scale.
     */
-  def ruleAlerts(ev: DataFrame, rules: Seq[AlertRule]): DataFrame = {
+  def ruleAlerts(ev: DataFrame, rules: Seq[AlertRule],
+                 ordered: Boolean = true): DataFrame = {
     require(rules.nonEmpty)
     val structs = rules.map { r =>
       val raw =
@@ -195,13 +196,16 @@ object EventOps {
         format_string(s"rule ${r.id} fired for user %d", col("user_id"))
           .as("message"))
     }
-    ev.select(col("event_id"), col("user_id"), col("ts"),
+    val out = ev.select(col("event_id"), col("user_id"), col("ts"),
         explode(filter(array(structs: _*), s => s.getField("fired")))
           .as("r"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("r.rule_id"), col("r.measured"), col("r.action"),
         col("r.message"))
-      .orderBy("rule_id", "event_id")
+    // the sort is for the deterministic oracle compare; a streaming
+    // caller skips it (global sort is unsupported in append mode, and
+    // the operator is otherwise stateless → batch/stream unified)
+    if (ordered) out.orderBy("rule_id", "event_id") else out
   }
 
   /** R7 — per-key activity/status rollup with worst-status precedence

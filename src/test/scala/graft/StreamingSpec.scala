@@ -37,6 +37,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the batch rule engine runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    // same compiled-rule operator as the batch path (EventOps.ruleAlerts
+    // minus props, which SEvent doesn't carry) — stateless, so Structured
+    // Streaming accepts it in append mode with no watermark
+    val rules = Seq(graft.events.EventOps.AlertRule(
+      "big_buy", "purchase", "value", "gt", 40.0, "CALL_WEBHOOK"))
+    val q = graft.events.EventOps.ruleAlerts(
+        in.toDF().withColumn("props",
+          org.apache.spark.sql.functions.lit("{}")), rules,
+        ordered = false)
+      .writeStream.format("memory").queryName("rule_alerts")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        SEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 99.0),
+        SEvent(2, ts("2024-01-01 10:01:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("rule_alerts").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L))
+      assert(rows.head.getAs[String]("rule_id") == "big_buy")
+    } finally q.stop()
+  }
+
   test("stream-static join flags late starts against cron slots") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
