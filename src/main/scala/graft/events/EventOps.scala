@@ -118,6 +118,34 @@ object EventOps {
       .orderBy("user_id", "instance_id")
   }
 
+  /** R3 variant — instances bounded by START and END conditions
+    * (reference instance conditions `{action: START|END|END_PAYLOAD}`,
+    * demo_helper.py:279-287, 1851-1875): an instance opens at a
+    * startType event and closes at the next endType event (inclusive);
+    * events outside any open instance belong to none. Two per-key cumsum
+    * windows — the end count lags one row so the closing event stays
+    * inside its instance.
+    */
+  def journeyInstancesBounded(ev: DataFrame, startType: String,
+                              endType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val starts = sum(when(col("event_type") === startType, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val endsBefore = sum(when(col("event_type") === endType, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ev.withColumn("__s", starts)
+      .withColumn("__e", coalesce(endsBefore, lit(0)))
+      .filter(col("__s") > col("__e"))
+      .groupBy(col("user_id"), col("__s").cast(LongType).as("instance_id"))
+      .agg(
+        min(col("ts")).as("instance_start"),
+        max(col("ts")).as("instance_end"),
+        count(lit(1)).as("n_events"),
+        (max(when(col("event_type") === endType, 1).otherwise(0)) === 1)
+          .as("completed"))
+      .orderBy("user_id", "instance_id")
+  }
+
   /** R4 — out-of-sequence detection: within a session, flag transitions
     * that run strictly backwards along the journey DAG (reference
     * `instance_alert.type_matches: [OUT_OF_SEQUENCE]`,

@@ -111,6 +111,27 @@ object EventQueries {
        |FROM inst GROUP BY user_id, instance_id
        |ORDER BY user_id, instance_id""".stripMargin
 
+  def journeysBounded(s: SparkSession, dir: String): DataFrame =
+    EventOps.journeyInstancesBounded(ev(s, dir), "signup", "purchase")
+
+  val journeysBoundedSql: String =
+    s"""$EvCte,
+       |m AS (SELECT *,
+       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS s,
+       |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+       |  FROM ev)
+       |SELECT user_id, CAST(s AS BIGINT) AS instance_id,
+       |  min(ts) AS instance_start, max(ts) AS instance_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+       |    AS completed
+       |FROM m WHERE s > e GROUP BY user_id, s
+       |ORDER BY user_id, instance_id""".stripMargin
+
   // ---- R4 out-of-sequence vs journey DAG ----------------------------------
 
   def outOfSequence(s: SparkSession, dir: String): DataFrame = {
@@ -322,6 +343,7 @@ object EventQueries {
     "ev_failed_runs" -> (failedRuns _),
     "ev_late_starts" -> (lateStarts _),
     "ev_journeys" -> (journeys _),
+    "ev_journeys_bounded" -> (journeysBounded _),
     "ev_out_of_sequence" -> (outOfSequence _),
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
@@ -338,6 +360,7 @@ object EventQueries {
     "ev_failed_runs" -> failedRunsSql,
     "ev_late_starts" -> lateStartsSql,
     "ev_journeys" -> journeysSql,
+    "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_out_of_sequence" -> outOfSequenceSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,

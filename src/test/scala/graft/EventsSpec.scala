@@ -111,6 +111,20 @@ class EventsSpec extends AnyFunSuite {
     assert(spike.isNullAt(spike.fieldIndex("z")))
   }
 
+  test("bounded journey instances close at END and exclude strays") {
+    val inst = EventOps.journeyInstancesBounded(fixture, "signup",
+      "purchase").collect()
+    val u1 = inst.filter(_.getLong(0) == 1L)
+    // user 1: signup(10:00) … purchase(13:00) closes the instance; the
+    // 13:05 error is outside any instance
+    assert(u1.length == 1)
+    assert(u1.head.getAs[Long]("n_events") == 3)
+    assert(u1.head.getAs[Boolean]("completed"))
+    // user 2 never purchases → open (incomplete) instance
+    val u2 = inst.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && !u2.head.getAs[Boolean]("completed"))
+  }
+
   test("rule engine: one scan fires value, props, and match rules") {
     val rules = Seq(
       EventOps.AlertRule("big_buy", "purchase", "value", "gt", 40.0,
