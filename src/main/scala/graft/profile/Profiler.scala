@@ -15,14 +15,15 @@ import org.apache.spark.sql.types._
   * statistics per input column, then `explode` to one profile row per column.
   *
   * Scale notes (100 TB): the non-distinct statistics are ONE scan + ONE
-  * partial-aggregate shuffle of a single row. Distinct counts are computed
-  * in ONE NARROW PASS PER DISTINCT EXPRESSION (column pruning means each
-  * pass scans only its own column) and recombined with crossJoin — putting
-  * them all in one agg() would make Catalyst plan an Expand that replicates
-  * every input row once per distinct expression, the same scale hazard the
-  * quality evaluator avoids (see TestEvaluator). `exactDistinct=false`
-  * switches the distinct passes to HyperLogLog (`approx_count_distinct`)
-  * when oracle parity is not required.
+  * partial-aggregate shuffle of a single row. Exact distinct counts are
+  * computed in ONE NARROW PASS PER DISTINCT EXPRESSION (column pruning
+  * means each pass scans only its own column) and recombined with
+  * crossJoin — putting them all in one agg() would make Catalyst plan an
+  * Expand that replicates every input row once per distinct expression,
+  * the same scale hazard the quality evaluator avoids (see
+  * TestEvaluator). `exactDistinct=false` (the at-scale mode, when oracle
+  * parity is not required) switches to HyperLogLog sketches that ride in
+  * the base pass — the ENTIRE profile becomes one scan, no extra passes.
   *
   * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
   * addition-order-independent, so results hash-match any other engine
@@ -66,20 +67,33 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }
     require(fields.nonEmpty, s"no profilable columns in $tableName")
-    def dct(c: Column) =
-      if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
 
-    // base pass: every non-distinct statistic for every column, one scan
+    // base pass: every non-distinct statistic for every column, one scan.
+    // In approx mode the HLL distinct sketches ride along in the SAME
+    // pass (approx_count_distinct needs no Expand), so the whole profile
+    // is literally one scan + a one-row shuffle — the 100 TB shape.
+    val approxAggs: Seq[Column] =
+      if (exactDistinct) Seq.empty
+      else (fields.map { case (f, i) =>
+        approx_count_distinct(col(f.name)).as(s"__d_$i")
+      } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
+        approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
+      }).toSeq
     val baseAggs = fields.map { case (f, i) =>
       columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
-    }
+    } ++ approxAggs
     val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
-    // one narrow pass per distinct expression — no Expand anywhere
-    val distinctPasses = fields.map { case (f, i) =>
-      df.agg(dct(col(f.name)).as(s"__d_$i"))
-    } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
-      df.agg(dct(to_date(col(f.name))).as(s"__dd_$i"))
-    }
+    // exact mode: one narrow pass per distinct expression — putting k
+    // exact countDistincts in one agg() would Expand (replicate) every
+    // row k times; one per pass keeps the no-Expand two-stage plan and
+    // column pruning makes each pass scan a single column
+    val distinctPasses: Seq[DataFrame] =
+      if (!exactDistinct) Seq.empty
+      else (fields.map { case (f, i) =>
+        df.agg(countDistinct(col(f.name)).as(s"__d_$i"))
+      } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
+        df.agg(countDistinct(to_date(col(f.name))).as(s"__dd_$i"))
+      }).toSeq
     val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
 
     val structs = fields.map { case (f, i) =>

@@ -104,6 +104,24 @@ class ProfilerSpec extends AnyFunSuite {
     assert(drift.head.getAs[Double]("delta") == -50.0)
   }
 
+  test("approx mode profiles in one scan with near-exact distincts") {
+    val df = Tables.load(spark, SparkTestSession.sf, "customer")
+    val approx = Profiler.profile(df, "customer", exactDistinct = false)
+    // single-pass: no crossJoin recombination of per-column passes
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    val exact = Profiler.profile(df, "customer").collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[Long]("distinct_ct")).toMap
+    approx.collect().foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val a = r.getAs[Long]("distinct_ct").toDouble
+      val e = exact(c).toDouble
+      assert(math.abs(a - e) <= math.max(2.0, 0.1 * e), s"$c: $a vs $e")
+    }
+  }
+
   test("schema drift: added, removed, and type-changed columns surface") {
     import graft.profile.SchemaDrift
     val df = Tables.load(spark, SparkTestSession.sf, "events")
