@@ -150,6 +150,30 @@ class QualitySpec extends AnyFunSuite {
     assert(names.size == 27, names)
   }
 
+  test("outcome export round-trips the nested TestOutcomes shape") {
+    import graft.quality.OutcomeExport
+    val df = Tables.load(spark, SparkTestSession.sf, "customer")
+    val results = TestEvaluator.run(df, Suites.customer)
+    val n = results.count()
+    val events = OutcomeExport.pack(results, "suite-1", chunkSize = 7)
+    val evs = events.collect()
+    assert(evs.length == ((n + 6) / 7).toInt) // ceil(n/7) chunks of ≤7
+    assert(evs.map(_.getAs[Long]("n_outcomes")).sum == n)
+    val back = OutcomeExport.unpack(events).collect()
+    assert(back.length == n.toInt)
+    // content round-trips (order within a chunk is not significant)
+    val got = back.map(r => (r.getAs[String]("table_name"),
+      r.getAs[String]("column_name"), r.getAs[String]("name"),
+      r.getAs[String]("status"))).toSet
+    val want = results.collect().map(r => (r.getAs[String]("table_name"),
+      r.getAs[String]("column_name"), r.getAs[String]("test_type"),
+      r.getAs[String]("status"))).toSet
+    assert(got == want)
+    // the A7-style threshold lift out of the nested params array works
+    assert(back.forall(r => r.getAs[String]("threshold_param") ==
+      f"${r.getAs[Double]("max_threshold")}%.4f"))
+  }
+
   test("count-family tri-state: pass, warn band, fail") {
     val df = Seq.tabulate(1000)(i => (i.toLong,
       if (i < 3) null else "x")).toDF("id", "s")
