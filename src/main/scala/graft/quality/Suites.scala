@@ -116,6 +116,46 @@ object Suites {
       "Threshold_Value" -> "10"),
   )
 
+  /** Quality tests over the event-stream table itself — the reference
+    * profiles and tests the Observability store's tables like any other
+    * (dataset components carry testgen integrations, demo_helper.py:
+    * 971-989); baselines pinned from the sf0.001 events profile.
+    */
+  val events: Seq[TestDef] = Seq(
+    t("events", "N/A", "Row_Ct", "Baseline_Ct" -> "1000",
+      "Threshold_Value" -> "1000"),
+    t("events", "N/A", "Row_Ct_Pct", "Baseline_Ct" -> "1000",
+      "Threshold_Value" -> "10"),
+    t("events", "event_id", "Unique", "Threshold_Value" -> "0"),
+    t("events", "event_type", "LOV_Match",
+      "Baseline_Value" -> "('click','error','purchase','signup','view')",
+      "Threshold_Value" -> "0"),
+    t("events", "event_type", "LOV_All",
+      "Baseline_Value" -> "('click','error','purchase','signup','view')",
+      "Threshold_Value" -> "0"),
+    t("events", "event_type", "Distinct_Value_Ct",
+      "Baseline_Value" -> "5", "Threshold_Value" -> "5"),
+    t("events", "value", "Min_Val", "Baseline_Value" -> "0.03",
+      "Threshold_Value" -> "0"),
+    t("events", "value", "Avg_Shift", "Baseline_Value_Ct" -> "1000",
+      "Baseline_Avg" -> "50.05019",
+      "Baseline_SD" -> "47.551234039955496", "Threshold_Value" -> "0.5"),
+    t("events", "value", "Incr_Avg_Shift", "Baseline_Value_Ct" -> "1000",
+      "Baseline_Sum" -> "50050.19", "Baseline_Avg" -> "50.05019",
+      "Baseline_SD" -> "47.551234039955496", "Threshold_Value" -> "2"),
+    t("events", "ts", "Min_Date",
+      "Baseline_Value" -> "2024-01-01 00:00:00", "Threshold_Value" -> "0"),
+    t("events", "ts", "Future_Date", "Threshold_Value" -> "0"),
+    t("events", "ts", "Recency", "Threshold_Value" -> "1000"),
+    t("events", "ts", "Distinct_Date_Ct", "Baseline_Value" -> "30",
+      "Threshold_Value" -> "30"),
+    t("events", "ts", "Daily_Record_Ct", "Threshold_Value" -> "0"),
+    t("events", "user_id", "Distinct_Value_Ct", "Baseline_Value" -> "15",
+      "Threshold_Value" -> "15"),
+    t("events", "props", "Required", "Threshold_Value" -> "0"),
+  )
+
   val all: Map[String, Seq[TestDef]] = Map(
-    "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer)
+    "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
+    "events" -> events)
 }

@@ -34,6 +34,7 @@ object QualityQueries {
     "dq_lineitem" -> suite("lineitem") _,
     "dq_orders" -> suite("orders") _,
     "dq_customer" -> suite("customer") _,
+    "dq_events" -> suite("events") _,
     "dq_autogen_lineitem" -> (autogen _),
     "dq_autogen_documents" -> (autogenDocs _),
     "hygiene_customer" -> hygiene("customer") _,
@@ -45,6 +46,7 @@ object QualityQueries {
     "dq_lineitem" -> TestEvaluator.oracleSql("lineitem", Suites.lineitem),
     "dq_orders" -> TestEvaluator.oracleSql("orders", Suites.orders),
     "dq_customer" -> TestEvaluator.oracleSql("customer", Suites.customer),
+    "dq_events" -> TestEvaluator.oracleSql("events", Suites.events),
     "dq_autogen_lineitem" ->
       TestEvaluator.oracleSql("lineitem", PinnedBaselines.lineitemDefs),
     "dq_autogen_documents" ->
