@@ -22,8 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two array<double> columns. */
+  /** Left-to-right dot product of two array<double> columns — the native
+    * codegen'd expression (graft.functions.DotProduct); bit-identical to
+    * [[dotHof]] but runs inside WholeStageCodegen.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
+
+  /** The same fold through built-in higher-order functions (interpreted
+    * lambda per element) — kept as the parity reference for SimSpec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -25,6 +25,19 @@ class SimSpec extends AnyFunSuite {
       .toSeq == Seq(4L, 3L, 2L))
   }
 
+  test("native dot product matches the HOF fold bit-for-bit") {
+    val e = Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val rows = pairs.select(
+      Similarity.dot(col("a.v"), col("b.v")).as("native"),
+      Similarity.dotHof(col("a.v"), col("b.v")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    // IEEE-identical, not approximately equal: same accumulation order
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine near-dup pairs surface planted duplicates only") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
