@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.profile.{ProfileCompare, ProfileOracle, Profiler, SchemaDrift}
+import graft.profile.{DriftPsi, ProfileCompare, ProfileOracle, Profiler,
+  SchemaDrift}
 import graft.quality.PinnedBaselines
 
 /** Profiling surface wired into the driver contract (SparkEntry). */
@@ -17,6 +18,20 @@ object ProfileQueries {
   private def compareLineitem(s: SparkSession, dir: String): DataFrame =
     ProfileCompare.diffAgainstPinned(Tables.load(s, dir, "lineitem"),
       "lineitem", PinnedBaselines.lineitem, s)
+
+  /** PSI bins pinned from the sf0.001 l_extendedprice profile: uniform
+    * decile bins over the observed [min, max] and the baseline fraction
+    * of rows in each.
+    */
+  val PsiMin = 914.44
+  val PsiMax = 104998.18
+  val PsiCounts: Seq[Long] =
+    Seq(604L, 596L, 611L, 585L, 615L, 589L, 566L, 627L, 620L, 587L)
+  val PsiTotal = 6000L
+
+  private def driftPsi(s: SparkSession, dir: String): DataFrame =
+    DriftPsi.psi(Tables.load(s, dir, "lineitem"), "lineitem",
+      "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal, s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_customer" -> prof("customer") _,
@@ -34,6 +49,7 @@ object ProfileQueries {
     "profile_compare_lineitem" -> (compareLineitem _),
     "schema_drift_events" -> ((s: SparkSession, dir: String) =>
       SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
+    "drift_psi_lineitem" -> (driftPsi _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -48,5 +64,7 @@ object ProfileQueries {
     "profile_compare_lineitem" ->
       ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
     "schema_drift_events" -> SchemaDrift.oracleSql("events"),
+    "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
+      "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),
   )
 }

@@ -138,6 +138,21 @@ class ProfilerSpec extends AnyFunSuite {
     assert(rows("event_id") == "ok")
   }
 
+  test("PSI stays near zero in-distribution and alarms on planted drift") {
+    import graft.profile.DriftPsi
+    import org.apache.spark.sql.functions.{col, rand}
+    val base = Seq.fill(4)(Seq.tabulate(1000)(i => i.toDouble)).flatten
+      .toDF("x") // uniform over [0, 1000)
+    val counts = Seq.fill(10)(100L)
+    def total(df: org.apache.spark.sql.DataFrame) =
+      DriftPsi.psi(df, "t", "x", 0.0, 999.0, counts, 1000L, spark)
+        .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(total(base)) < 0.01) // same distribution → PSI ≈ 0
+    // planted drift: squash everything into the bottom half
+    val drifted = base.select((col("x") / 2).as("x"))
+    assert(total(drifted) > 0.2) // conventional re-baseline alarm
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()
