@@ -116,8 +116,15 @@ object TestEvaluator {
 
   // ------------------------------------------------------------------------
 
-  def compile(d: TestDef): Compiled = {
-    val base = compileBase(d)
+  /** `approxDistinct = true` swaps every exact distinct-count measure for
+    * an HLL sketch (`approx_count_distinct`) — sketches need no Expand
+    * and no separate pass, so the whole suite evaluates in ONE scan.
+    * This is the at-scale mode, mirroring Profiler's: exact under oracle
+    * parity, sketched when a ±2% distinct estimate is acceptable.
+    */
+  def compile(d: TestDef, approxDistinct: Boolean = false): Compiled = {
+    val base = compileBase(d, approxDistinct)
+    if (approxDistinct) return base // sketches share the base pass
     val dk = d.testType match {
       case "Unique_Pct" | "Unique" | "Distinct_Value_Ct" =>
         Some(s"col:${d.column}")
@@ -135,7 +142,11 @@ object TestEvaluator {
     base.copy(distinctKey = dk)
   }
 
-  private def compileBase(d: TestDef): Compiled = {
+  private def compileBase(d: TestDef, approxDistinct: Boolean): Compiled = {
+    // shadows the object-level exact helper when sketching
+    def nDist(c: Column): Column =
+      if (approxDistinct) approx_count_distinct(c).cast(D)
+      else countDistinct(c).cast(D)
     val c = col(d.column)
     val cs = d.column
     def T = d.pDOr("Threshold_Value", 0.0)
@@ -405,9 +416,10 @@ object TestEvaluator {
     * measures plus one narrow pass per distinct expression (see class doc),
     * all one-row results crossJoined back together.
     */
-  def run(df: DataFrame, defs: Seq[TestDef]): DataFrame = {
+  def run(df: DataFrame, defs: Seq[TestDef],
+          approxDistinct: Boolean = false): DataFrame = {
     require(defs.nonEmpty)
-    val compiled = defs.map(compile)
+    val compiled = defs.map(compile(_, approxDistinct))
     val indexed = compiled.zipWithIndex
     val byKey = indexed.groupBy(_._1.distinctKey)
     val plain = byKey.getOrElse(None, Seq.empty)

@@ -150,6 +150,33 @@ class QualitySpec extends AnyFunSuite {
     assert(names.size == 27, names)
   }
 
+  test("approx-distinct mode evaluates in one scan with matching statuses") {
+    val df = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val exact = TestEvaluator.run(df, Suites.lineitem)
+    val approx = TestEvaluator.run(df, Suites.lineitem,
+      approxDistinct = true)
+    // one scan: no crossJoin recombination in the plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // sketch error (~2%) may move a distinct-backed verdict into the
+    // adjacent band near a tight threshold; it must never cross two
+    // bands, and non-distinct tests are untouched by the mode
+    val distinctBacked = Set("Unique_Pct", "Unique", "Distinct_Value_Ct",
+      "LOV_All", "Distinct_Date_Ct", "Daily_Record_Ct", "Monthly_Rec_Ct",
+      "Weekly_Rec_Ct")
+    def statuses(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[String]("column_name"),
+        r.getAs[String]("test_type")) -> r.getAs[String]("status")).toMap
+    val e = statuses(exact); val a = statuses(approx)
+    val rank = Map("PASSED" -> 0, "WARNING" -> 1, "FAILED" -> 2)
+    e.foreach { case (k @ (_, tt), es) =>
+      if (distinctBacked(tt))
+        assert(math.abs(rank(a(k)) - rank(es)) <= 1, s"$k: $es -> ${a(k)}")
+      else assert(a(k) == es, s"$k: $es -> ${a(k)}")
+    }
+  }
+
   test("outcome export round-trips the nested TestOutcomes shape") {
     import graft.quality.OutcomeExport
     val df = Tables.load(spark, SparkTestSession.sf, "customer")
