@@ -77,6 +77,25 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("expected_start"), lit("LATE_START").as("alert"))
 
+  /** Streaming profile: running per-column statistics over the stream —
+    * the profiling core (M1) under Structured Streaming. All statistics
+    * are algebraic or sketch-based (counts, min/max, decimal sums, HLL
+    * distincts), so they fold per micro-batch in update mode with no
+    * extra state; this is the streaming analog of
+    * Profiler.profile(exactDistinct = false)'s one-scan shape.
+    */
+  def streamingProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_value_ct"),
+        count(when(col(c).isNull, 1)).as(s"${c}_null_ct"),
+        approx_count_distinct(col(c)).as(s"${c}_distinct_ct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    df.groupBy().agg(count(lit(1)).as("record_ct"), aggs: _*)
+  }
+
   /** R9 streaming liveness: running max event time per agent. */
   def liveness(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))

@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming profile folds statistics across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.streamingProfile(in.toDF(),
+        Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("sprof").outputMode("update")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        SEvent(1, ts("2024-01-01 10:00:00"), 1, "view", 5.0),
+        SEvent(2, ts("2024-01-01 10:01:00"), 1, "click", 7.0))
+      q.processAllAvailable()
+      in.addData(SEvent(3, ts("2024-01-01 10:02:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val r = spark.table("sprof").orderBy(col("record_ct").desc)
+        .collect().head
+      assert(r.getAs[Long]("record_ct") == 3)
+      assert(r.getAs[Long]("event_type_distinct_ct") == 2)
+      assert(r.getAs[String]("value_min").toDouble == 2.0)
+      assert(r.getAs[String]("value_max").toDouble == 7.0)
+    } finally q.stop()
+  }
+
   test("the batch rule engine runs unchanged on a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
