@@ -34,4 +34,20 @@ object Skew {
       .agg(sum(col(valueCol)).as("__s"))
       .groupBy(col(keyCol))
       .agg(sum(col("__s")).as("total"))
+
+  /** Skewed equi-join: salt the big (skewed) side into `buckets` sub-keys
+    * and replicate the small side once per bucket, so no single reducer
+    * owns a hot key — identical join semantics, buckets× the small side's
+    * shuffle volume. Prefer AQE's skew-join split when it applies (sort-
+    * merge joins it can observe at runtime); salting is for the cases it
+    * can't, e.g. when the skewed side feeds a grouped aggregation on the
+    * same key.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+                 buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", salt(buckets))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
 }

@@ -116,6 +116,16 @@ class JobsSpec extends AnyFunSuite {
     assert(saltedSum.keySet == directSum.keySet)
     assert(saltedSum.forall { case (k, v) =>
       math.abs(v - directSum(k)) < 1e-6 })
+    // salted join returns exactly the plain join's rows on skewed keys
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "label")
+    val plainJoin = df.join(dim, Seq("k")).groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    val saltedJoin = graft.operators.Skew.saltedJoin(df, dim, "k", 16)
+      .groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(saltedJoin == plainJoin)
   }
 
   test("steps share context; a profile→generate→evaluate pipeline runs") {
