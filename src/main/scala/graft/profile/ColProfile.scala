@@ -34,6 +34,69 @@ case class ColProfile(
 
 object ColProfile {
 
+  /** Merge two partial profiles of the SAME column over disjoint row
+    * sets — the incremental-profiling primitive: at 100 TB, profile only
+    * the new partitions and merge into the standing baseline instead of
+    * rescanning history. Algebraic statistics (counts, sums, min/max)
+    * merge exactly; derived ones (avg) re-derive from the merged sums;
+    * non-mergeable ones (distinct counts, stddev without the second
+    * moment, percentiles) come back None — callers needing those at scale
+    * keep mergeable sketches instead (HLL via approx mode, KLL for
+    * quantiles).
+    */
+  def merge(a: ColProfile, b: ColProfile): ColProfile = {
+    require(a.table == b.table && a.column == b.column,
+      s"cannot merge ${a.table}.${a.column} with ${b.table}.${b.column}")
+    def addL(x: Option[Long], y: Option[Long]) =
+      for (i <- x; j <- y) yield i + j
+    def addD(x: Option[Double], y: Option[Double]) =
+      for (i <- x; j <- y) yield i + j
+    def minD(x: Option[Double], y: Option[Double]) =
+      (x ++ y).reduceOption((p: Double, q: Double) => math.min(p, q))
+    def maxD(x: Option[Double], y: Option[Double]) =
+      (x ++ y).reduceOption((p: Double, q: Double) => math.max(p, q))
+    def minS(x: Option[String], y: Option[String]) =
+      (x ++ y).reduceOption((p, q) => if (p <= q) p else q)
+    def maxS(x: Option[String], y: Option[String]) =
+      (x ++ y).reduceOption((p, q) => if (p >= q) p else q)
+    val valueCt = a.valueCt + b.valueCt
+    val sumNum = addD(a.sumNum, b.sumNum)
+    a.copy(
+      recordCt = a.recordCt + b.recordCt,
+      valueCt = valueCt,
+      nullCt = a.nullCt + b.nullCt,
+      distinctCt = -1L, // not mergeable exactly; use HLL sketches at scale
+      minLen = (a.minLen ++ b.minLen)
+        .reduceOption((p: Long, q: Long) => math.min(p, q)),
+      maxLen = (a.maxLen ++ b.maxLen)
+        .reduceOption((p: Long, q: Long) => math.max(p, q)),
+      avgLen = None,
+      blankCt = addL(a.blankCt, b.blankCt),
+      minStr = minS(a.minStr, b.minStr),
+      maxStr = maxS(a.maxStr, b.maxStr),
+      minNum = minD(a.minNum, b.minNum),
+      maxNum = maxD(a.maxNum, b.maxNum),
+      avgNum = sumNum.map(s => if (valueCt == 0) 0.0 else s / valueCt),
+      stdevNum = None, // needs the second-moment sum; profile keeps it
+      sumNum = sumNum,
+      fracSum = addD(a.fracSum, b.fracSum),
+      zeroCt = addL(a.zeroCt, b.zeroCt),
+      negCt = addL(a.negCt, b.negCt),
+      minTs = minS(a.minTs, b.minTs),
+      maxTs = maxS(a.maxTs, b.maxTs),
+      distinctDateCt = None,
+      embeddedSpaceCt = addL(a.embeddedSpaceCt, b.embeddedSpaceCt),
+      upperCt = addL(a.upperCt, b.upperCt),
+      lowerCt = addL(a.lowerCt, b.lowerCt),
+      numericStrCt = addL(a.numericStrCt, b.numericStrCt),
+      dateStrCt = addL(a.dateStrCt, b.dateStrCt),
+      posCt = addL(a.posCt, b.posCt),
+      fracValueCt = addL(a.fracValueCt, b.fracValueCt),
+      futureCt = addL(a.futureCt, b.futureCt),
+      weekendCt = addL(a.weekendCt, b.weekendCt),
+      spanDays = None, recencyDays = None)
+  }
+
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(java.time.ZoneOffset.UTC)

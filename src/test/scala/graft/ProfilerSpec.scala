@@ -153,6 +153,34 @@ class ProfilerSpec extends AnyFunSuite {
     assert(total(drifted) > 0.2) // conventional re-baseline alarm
   }
 
+  test("partial profiles merge to the whole-table profile") {
+    import graft.profile.ColProfile
+    val df = Tables.load(spark, SparkTestSession.sf, "orders")
+    val half1 = df.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 2 === 0)
+    val half2 = df.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 2 === 1)
+    def prof(d: org.apache.spark.sql.DataFrame) =
+      ColProfile.fromRows(Profiler.profile(d, "orders"))
+        .map(p => p.column -> p).toMap
+    val whole = prof(df)
+    val merged = prof(half1).map { case (c, p) =>
+      c -> ColProfile.merge(p, prof(half2)(c))
+    }
+    merged.foreach { case (c, m) =>
+      val w = whole(c)
+      assert(m.recordCt == w.recordCt && m.valueCt == w.valueCt &&
+        m.nullCt == w.nullCt, c)
+      assert(m.minNum == w.minNum && m.maxNum == w.maxNum, c)
+      assert(m.minStr == w.minStr && m.maxStr == w.maxStr, c)
+      assert(m.minTs == w.minTs && m.maxTs == w.maxTs, c)
+      for (ms <- m.sumNum; ws <- w.sumNum)
+        assert(math.abs(ms - ws) < 1e-6, c)
+      for (ma <- m.avgNum; wa <- w.avgNum)
+        assert(math.abs(ma - wa) < 1e-4, c)
+    }
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()
