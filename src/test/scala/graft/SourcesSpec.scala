@@ -81,6 +81,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(sizes.asScala.forall(_ <= 100))
   }
 
+  test("every reference-shipped test definition parses and compiles") {
+    // the reference's real TestGen output: 823 rows, 25 test types
+    // (reference demo/input_data/data_tests.csv). Every row must parse
+    // into a TestDef and compile into a measure expression — proof the
+    // engine accepts the reference's full shipped test corpus verbatim.
+    val path = "/root/reference/demo/input_data/data_tests.csv"
+    assume(new java.io.File(path).exists())
+    val defs = Sources.testDefsFromCsv(spark, path)
+    assert(defs.size >= 800)
+    assert(defs.map(_.testType).distinct.size == 25)
+    val compiled = defs.map(graft.quality.TestEvaluator.compile(_))
+    assert(compiled.size == defs.size)
+    // spot-check a parsed parameter map survived the quoted-CSV + k=v trip
+    val alpha = defs.find(d => d.testType == "Alpha_Trunc" &&
+      d.column == "accreditation").get
+    assert(alpha.pD("Baseline_Value") == 7.0)
+    assert(alpha.pD("Threshold_Value") == 0.0)
+  }
+
   test("JDBC round-trip against embedded Derby pushes filters down") {
     val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
