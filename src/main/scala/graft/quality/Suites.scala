@@ -55,6 +55,15 @@ object Suites {
       "Baseline_SD" -> "14.521173370343169", "Threshold_Value" -> "0.05"),
     t("lineitem", "l_suppkey", "Distinct_Value_Ct",
       "Baseline_Value" -> "10", "Threshold_Value" -> "10"),
+    // the reference's two custom test types: user-authored SQL shared
+    // verbatim by the Spark plan and the oracle
+    t("lineitem", "l_quantity", "Custom_Condition",
+      "Condition" -> "l_quantity >= 1 AND l_quantity <= 50",
+      "Threshold_Value" -> "0"),
+    t("lineitem", "l_extendedprice", "Custom_Agg",
+      "Expression" ->
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
+      "Threshold_Value" -> "300000000"),
   )
 
   val orders: Seq[TestDef] = Seq(

@@ -6,10 +6,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Evaluates data-quality tests — the engine core re-expressing the
   * reference's 25 column-test types (reference demo/input_data/data_tests.csv;
-  * semantics per each type's description column, SURVEY.md §2.B) plus six
+  * semantics per each type's description column, SURVEY.md §2.B) plus seven
   * extended types toward the reference's declared 32-generated-type surface
-  * (reference README.md:207-209): Row_Ct_Pct, LOV_All, Daily_Record_Ct,
-  * Valid_Month, Valid_US_Zip, Valid_Characters — as ONE wide
+  * (reference README.md:207-209): Row_Ct_Pct, LOV_All, Max_Val,
+  * Daily_Record_Ct, Valid_Month, Valid_US_Zip, Valid_Characters — and the
+  * reference's "+2 custom test types" (Custom_Condition, Custom_Agg:
+  * user-authored SQL shared verbatim with the oracle) — as ONE wide
   * Spark aggregation pass per table plus scalar threshold math.
   *
   * Execution shape (100 TB): all non-distinct measures for all tests on a
@@ -239,6 +241,21 @@ object TestEvaluator {
         val bound = d.pD("Baseline_Value") - T
         countFam(cnt(c < lit(bound)), cntSql(s"$cs < $bound"),
           "Values lower than baseline minimum found.", 0.0)
+
+      case "Custom_Condition" =>
+        // the reference's "+2 custom test types" (README.md:207-209):
+        // a user-supplied row-level boolean; violations are rows where it
+        // does not hold. The SQL text is shared VERBATIM between the
+        // Spark plan (expr) and the oracle — ANSI expressions only.
+        val cond = d.pS("Condition")
+        countFam(cnt(!expr(cond)), cntSql(s"NOT ($cond)"),
+          "Rows violating the custom condition found.")
+
+      case "Custom_Agg" =>
+        // custom aggregate expression, floor-compared to the threshold
+        val e = d.pS("Expression")
+        floorFam(expr(e).cast(D), s"CAST($e AS DOUBLE)",
+          "Custom aggregate fell below its threshold.", T)
 
       case "Max_Val" =>
         // maximum no higher than baseline maximum + threshold headroom

@@ -150,6 +150,18 @@ class QualitySpec extends AnyFunSuite {
     assert(names.size == 27, names)
   }
 
+  test("custom condition and aggregate tests evaluate user SQL") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (60.0, 30.0)).toDF("q", "p")
+    val r = results(df, Seq(
+      TestDef("t", "q", "Custom_Condition",
+        Map("Condition" -> "q >= 1 AND q <= 50", "Threshold_Value" -> "0")),
+      TestDef("t", "p", "Custom_Agg",
+        Map("Expression" -> "CAST(sum(p) AS DOUBLE)",
+          "Threshold_Value" -> "100"))))
+    assert(r(("q", "Custom_Condition"))._1 == 1.0) // 60.0 violates
+    assert(r(("p", "Custom_Agg")) == (60.0, "FAILED")) // 60 < 100 floor
+  }
+
   test("approx-distinct mode evaluates in one scan with matching statuses") {
     val df = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val exact = TestEvaluator.run(df, Suites.lineitem)
