@@ -79,7 +79,7 @@ object Profiler {
       } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
         approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
       }).toSeq
-    val baseAggs = fields.map { case (f, i) =>
+    val baseAggs = fields.toSeq.map { case (f, i) =>
       columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
     } ++ approxAggs
     val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
@@ -96,7 +96,7 @@ object Profiler {
       }).toSeq
     val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
 
-    val structs = fields.map { case (f, i) =>
+    val structs = fields.toSeq.map { case (f, i) =>
       val isTs = f.dataType == TimestampType
       val baseCols = BaseFieldsHead.map(n => col(s"__p_$i.$n").as(n))
       val tailCols = BaseFieldsTail.map(n => col(s"__p_$i.$n").as(n))

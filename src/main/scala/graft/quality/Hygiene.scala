@@ -175,7 +175,7 @@ object Hygiene {
 
   /** All hygiene findings for a table in one aggregation pass. */
   def report(df: DataFrame, tableName: String): DataFrame = {
-    val entries = df.schema.fields
+    val entries = df.schema.fields.toSeq
       .filter(f => graft.profile.Profiler.isProfilable(f.dataType))
       .flatMap(f => detectors(f).map(d => (f.name, d)))
     require(entries.nonEmpty, s"no profilable columns in $tableName")
