@@ -180,6 +180,39 @@ object EventOps {
         lit("CALL_WEBHOOK").as("action"))
       .orderBy("event_id")
 
+  /** Keyed as-of join: attach to each left row the LATEST right row with
+    * the same key and rightTs ≤ leftTs — the primitive behind schedule
+    * lateness (run start vs nearest expected slot) and journey-instance
+    * attribution (event vs its run's START), SURVEY §2.C R2/R3.
+    *
+    * Spark-first shape: tag both sides, union, ONE window partitioned by
+    * key ordered by (ts, side) carrying the right payload forward with
+    * last(ignoreNulls). A single hash shuffle on the key — no per-row
+    * subquery, no range-join row explosion; both sides may be fact-sized.
+    * Right rows sort before left rows at equal timestamps, so an exactly
+    * coincident right row is visible to the left row.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String, rightTsAs: String,
+               payload: Seq[String] = Seq.empty): DataFrame = {
+    val carried = rightTsAs +: payload
+    require(!left.columns.exists(carried.contains),
+      s"left side already has ${carried.mkString(",")}")
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(
+        (col(key) +: col(tsCol).as(rightTsAs) +: payload.map(col)): _*)
+      .withColumn(tsCol, col(rightTsAs))
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(tsCol, "__side")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carried.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+      .filter(col(rightTsAs).isNotNull)
+  }
+
   /** Declarative alert rule — the reference's `simple_v1` rule schema
     * (run-state / metric-comparison conditions → email/webhook actions
     * with payload templating, reference demo_helper.py:1876-1956).

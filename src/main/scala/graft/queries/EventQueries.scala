@@ -241,6 +241,30 @@ object EventQueries {
        |  round(CAST(sum(k) AS DOUBLE)/count(k), 4) AS avg_k
        |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- as-of join: event → its run's START (R2/R3 primitive) --------------
+
+  def asOfRunStart(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val starts = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    EventOps.asOfJoin(events, starts, "user_id", "ts", "run_start")
+      .select(col("event_id"), col("user_id"), col("ts"), col("run_start"),
+        expr("(unix_micros(ts) - unix_micros(run_start)) div 1000000")
+          .as("secs_since_start"))
+      .orderBy("event_id")
+  }
+
+  val asOfRunStartSql: String =
+    s"""$EvCte,
+       |starts AS (SELECT user_id, ts AS run_start FROM ev
+       |  WHERE event_type = 'signup')
+       |SELECT e.event_id, e.user_id, e.ts, s.run_start,
+       |  date_diff('microsecond', s.run_start, e.ts) // 1000000
+       |    AS secs_since_start
+       |FROM ev e ASOF JOIN starts s
+       |  ON e.user_id = s.user_id AND e.ts >= s.run_start
+       |ORDER BY e.event_id""".stripMargin
+
   // ---- generalized rule engine (R5/R6 unified) ----------------------------
 
   /** Three reference-shaped rules: a metric comparison on the value
@@ -351,6 +375,7 @@ object EventQueries {
     "ev_liveness" -> (liveness _),
     "ev_props_agg" -> (propsAgg _),
     "ev_rule_engine" -> (ruleEngine _),
+    "ev_asof_run_start" -> (asOfRunStart _),
     "ev_entity_search" -> (entitySearch _),
     "ev_upsert" -> (upsert _),
   )
@@ -368,6 +393,7 @@ object EventQueries {
     "ev_liveness" -> livenessSql,
     "ev_props_agg" -> propsAggSql,
     "ev_rule_engine" -> ruleEngineSql,
+    "ev_asof_run_start" -> asOfRunStartSql,
     "ev_entity_search" -> entitySearchSql,
     "ev_upsert" -> upsertSql,
   )

@@ -111,6 +111,20 @@ class EventsSpec extends AnyFunSuite {
     assert(spike.isNullAt(spike.fieldIndex("z")))
   }
 
+  test("as-of join attaches the latest preceding right row per key") {
+    val starts = fixture.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    val joined = EventOps.asOfJoin(fixture, starts, "user_id", "ts",
+      "run_start").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Timestamp]("run_start")).toMap
+    // every user-1 event attributes to the 10:00 signup (self included)
+    assert(joined(1L) == ts("2024-01-01 10:00:00"))
+    assert(joined(4L) == ts("2024-01-01 10:00:00"))
+    assert(joined(6L) == ts("2024-01-01 09:00:00")) // user 2's signup
+    assert(joined.size == fixture.count()) // no event precedes its signup
+  }
+
   test("bounded journey instances close at END and exclude strays") {
     val inst = EventOps.journeyInstancesBounded(fixture, "signup",
       "purchase").collect()
