@@ -30,7 +30,9 @@ case class ColProfile(
     dateStrCt: Option[Long] = None, posCt: Option[Long] = None,
     fracValueCt: Option[Long] = None, futureCt: Option[Long] = None,
     weekendCt: Option[Long] = None,
-    spanDays: Option[Long] = None, recencyDays: Option[Long] = None)
+    spanDays: Option[Long] = None, recencyDays: Option[Long] = None,
+    p25Num: Option[Double] = None, medianNum: Option[Double] = None,
+    p75Num: Option[Double] = None)
 
 object ColProfile {
 
@@ -94,7 +96,9 @@ object ColProfile {
       fracValueCt = addL(a.fracValueCt, b.fracValueCt),
       futureCt = addL(a.futureCt, b.futureCt),
       weekendCt = addL(a.weekendCt, b.weekendCt),
-      spanDays = None, recencyDays = None)
+      spanDays = None, recencyDays = None,
+      // percentiles are not exactly mergeable — keep KLL sketches at scale
+      p25Num = None, medianNum = None, p75Num = None)
   }
 
   private val TsFmt = java.time.format.DateTimeFormatter
@@ -130,7 +134,8 @@ object ColProfile {
         l("embedded_space_ct"), l("upper_ct"), l("lower_ct"),
         l("numeric_str_ct"), l("date_str_ct"), l("pos_ct"),
         l("frac_value_ct"), l("future_ct"), l("weekend_ct"),
-        l("span_days"), l("recency_days"))
+        l("span_days"), l("recency_days"),
+        d("p25_num"), d("median_num"), d("p75_num"))
     }
   }
 }

@@ -242,6 +242,21 @@ object TestEvaluator {
         countFam(cnt(c < lit(bound)), cntSql(s"$cs < $bound"),
           "Values lower than baseline minimum found.", 0.0)
 
+      case "Outlier_IQR" =>
+        // fraction outside Tukey fences [p25−1.5·IQR, p75+1.5·IQR]
+        // derived from baseline quantiles (the profiler's p25/p75
+        // characteristics); an extended outlier test alongside the
+        // SD-based Outlier_Pct pair (data_tests.csv rows 22-23)
+        val p25 = d.pD("Baseline_P25"); val p75 = d.pD("Baseline_P75")
+        val iqr = p75 - p25
+        val lo = p25 - 1.5 * iqr; val hi = p75 + 1.5 * iqr
+        sigmaFam(
+          when(nVal(c) > 0, round(cnt(c < lo || c > hi) / nVal(c), 4))
+            .otherwise(0.0),
+          s"CASE WHEN ${nValSql(cs)} > 0 THEN round(${cntSql(s"$cs < $lo OR $cs > $hi")}/${nValSql(cs)}, 4) ELSE 0.0 END",
+          "Fraction of values outside the IQR fences exceeds threshold.",
+          T)
+
       case "Custom_Condition" =>
         // the reference's "+2 custom test types" (README.md:207-209):
         // a user-supplied row-level boolean; violations are rows where it

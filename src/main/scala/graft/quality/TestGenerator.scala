@@ -28,9 +28,12 @@ import org.apache.spark.sql.DataFrame
   *   Monthly_Rec_Ct / Weekly_Rec_Ct ← timestamp with dense date coverage
   *   Daily_Record_Ct   ← timestamp with every day of its span present
   *   Distinct_Value_Ct ← low-cardinality column (≤ 50 distinct)
+  *   Outlier_IQR       ← numeric with baseline p25/p75 characteristics
   *
-  * 32 emitted types — matching the breadth the reference declares
-  * ("auto-generation of 32 data quality validation tests").
+  * 33 emitted types — exceeding the breadth the reference declares
+  * ("auto-generation of 32 data quality validation tests"); the two
+  * Custom_* types (user-authored SQL) are additionally evaluator-supported,
+  * mirroring the reference's "+2 custom test types".
   */
 object TestGenerator {
 
@@ -198,6 +201,11 @@ object TestGenerator {
           for (fs <- cp.fracSum if fs > 0)
             b += TestDef(table, c, "Dec_Trunc",
               p("Threshold_Value" -> fs.toString))
+          // IQR fences from the baseline quantile characteristics
+          for (q1 <- cp.p25Num; q3 <- cp.p75Num if q3 > q1)
+            b += TestDef(table, c, "Outlier_IQR",
+              p("Baseline_P25" -> q1.toString, "Baseline_P75" -> q3.toString,
+                "Threshold_Value" -> "0.1"))
         }
 
         if (isTs) {

@@ -150,6 +150,24 @@ class QualitySpec extends AnyFunSuite {
     assert(names.size == 27, names)
   }
 
+  test("IQR outlier test fires on heavy tails, passes on uniform data") {
+    // uniform 0..99: fences are far outside the data → fraction 0
+    val uniform = Seq.tabulate(100)(_.toDouble).toDF("x")
+    val defs = Seq(TestDef("t", "x", "Outlier_IQR",
+      Map("Baseline_P25" -> "25.0", "Baseline_P75" -> "75.0",
+        "Threshold_Value" -> "0.1")))
+    assert(results(uniform, defs)(("x", "Outlier_IQR")) == (0.0, "PASSED"))
+    // shifted regime: most values land outside the old fences → FAILED
+    val shifted = Seq.tabulate(100)(i => 500.0 + i).toDF("x")
+    val (m, s) = results(shifted, defs)(("x", "Outlier_IQR"))
+    assert(m == 1.0 && s == "FAILED")
+    // generator emits it when quantile characteristics are present
+    val prof = graft.profile.ColProfile.fromRows(
+      graft.profile.Profiler.profile(uniform, "t"))
+    val gen = TestGenerator.generate(prof, Map.empty)
+    assert(gen.exists(_.testType == "Outlier_IQR"))
+  }
+
   test("custom condition and aggregate tests evaluate user SQL") {
     val df = Seq((1.0, 10.0), (2.0, 20.0), (60.0, 30.0)).toDF("q", "p")
     val r = results(df, Seq(
