@@ -198,18 +198,21 @@ object EventOps {
     val carried = rightTsAs +: payload
     require(!left.columns.exists(carried.contains),
       s"left side already has ${carried.mkString(",")}")
+    // Carry ONE struct of (rightTsAs, payload...) so every carried field
+    // comes from the same right row — per-column last(ignoreNulls) would
+    // stitch a composite row when a payload value is NULL.
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(
-        (col(key) +: col(tsCol).as(rightTsAs) +: payload.map(col)): _*)
-      .withColumn(tsCol, col(rightTsAs))
+    val r = right.select(col(key), col(tsCol),
+        struct(col(tsCol).as(rightTsAs) +: payload.map(col): _*).as("__r"))
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(tsCol, "__side")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(u) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = u.withColumn("__r",
+      last(col("__r"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.toSeq.map(col) ++
+        carried.map(c => col(s"__r.$c").as(c)): _*)
       .filter(col(rightTsAs).isNotNull)
   }
 

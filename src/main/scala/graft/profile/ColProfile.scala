@@ -16,7 +16,7 @@ import org.apache.spark.sql.DataFrame
   */
 case class ColProfile(
     table: String, column: String, ordinal: Long, dataType: String,
-    recordCt: Long, valueCt: Long, nullCt: Long, distinctCt: Long,
+    recordCt: Long, valueCt: Long, nullCt: Long, distinctCt: Option[Long],
     minLen: Option[Long], maxLen: Option[Long], avgLen: Option[Double],
     blankCt: Option[Long], minStr: Option[String], maxStr: Option[String],
     minNum: Option[Double], maxNum: Option[Double], avgNum: Option[Double],
@@ -67,7 +67,7 @@ object ColProfile {
       recordCt = a.recordCt + b.recordCt,
       valueCt = valueCt,
       nullCt = a.nullCt + b.nullCt,
-      distinctCt = -1L, // not mergeable exactly; use HLL sketches at scale
+      distinctCt = None, // not mergeable exactly; use HLL sketches at scale
       minLen = (a.minLen ++ b.minLen)
         .reduceOption((p: Long, q: Long) => math.min(p, q)),
       maxLen = (a.maxLen ++ b.maxLen)
@@ -125,7 +125,7 @@ object ColProfile {
         r.getAs[String]("table_name"), r.getAs[String]("column_name"),
         r.getAs[Long]("ordinal"), r.getAs[String]("data_type"),
         r.getAs[Long]("record_ct"), r.getAs[Long]("value_ct"),
-        r.getAs[Long]("null_ct"), r.getAs[Long]("distinct_ct"),
+        r.getAs[Long]("null_ct"), l("distinct_ct"),
         l("min_len"), l("max_len"), d("avg_len"), l("blank_ct"),
         s("min_str"), s("max_str"),
         d("min_num"), d("max_num"), d("avg_num"), d("stdev_num"),

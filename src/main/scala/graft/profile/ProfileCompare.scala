@@ -54,7 +54,7 @@ object ProfileCompare {
     import spark.implicits._
     val baseline = pinned.map { p =>
       (p.column, p.recordCt.toDouble, p.valueCt.toDouble, p.nullCt.toDouble,
-        p.distinctCt.toDouble, p.minNum, p.maxNum, p.avgNum, p.sumNum)
+        p.distinctCt.map(_.toDouble), p.minNum, p.maxNum, p.avgNum, p.sumNum)
     }.toDF("column_name" +: Stats: _*)
     diff(baseline, Profiler.profile(df, tableName))
   }
@@ -91,7 +91,7 @@ object ProfileCompare {
         "record_ct" -> p.recordCt.toDouble.toString,
         "value_ct" -> p.valueCt.toDouble.toString,
         "null_ct" -> p.nullCt.toDouble.toString,
-        "distinct_ct" -> p.distinctCt.toDouble.toString,
+        "distinct_ct" -> lit(p.distinctCt.map(_.toDouble)),
         "min_num" -> lit(p.minNum), "max_num" -> lit(p.maxNum),
         "avg_num" -> lit(p.avgNum), "sum_num" -> lit(p.sumNum))
       Stats.map { s =>

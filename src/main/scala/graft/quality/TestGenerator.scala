@@ -100,15 +100,18 @@ object TestGenerator {
               "Baseline_Value_Ct" -> cp.valueCt.toString,
               "Threshold_Value" -> "2"))
 
-        if (cp.distinctCt == cp.valueCt && cp.valueCt > 1)
-          b += TestDef(table, c, "Unique", p("Threshold_Value" -> "0"))
-        else if (cp.distinctCt > 1)
-          b += TestDef(table, c, "Unique_Pct",
-            p("Baseline_Unique_Ct" -> cp.distinctCt.toString,
-              "Baseline_Value_Ct" -> cp.valueCt.toString,
-              "Threshold_Value" -> "0.5"))
+        cp.distinctCt match {
+          case Some(d) if d == cp.valueCt && cp.valueCt > 1 =>
+            b += TestDef(table, c, "Unique", p("Threshold_Value" -> "0"))
+          case Some(d) if d > 1 =>
+            b += TestDef(table, c, "Unique_Pct",
+              p("Baseline_Unique_Ct" -> d.toString,
+                "Baseline_Value_Ct" -> cp.valueCt.toString,
+                "Threshold_Value" -> "0.5"))
+          case _ => // unknown (merged profile) or single value
+        }
 
-        if (cp.distinctCt == 1) {
+        if (cp.distinctCt.contains(1L)) {
           // single observed value: lock it down (no LOV needed — the
           // profile's min == max IS the constant)
           if (isStr) cp.minStr.foreach { v =>
@@ -121,22 +124,22 @@ object TestGenerator {
           }
         }
 
-        if (cp.distinctCt >= 2 && cp.distinctCt <= 50)
+        for (d <- cp.distinctCt if d >= 2 && d <= 50)
           b += TestDef(table, c, "Distinct_Value_Ct",
-            p("Baseline_Value" -> cp.distinctCt.toString,
-              "Threshold_Value" -> cp.distinctCt.toString))
+            p("Baseline_Value" -> d.toString,
+              "Threshold_Value" -> d.toString))
 
         if (isStr) {
           cp.maxLen.foreach { ml =>
             b += TestDef(table, c, "Alpha_Trunc",
               p("Baseline_Value" -> ml.toString, "Threshold_Value" -> "0"))
           }
-          if (cp.distinctCt > 1 && cp.distinctCt <= 20 && lovs.contains(c)) {
+          for (d <- cp.distinctCt if d > 1 && d <= 20 && lovs.contains(c)) {
             b += TestDef(table, c, "LOV_Match",
               p("Baseline_Value" -> quoteLov(lovs(c)),
                 "Threshold_Value" -> "0"))
             // the full domain was observed → every member should persist
-            if (lovs(c).size.toLong == cp.distinctCt)
+            if (lovs(c).size.toLong == d)
               b += TestDef(table, c, "LOV_All",
                 p("Baseline_Value" -> quoteLov(lovs(c)),
                   "Threshold_Value" -> "0"))
@@ -158,7 +161,7 @@ object TestGenerator {
                 p("Threshold_Value" -> "0"))
           }
           for (lo <- cp.minStr; hi <- cp.maxStr
-               if lo.nonEmpty && cp.distinctCt > 1 &&
+               if lo.nonEmpty && cp.distinctCt.exists(_ > 1) &&
                  skeleton(lo) == skeleton(hi))
             b += TestDef(table, c, "Pattern_Match",
               p("Baseline_Value" -> skeleton(lo), "Threshold_Value" -> "0"))
@@ -176,8 +179,8 @@ object TestGenerator {
                 "Threshold_Value" -> (mx - mn).abs.toString))
           // month evidence: integral 1..12 domain with most months present
           for (mn <- cp.minNum; mx <- cp.maxNum
-               if mn >= 1 && mx <= 12 && cp.distinctCt <= 12 &&
-                 cp.distinctCt >= 10)
+               if mn >= 1 && mx <= 12 &&
+                 cp.distinctCt.exists(d => d <= 12 && d >= 10))
             b += TestDef(table, c, "Valid_Month",
               p("Threshold_Value" -> "0"))
           for (avg <- cp.avgNum; sd <- cp.stdevNum if sd > 0) {

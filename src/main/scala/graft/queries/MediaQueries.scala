@@ -28,14 +28,19 @@ object MediaQueries {
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
 
   /** Stub feature extraction (rows-only: hash-derived features are
-    * engine-specific by design — see MultimodalOps.StubDecoder).
+    * engine-specific by design — see MultimodalOps.StubDecoder). Output is
+    * exploded to hash-stable scalar rows (doc_id, dim, feature) — a bare
+    * array&lt;float&gt; column is not sortable/hashable by the checker.
     */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = media(s, dir).as[(Long, Array[Byte])]
     MultimodalOps.extractFeatures(ds, new MultimodalOps.StubDecoder(16))
       .toDF("doc_id", "features")
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        col("feature").cast("double").as("feature"))
+      .orderBy("doc_id", "dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

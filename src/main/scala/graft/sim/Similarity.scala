@@ -49,47 +49,39 @@ object Similarity {
     * [[knnLsh]] sign-bucket join instead (recall < 1 by design) and verify
     * only candidates exactly.
     *
-    * Execution shape: each partition scores its rows against a broadcast
-    * copy of the vector set in a tight JVM loop (mapPartitions — the
-    * documented last resort, earned here: millions of pairs × a dim-wide
-    * fold make interpreted per-pair higher-order functions ~40× slower
-    * than a fused while-loop; this is genuine per-partition imperative
-    * numeric work). The loop accumulates left-to-right, bit-identical to
-    * the `aggregate` fold and to DuckDB's list_inner_product, so oracle
-    * parity is preserved. At 100 TB, tile the broadcast side into blocks.
+    * Execution shape: the corpus is scanned once per block against a
+    * BROADCAST TILE of itself — `nBlocks` broadcast nested-loop joins,
+    * each broadcasting only |corpus|/nBlocks vectors through Spark's
+    * broadcast exchange (no driver-side collect of the full corpus; size
+    * nBlocks so one tile fits comfortably in executor memory at the
+    * target SF). Per-pair scoring runs the codegen'd [[dot]] expression
+    * with norms precomputed once per row, accumulating left-to-right —
+    * bit-identical to the `aggregate` fold and to DuckDB's
+    * list_inner_product, so oracle parity is preserved.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         tau: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                         tau: Double, nBlocks: Int = 4): DataFrame = {
+    require(nBlocks >= 1)
     val vecs = df.select(col(idCol).cast(LongType).as("id"),
         asDouble(col(vecCol)).as("v"))
-      .as[(Long, Array[Double])]
-    val bc = spark.sparkContext.broadcast(vecs.collect())
-    val raw = vecs.mapPartitions { it =>
-      val other = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = math.sqrt(dotArr(va, va))
-        other.iterator.filter(_._1 > ida).map { case (idb, vb) =>
-          (ida, idb, dotArr(va, vb) / (na * math.sqrt(dotArr(vb, vb))))
+      .withColumn("nrm", norm(col("v")))
+    val left = vecs.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val raw = (0 until nBlocks).map { b =>
+      val tile = vecs.filter(pmod(col("id"), lit(nBlocks)) === b)
+        .select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+      left.join(broadcast(tile), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("raw"))
         // pre-filter with a half-ulp-of-rounding margin: HALF_UP rounding
         // to 4 decimals can lift a value by < 5e-5, never more
-        }.filter(_._3 >= tau - 5e-5)
-      }
-    }.toDF("id_a", "id_b", "raw")
+        .filter(col("raw") >= tau - 5e-5)
+    }.reduce(_ unionAll _)
     raw.select(col("id_a"), col("id_b"),
         round(col("raw"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy("id_a", "id_b")
-  }
-
-  /** Left-to-right array dot product — same accumulation order as the
-    * column-level [[dot]] fold.
-    */
-  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
   }
 
   /** Brute-force top-k cosine neighbors for each query vector (self

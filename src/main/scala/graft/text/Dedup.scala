@@ -74,7 +74,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double,
-                        maxDf: Int = 64): DataFrame = {
+                        maxDf: Int = DefaultMaxDf): DataFrame = {
     val shAll = shingles(df, textCol, idCol, n).localCheckpoint(true)
     // Stop-shingle removal: a shingle appearing in more than maxDf
     // documents carries no discriminative signal but contributes df² pairs

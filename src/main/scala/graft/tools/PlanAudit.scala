@@ -32,14 +32,21 @@ object PlanAudit {
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.executedPlan.toString
+        // An unpartitioned window sorts the whole input on one task; the
+        // plan STRING always prints ordering args inside
+        // windowspecdefinition(...), so inspect the node's partitionSpec.
+        val globalWindow = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
         val hazards = Seq(
           "Expand" -> plan.contains("Expand"),
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" ->
             plan.contains("BroadcastNestedLoopJoin"),
-          "GlobalWindow" -> plan.linesIterator.exists(l =>
-            l.contains("Window ") && l.contains("windowspecdefinition()")),
+          "GlobalWindow" -> globalWindow,
         ).collect { case (h, true) => h }
         if (hazards.nonEmpty) { bad += 1
           println(s"HAZARD $name: ${hazards.mkString(", ")}")

@@ -171,6 +171,7 @@ class ProfilerSpec extends AnyFunSuite {
       val w = whole(c)
       assert(m.recordCt == w.recordCt && m.valueCt == w.valueCt &&
         m.nullCt == w.nullCt, c)
+      assert(m.distinctCt.isEmpty, c) // not mergeable — None, not a sentinel
       assert(m.minNum == w.minNum && m.maxNum == w.maxNum, c)
       assert(m.minStr == w.minStr && m.maxStr == w.maxStr, c)
       assert(m.minTs == w.minTs && m.maxTs == w.maxTs, c)
