@@ -98,6 +98,52 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** R2 generalized — schedule lateness for ARBITRARY cron schedules
+    * (reference schedules are free-form cron, demo_helper.py:653-660 —
+    * the daily-only [[lateStarts]] equi-join on `to_date` cannot express
+    * e.g. `0 *&#47;4 * * *`). Each run start (per-user session start) is
+    * matched to the nearest expected slot ≤ it via the keyed [[asOfJoin]].
+    *
+    * Slots are control-plane data expanded driver-side; each slot is
+    * registered under every day its governance interval [slot, nextSlot)
+    * touches, so the day-keyed as-of window never misses a cross-midnight
+    * governing slot. The left side is aggregated run starts — orders of
+    * magnitude smaller than raw events — so partitioning the as-of window
+    * by day stays balanced at scale.
+    */
+  def lateStartsCron(ev: DataFrame, cron: String, marginSeconds: Long,
+                     gapSeconds: Long,
+                     spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    val horizon = hi.toInstant.plusSeconds(86400)
+    val slots = Cron.expand(cron, lo.toInstant.minusSeconds(2 * 86400),
+      horizon)
+    require(slots.nonEmpty, s"cron '$cron' fires nowhere in the event range")
+    val utc = java.time.ZoneOffset.UTC
+    val pairs = slots.zip(slots.tail :+ horizon).flatMap { case (s, next) =>
+      val d0 = s.atZone(utc).toLocalDate
+      val d1 = next.atZone(utc).toLocalDate
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => (java.sql.Date.valueOf(d), java.sql.Timestamp.from(s)))
+        .toSeq
+    }
+    val slotDf = pairs.toDF("day", "ts")
+    val starts = withSessionId(ev, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("ts"))
+      .withColumn("day", to_date(col("ts")))
+    asOfJoin(starts, slotDf, "day", "ts", "expected_start")
+      .select(col("user_id"), col("session_id"),
+        col("ts").as("actual_start"), col("expected_start"),
+        ((unix_micros(col("ts")) - unix_micros(col("expected_start"))) >
+          marginSeconds * 1000000L).as("late_start"),
+        round((unix_micros(col("ts")) - unix_micros(col("expected_start"))) /
+          lit(6.0e7), 4).as("minutes_late"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** R3 — journey-instance assembly: instances cut by a START-condition
     * component (reference instance conditions
     * `{action: START, batch_pipeline: id}`, demo_helper.py:1049-1064).

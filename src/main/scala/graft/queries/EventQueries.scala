@@ -95,6 +95,37 @@ object EventQueries {
        |    actual_start) / 6e7, 4) AS minutes_late
        |FROM actual ORDER BY user_id, day""".stripMargin
 
+  /** Sub-daily schedule for the generalized lateness operator (R2): every
+    * 4 hours — inexpressible by the daily `to_date` equi-join.
+    */
+  val SubDailyCron = "0 */4 * * *"
+
+  def lateStartsHourly(s: SparkSession, dir: String): DataFrame =
+    EventOps.lateStartsCron(ev(s, dir), SubDailyCron, MarginSeconds,
+      GapSeconds, s)
+
+  /** DuckDB mirror: `0 *&#47;4 * * *` slots are a 4-hour generate_series
+    * from a day boundary (cron fires at absolute 00/04/.../20 h, so any
+    * day-aligned series start yields the same instants Cron.expand finds);
+    * the nearest-slot-≤-start match is DuckDB's native ASOF JOIN.
+    */
+  val lateStartsHourlySql: String =
+    s"""$SessCte,
+       |starts AS (SELECT user_id, session_id, min(ts) AS actual_start
+       |  FROM sess GROUP BY 1, 2),
+       |slots AS (SELECT unnest(generate_series(
+       |    date_trunc('day', (SELECT min(ts) FROM ev)) - INTERVAL 2 DAY,
+       |    date_trunc('day', (SELECT max(ts) FROM ev)) + INTERVAL 1 DAY,
+       |    INTERVAL 4 HOUR)) AS expected_start)
+       |SELECT s.user_id, s.session_id, s.actual_start, sl.expected_start,
+       |  date_diff('microsecond', sl.expected_start, s.actual_start)
+       |    > ${MarginSeconds}000000 AS late_start,
+       |  round(date_diff('microsecond', sl.expected_start, s.actual_start)
+       |    / 6e7, 4) AS minutes_late
+       |FROM starts s ASOF JOIN slots sl
+       |  ON s.actual_start >= sl.expected_start
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---- R3 journey-instance assembly ---------------------------------------
 
   def journeys(s: SparkSession, dir: String): DataFrame =
@@ -366,6 +397,7 @@ object EventQueries {
     "ev_sessions" -> (sessions _),
     "ev_failed_runs" -> (failedRuns _),
     "ev_late_starts" -> (lateStarts _),
+    "ev_late_starts_hourly" -> (lateStartsHourly _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_out_of_sequence" -> (outOfSequence _),
@@ -384,6 +416,7 @@ object EventQueries {
     "ev_sessions" -> sessionsSql,
     "ev_failed_runs" -> failedRunsSql,
     "ev_late_starts" -> lateStartsSql,
+    "ev_late_starts_hourly" -> lateStartsHourlySql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_out_of_sequence" -> outOfSequenceSql,

@@ -76,6 +76,34 @@ class EventsSpec extends AnyFunSuite {
     assert(late(2L).getAs[Double]("minutes_late") == 180.0)
   }
 
+  test("cron lateness matches each run start to the nearest slot, " +
+      "across midnight") {
+    // user 3 starts a run at 01:00 — with an 18:00-only cron the governing
+    // slot is YESTERDAY 18:00 (the daily to_date equi-join can't see it)
+    val ev = fixture.unionByName(Seq(
+      (8L, ts("2024-01-02 01:00:00"), 3L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = EventOps.lateStartsCron(ev, "0 18 * * *", 600, 3600, spark)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id")) -> r).toMap
+    assert(out((3L, 1L)).getAs[Timestamp]("expected_start") ==
+      ts("2024-01-01 18:00:00"))
+    assert(out((3L, 1L)).getAs[Double]("minutes_late") == 420.0)
+    // user 1 session 2 starts 13:00 Jan 1 → governing slot Dec 31 18:00
+    assert(out((1L, 2L)).getAs[Timestamp]("expected_start") ==
+      ts("2023-12-31 18:00:00"))
+    // sub-daily cron: 4-hourly slots pick the 08:00 slot for a 10:00 start
+    val sub = EventOps.lateStartsCron(fixture, "0 */4 * * *", 600, 3600,
+      spark).collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id")) -> r).toMap
+    assert(sub((1L, 1L)).getAs[Timestamp]("expected_start") ==
+      ts("2024-01-01 08:00:00"))
+    assert(sub((1L, 1L)).getAs[Double]("minutes_late") == 120.0)
+    assert(sub((1L, 1L)).getAs[Boolean]("late_start"))
+    assert(sub((2L, 1L)).getAs[Timestamp]("expected_start") ==
+      ts("2024-01-01 08:00:00"))
+  }
+
   test("metric rule, rollup worst-status, liveness, props aggregation") {
     val alerts = EventOps.metricRuleAlerts(fixture, "purchase", 40.0)
     assert(alerts.count() == 1)
