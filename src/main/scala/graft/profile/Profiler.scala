@@ -109,6 +109,46 @@ object Profiler {
       .orderBy("column_name")
   }
 
+  /** Count/sum characteristics that scale linearly with sampled rows. */
+  private val ExtensiveCounts = Set("record_ct", "value_ct", "null_ct",
+    "blank_ct", "zero_ct", "neg_ct", "embedded_space_ct", "upper_ct",
+    "lower_ct", "numeric_str_ct", "date_str_ct", "pos_ct", "frac_value_ct",
+    "future_ct", "weekend_ct", "lead_space_ct", "quote_ct", "non_ascii_ct",
+    "alpha_ct", "boolean_ct", "email_ct", "zip_ct", "dummy_ct",
+    "round_num_ct", "midnight_ct", "work_hours_ct")
+  private val ExtensiveSums = Set("sum_num", "frac_sum")
+
+  /** Sampled profiling mode (reference table groups declare
+    * `uses_sampling` / `sample_percentage`, demo/demo/demo_helper.py:971-989):
+    * profile a seeded Bernoulli sample, then scale the EXTENSIVE
+    * statistics — counts and sums — back to table scale by 1/fraction.
+    * Intensive statistics (avg/stddev/percentiles/shape ratios) are
+    * unbiased on the sample and pass through unscaled; min/max/min_ts/
+    * max_ts are sample extrema (conservative bounds). Distinct counts are
+    * NOT scaled — a sample's distinct count is a lower bound with no
+    * general unbiased scale-up; use the HLL one-scan mode
+    * (`exactDistinct=false` on the full table) when cardinality matters.
+    *
+    * This is the cheap first pass at 100 TB: `sample` is a narrow
+    * stateless operator fused into the scan (no shuffle, no extra pass),
+    * so a 1% sampled profile reads the data once and aggregates ~1% of
+    * the rows. Defaults to HLL distincts so the whole sampled profile
+    * stays ONE scan.
+    */
+  def profileSampled(df: DataFrame, tableName: String, fraction: Double,
+                     seed: Long = 42L,
+                     exactDistinct: Boolean = false): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"bad fraction: $fraction")
+    val p = profile(df.sample(withReplacement = false, fraction, seed),
+      tableName, exactDistinct)
+    p.select(p.columns.toSeq.map {
+      case c if ExtensiveCounts(c) =>
+        round(col(c) / fraction).cast(LongType).as(c)
+      case c if ExtensiveSums(c) => (col(c) / lit(fraction)).as(c)
+      case c => col(c)
+    }: _*)
+  }
+
   /** Output field order around the two distinct-count slots. */
   private val BaseFieldsHead = Seq("table_name", "column_name", "ordinal",
     "data_type", "record_ct", "value_ct", "null_ct")

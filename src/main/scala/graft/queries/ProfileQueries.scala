@@ -47,6 +47,15 @@ object ProfileQueries {
       Profiler.topK(Tables.load(s, dir, "events"), "events",
         "event_type", 10)),
     "profile_compare_lineitem" -> (compareLineitem _),
+    // the two 100 TB profile shapes, exercised by the driver (rows-only:
+    // HLL estimates and sample scaling are engine-specific by design;
+    // ProfilerSpec property-checks both against the exact profile)
+    "profile_approx_lineitem" -> ((s: SparkSession, dir: String) =>
+      Profiler.profile(Tables.load(s, dir, "lineitem"), "lineitem",
+        exactDistinct = false)),
+    "profile_sampled_lineitem" -> ((s: SparkSession, dir: String) =>
+      Profiler.profileSampled(Tables.load(s, dir, "lineitem"), "lineitem",
+        fraction = 0.1, seed = 42L)),
     "schema_drift_events" -> ((s: SparkSession, dir: String) =>
       SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
     "drift_psi_lineitem" -> (driftPsi _),

@@ -43,6 +43,39 @@ class ProfilerSpec extends AnyFunSuite {
     assert(p("x").getAs[Double]("frac_sum") == 1.0)
   }
 
+  test("sampled profile scales extensive stats back to table scale") {
+    val full = spark.read.parquet(s"${SparkTestSession.sf}/lineitem.parquet")
+    val whole = Profiler.profile(full, "lineitem").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val sampled = Profiler
+      .profileSampled(full, "lineitem", fraction = 0.5, seed = 42L)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(sampled.keySet == whole.keySet)
+    for (c <- Seq("l_orderkey", "l_quantity", "l_returnflag")) {
+      val (s, w) = (sampled(c), whole(c))
+      // extensive counts scaled by 1/fraction land within ±10% of truth
+      assert(math.abs(s.getAs[Long]("record_ct").toDouble -
+        w.getAs[Long]("record_ct")) < 0.1 * w.getAs[Long]("record_ct"), c)
+      assert(math.abs(s.getAs[Long]("value_ct").toDouble -
+        w.getAs[Long]("value_ct")) < 0.1 * w.getAs[Long]("value_ct"), c)
+    }
+    // extensive sum scaled; intensive stats unscaled and close
+    val (sq, wq) = (sampled("l_quantity"), whole("l_quantity"))
+    assert(math.abs(sq.getAs[Double]("sum_num") - wq.getAs[Double]("sum_num"))
+      < 0.1 * wq.getAs[Double]("sum_num"))
+    assert(math.abs(sq.getAs[Double]("avg_num") - wq.getAs[Double]("avg_num"))
+      < 0.05 * wq.getAs[Double]("avg_num"))
+    // sample extrema are bounded by the true range
+    assert(sq.getAs[Double]("min_num") >= wq.getAs[Double]("min_num"))
+    assert(sq.getAs[Double]("max_num") <= wq.getAs[Double]("max_num"))
+    // deterministic under the seed
+    val again = Profiler
+      .profileSampled(full, "lineitem", fraction = 0.5, seed = 42L)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(again("l_quantity").getAs[Double]("sum_num") ==
+      sq.getAs[Double]("sum_num"))
+  }
+
   test("shape characteristics: percentiles, moments, string classes") {
     val df = Seq(
       (1.0, Some(" padded"), Some("2024-01-02 00:00:00")),
