@@ -16,7 +16,9 @@ object Bench {
     // absorb JVM/codegen/parquet-footer warmup outside the timings (the r1
     // numbers charged ~6 s of session startup to whichever query ran first)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val only = args.toSet // optional: bench just these queries
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

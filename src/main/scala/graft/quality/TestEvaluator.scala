@@ -71,9 +71,18 @@ object TestEvaluator {
     * needs (None = plain aggregate): measures sharing a key can share one
     * no-Expand aggregation pass; different keys must not be mixed.
     */
+  /** `dateMeasure`, when defined, re-expresses the measure over a
+    * DISTINCT-DATES relation (one row per distinct `to_date(column)`,
+    * exposed as `__v`): the date-family tests (Distinct_Date_Ct,
+    * Daily_Record_Ct, Monthly_Rec_Ct, Weekly_Rec_Ct) are all functions of
+    * the distinct date set, so their passes share ONE deduplicating
+    * exchange of the column instead of four full-table scans (Spark's
+    * exchange reuse unifies the identical distinct() subplans).
+    */
   case class Compiled(d: TestDef, measure: Column, measureSql: String,
                       threshold: Double, family: String, op: String,
-                      message: String, distinctKey: Option[String] = None)
+                      message: String, distinctKey: Option[String] = None,
+                      dateMeasure: Option[Column] = None)
 
   private val D = DoubleType
   private def esc(s: String) = s.replace("'", "''")
@@ -199,6 +208,7 @@ object TestEvaluator {
         // count of distinct dates must not drop (data_tests.csv:7)
         floorFam(nDist(to_date(c)), nDistSql(s"CAST($cs AS DATE)"),
           "Distinct date count dropped vs. baseline.", T)
+          .copy(dateMeasure = Some(count(col("__v")).cast(D)))
 
       case "Min_Date" =>
         // earliest date no earlier than baseline (data_tests.csv:8)
@@ -335,9 +345,14 @@ object TestEvaluator {
         // >=1 record per calendar month in min/max range
         val expected = months_between(date_trunc("MONTH", max(c)),
           date_trunc("MONTH", min(c))) + lit(1.0)
+        val v = col("__v")
         countFam(expected - nDist(trunc(to_date(c), "MM")),
           s"((CAST(date_diff('month', date_trunc('month', CAST(min($cs) AS DATE)), date_trunc('month', CAST(max($cs) AS DATE))) AS DOUBLE) + 1.0) - ${nDistSql(s"date_trunc('month', CAST($cs AS DATE))")})",
           "At least one date per month expected in min/max date range.")
+          .copy(dateMeasure = Some(
+            months_between(date_trunc("MONTH", max(v)),
+              date_trunc("MONTH", min(v))) + lit(1.0) -
+              nDist(trunc(v, "MM"))))
 
       case "Weekly_Rec_Ct" =>
         // >=1 record per calendar week (7-day buckets anchored Monday
@@ -348,9 +363,13 @@ object TestEvaluator {
           s"floor(date_diff('day', DATE '1970-01-05', $e)/7.0)"
         val expected = (widx(max(to_date(c))) - widx(min(to_date(c))))
           .cast(D) + lit(1.0)
+        val v = col("__v")
         countFam(expected - nDist(widx(to_date(c))),
           s"((CAST(${widxSql(s"max(CAST($cs AS DATE))")} - ${widxSql(s"min(CAST($cs AS DATE))")} AS DOUBLE) + 1.0) - ${nDistSql(widxSql(s"CAST($cs AS DATE)"))})",
           "At least one date per week expected in min/max date range.")
+          .copy(dateMeasure = Some(
+            (widx(max(v)) - widx(min(v))).cast(D) + lit(1.0) -
+              nDist(widx(v))))
 
       case "Outlier_Pct_Above" =>
         val hi = d.pD("Baseline_Avg") + 2 * d.pD("Baseline_SD")
@@ -392,9 +411,13 @@ object TestEvaluator {
         // >=1 record per day in min/max range
         val expected = datediff(max(to_date(c)), min(to_date(c)))
           .cast(D) + lit(1.0)
+        val v = col("__v")
         countFam(expected - nDist(to_date(c)),
           s"((CAST(date_diff('day', min(CAST($cs AS DATE)), max(CAST($cs AS DATE))) AS DOUBLE) + 1.0) - ${nDistSql(s"CAST($cs AS DATE)")})",
           "At least one record per day expected in min/max date range.")
+          .copy(dateMeasure = Some(
+            datediff(max(v), min(v)).cast(D) + lit(1.0) -
+              count(v).cast(D)))
 
       case "Valid_Month" =>
         // numeric month values must fall in 1..12
@@ -462,29 +485,58 @@ object TestEvaluator {
     val baseAggs = plain.map { case (t, i) => t.measure.as(s"__m_$i") } :+
       count(lit(1)).cast(D).as("__rc")
     val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
-    val distinctPasses = distinctGroups.map { case (_, ms) =>
-      val aggs = ms.map { case (t, i) => t.measure.as(s"__m_$i") }
-      df.agg(aggs.head, aggs.tail: _*)
+    val distinctPasses = distinctGroups.map { case (key, ms) =>
+      key.split(":", 2) match {
+        // date-family groups aggregate the distinct-DATES relation: the
+        // identical distinct() subplans across the date:/month:/week:
+        // groups of one column collapse to a single reused exchange
+        case Array(k, c) if Set("date", "month", "week")(k) &&
+            ms.forall(_._1.dateMeasure.isDefined) =>
+          val dates = df.select(to_date(col(c)).as("__v")).distinct()
+          val aggs = ms.map { case (t, i) =>
+            t.dateMeasure.get.as(s"__m_$i") }
+          dates.agg(aggs.head, aggs.tail: _*)
+        case _ =>
+          val aggs = ms.map { case (t, i) => t.measure.as(s"__m_$i") }
+          df.agg(aggs.head, aggs.tail: _*)
+      }
     }
     val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
+    // Per-test structs carry only literals + the measure reference; the
+    // status/message/result_expr logic is applied ONCE generically after
+    // the explode (keyed by the test's comparison family). Inlining that
+    // logic per test made the projection a ~3000-node expression tree that
+    // cost more driver planning time than the whole suite's execution.
     val structs = indexed.map { case (t, i) =>
-      val m = col(s"__m_$i")
-      val thr = lit(t.threshold)
-      val status = statusExpr(t.family, m, thr, col("__rc"))
       struct(
         lit(t.d.table).as("table_name"),
         lit(t.d.column).as("column_name"),
         lit(t.d.testType).as("test_type"),
+        col(s"__m_$i").cast(D).as("measure"),
+        lit(t.threshold).as("threshold"),
+        lit(t.family).as("family"),
+        lit(t.op).as("op"),
+        lit(t.message).as("message_raw"))
+    }
+    val m = col("r.measure"); val thr = col("r.threshold")
+    val status = when(col("r.family") === "count",
+        statusExpr("count", m, thr, col("__rc")))
+      .when(col("r.family") === "floor", statusExpr("floor", m, thr,
+        col("__rc")))
+      .otherwise(statusExpr("sigma", m, thr, col("__rc")))
+    agged.select(explode(array(structs: _*)).as("r"), col("__rc"))
+      .select(
+        col("r.table_name").as("table_name"),
+        col("r.column_name").as("column_name"),
+        col("r.test_type").as("test_type"),
         m.as("measure"),
         thr.as("threshold"),
         status.as("status"),
         when(status === "PASSED", lit(null).cast(StringType))
-          .otherwise(lit(t.message)).as("message"),
+          .otherwise(col("r.message_raw")).as("message"),
         when(m.isNull, lit(null).cast(StringType))
-          .otherwise(concat(format_string("%.4f", m), lit(s" ${t.op} "),
-            format_string("%.4f", thr))).as("result_expr"))
-    }
-    agged.select(explode(array(structs: _*)).as("r")).select("r.*")
+          .otherwise(concat(format_string("%.4f", m), lit(" "), col("r.op"),
+            lit(" "), format_string("%.4f", thr))).as("result_expr"))
       .orderBy("column_name", "test_type")
   }
 
