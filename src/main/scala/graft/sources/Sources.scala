@@ -75,6 +75,23 @@ object Sources {
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()
 
+  /** Register a DSv2 JDBC catalog (`spark.table(s"$name.SCHEMA.TABLE")`).
+    * Unlike the v1 `format("jdbc")` reader, the v2 JDBCTableCatalog path
+    * implements SupportsPushDownAggregates: MIN/MAX/COUNT/SUM group-bys
+    * compile to database-side SQL and only the aggregated rows cross the
+    * wire — the reference's "fast in-database SQL execution, no data
+    * copies" (reference README.md:209). `PushedAggregates` in the scan
+    * node proves it (asserted in SourcesSpec).
+    */
+  def registerJdbcCatalog(spark: SparkSession, name: String,
+                          url: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+  }
+
   /** ORC scan with explicit schema (same pushdown/pruning as parquet). */
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)

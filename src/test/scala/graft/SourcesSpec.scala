@@ -117,6 +117,36 @@ class SourcesSpec extends AnyFunSuite {
       scan)
   }
 
+  test("JDBC v2 catalog pushes aggregates into the database") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derby2").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val src = Tables.load(spark, SparkTestSession.sf, "supplier")
+    src.write.format("jdbc")
+      .option("url", url).option("dbtable", "supplier").save()
+    Sources.registerJdbcCatalog(spark, "graftdb", url)
+    val agg = spark.table("graftdb.APP.SUPPLIER")
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.max(col("s_acctbal")).as("mx"),
+        org.apache.spark.sql.functions.count(col("s_suppkey")).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // the aggregation itself must compile into the database scan
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(plan.toUpperCase.contains("MAX(S_ACCTBAL"), plan)
+    // and the values must agree with computing the same thing in Spark
+    // (key/count arrive as the database's integer widths — normalize)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.get(0).asInstanceOf[Number].longValue() ->
+        (r.get(1).asInstanceOf[Number].doubleValue(),
+          r.get(2).asInstanceOf[Number].longValue())
+    }.toMap
+    val inDb = norm(agg.collect())
+    val inSpark = norm(src.groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.max(col("s_acctbal")).as("mx"),
+        org.apache.spark.sql.functions.count(col("s_suppkey")).as("n"))
+      .collect())
+    assert(inDb == inSpark)
+  }
+
   test("ORC round-trips with predicate pushdown") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
     val src = Tables.load(spark, SparkTestSession.sf, "region")
