@@ -192,6 +192,39 @@ object EventOps {
       .orderBy("user_id", "instance_id")
   }
 
+  /** R3 variant — END_PAYLOAD instance condition (the reference's third
+    * instance-condition action, demo_helper.py:1868-1875): the closing
+    * condition is an end-type event that CARRIES A PAYLOAD (non-null
+    * `props.k` count) — a bare end event does not close the instance —
+    * and the instance reports the closing event's payload count. Same
+    * two-cumsum window shape as [[journeyInstancesBounded]]; by
+    * construction an instance contains at most one closing event, so the
+    * conditional max picks exactly it.
+    */
+  def journeyInstancesEndPayload(ev: DataFrame, startType: String,
+                                 endType: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val isEnd = col("event_type") === endType && k.isNotNull
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val starts = sum(when(col("event_type") === startType, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val endsBefore = sum(when(isEnd, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ev.withColumn("__k", k)
+      .withColumn("__end", isEnd)
+      .withColumn("__s", starts)
+      .withColumn("__e", coalesce(endsBefore, lit(0)))
+      .filter(col("__s") > col("__e"))
+      .groupBy(col("user_id"), col("__s").cast(LongType).as("instance_id"))
+      .agg(
+        min(col("ts")).as("instance_start"),
+        max(col("ts")).as("instance_end"),
+        count(lit(1)).as("n_events"),
+        (max(when(col("__end"), 1).otherwise(0)) === 1).as("completed"),
+        max(when(col("__end"), col("__k"))).as("payload_ct"))
+      .orderBy("user_id", "instance_id")
+  }
+
   /** R4 — out-of-sequence detection: within a session, flag transitions
     * that run strictly backwards along the journey DAG (reference
     * `instance_alert.type_matches: [OUT_OF_SEQUENCE]`,

@@ -163,6 +163,32 @@ object EventQueries {
        |FROM m WHERE s > e GROUP BY user_id, s
        |ORDER BY user_id, instance_id""".stripMargin
 
+  def journeysPayload(s: SparkSession, dir: String): DataFrame =
+    EventOps.journeyInstancesEndPayload(ev(s, dir), "signup", "purchase")
+
+  val journeysPayloadSql: String =
+    s"""$EvCte,
+       |m AS (SELECT *,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+       |  (event_type = 'purchase' AND
+       |    json_extract_string(props, '$$.k') IS NOT NULL) AS isend,
+       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS s,
+       |  coalesce(sum(CASE WHEN event_type = 'purchase' AND
+       |      json_extract_string(props, '$$.k') IS NOT NULL
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+       |  FROM ev)
+       |SELECT user_id, CAST(s AS BIGINT) AS instance_id,
+       |  min(ts) AS instance_start, max(ts) AS instance_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  max(CASE WHEN isend THEN 1 ELSE 0 END) = 1 AS completed,
+       |  max(CASE WHEN isend THEN k END) AS payload_ct
+       |FROM m WHERE s > e GROUP BY user_id, s
+       |ORDER BY user_id, instance_id""".stripMargin
+
   // ---- R4 out-of-sequence vs journey DAG ----------------------------------
 
   def outOfSequence(s: SparkSession, dir: String): DataFrame = {
@@ -400,6 +426,7 @@ object EventQueries {
     "ev_late_starts_hourly" -> (lateStartsHourly _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
+    "ev_journeys_payload" -> (journeysPayload _),
     "ev_out_of_sequence" -> (outOfSequence _),
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
@@ -419,6 +446,7 @@ object EventQueries {
     "ev_late_starts_hourly" -> lateStartsHourlySql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
+    "ev_journeys_payload" -> journeysPayloadSql,
     "ev_out_of_sequence" -> outOfSequenceSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,

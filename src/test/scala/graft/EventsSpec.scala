@@ -167,6 +167,26 @@ class EventsSpec extends AnyFunSuite {
     assert(u2.length == 1 && !u2.head.getAs[Boolean]("completed"))
   }
 
+  test("END_PAYLOAD instances close only on payload-carrying end events") {
+    // user 4: purchase WITHOUT a payload must not close the instance; the
+    // later purchase WITH props.k=7 closes it and reports payload_ct=7
+    val ev = fixture.unionByName(Seq(
+      (10L, ts("2024-01-03 09:00:00"), 4L, "signup", 1.0, "{}"),
+      (11L, ts("2024-01-03 09:10:00"), 4L, "purchase", 5.0, "{}"),
+      (12L, ts("2024-01-03 09:20:00"), 4L, "purchase", 9.0, """{"k": 7}"""),
+      (13L, ts("2024-01-03 09:30:00"), 4L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val inst = EventOps.journeyInstancesEndPayload(ev, "signup", "purchase")
+      .collect().filter(_.getAs[Long]("user_id") == 4L)
+    assert(inst.length == 1)
+    val i = inst.head
+    assert(i.getAs[Long]("n_events") == 3) // signup + both purchases
+    assert(i.getAs[Boolean]("completed"))
+    assert(i.getAs[Long]("payload_ct") == 7L)
+    // the 09:30 view is outside the closed instance
+    assert(i.getAs[Timestamp]("instance_end") == ts("2024-01-03 09:20:00"))
+  }
+
   test("rule engine: one scan fires value, props, and match rules") {
     val rules = Seq(
       EventOps.AlertRule("big_buy", "purchase", "value", "gt", 40.0,
