@@ -36,6 +36,12 @@ object QualityQueries {
     "dq_customer" -> suite("customer") _,
     "dq_events" -> suite("events") _,
     "dq_autogen_lineitem" -> (autogen _),
+    // the one-scan 100 TB shape (HLL distincts ride the base pass),
+    // exercised by the driver; rows-only — sketch estimates are
+    // engine-specific, QualitySpec property-checks them vs exact
+    "dq_approx_lineitem" -> ((s: SparkSession, dir: String) =>
+      TestEvaluator.run(Tables.load(s, dir, "lineitem"),
+        PinnedBaselines.lineitemDefs, approxDistinct = true)),
     "dq_autogen_documents" -> (autogenDocs _),
     "hygiene_customer" -> hygiene("customer") _,
     "hygiene_orders" -> hygiene("orders") _,
