@@ -49,6 +49,16 @@ object SimQueries {
       "vec_id", "embedding", K, NPlanes, Dim)
   }
 
+  /** IVF cell count / probe width (see Similarity.knnIvf). */
+  val NList = 8
+  val NProbe = 3
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnIvf(e, e.filter(col("vec_id") < NQueries),
+      "vec_id", "embedding", K, NList, NProbe)
+  }
+
   /** Cosine threshold for the exact near-dup pair tier. */
   val NearDupTau = 0.4
 
@@ -73,6 +83,7 @@ object SimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
+    "ann_ivf_embeddings" -> (annIvf _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
   )
 

@@ -105,6 +105,61 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the second scale
+    * path next to [[knnLsh]]: a KMeans coarse quantizer (seeded, trained
+    * once) partitions the corpus into `nlist` Voronoi cells; every vector
+    * is bucketed by nearest centroid, and each query exact-scores ONLY the
+    * `nprobe` cells whose centroids are nearest to it. Candidate
+    * generation is an equi-join on the cell id — never a cross product —
+    * so the scoring cost is ≈ nprobe/nlist of brute force.
+    *
+    * Scale shape: centroids are control-plane data (nlist × dim doubles)
+    * embedded as plan literals — cell assignment is a narrow codegen'd
+    * projection (argmin over nlist dot products via the native [[dot]]
+    * expression, no UDF, no shuffle); the corpus is bucketed in the same
+    * pass that joins. Training reads a bounded sample. Recall < 1 by
+    * design and measured against [[knnBruteForce]] in SimSpec.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nlist: Int, nprobe: Int,
+             seed: Long = 7L, trainLimit: Int = 100000): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus
+      .select(array_to_vector(asDouble(col(vecCol))).as("features"))
+      .limit(trainLimit)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids: Seq[Seq[Double]] =
+      model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    // squared distance to centroid c, up to the per-row constant |v|²:
+    // |c|² − 2·v·c — enough for argmin/ranking
+    def cellDist(vec: Column, c: Seq[Double]): Column =
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(vec, array(c.map(lit): _*))
+    def cellsRanked(vec: Column): Column = array_sort(array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(cellDist(vec, c).as("d"), lit(i).as("cell"))
+      }: _*))
+    val cOut = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", element_at(cellsRanked(col("cv")), 1)("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(cellsRanked(col("qv")), 1, nprobe)("cell"))
+          .as("cell"))
+    val scored = cOut.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim` gaussians from a
     * fixed seed. Tiny control-plane data, embedded as plan literals.
     */

@@ -69,6 +69,23 @@ class SimSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 10))
   }
 
+  test("IVF ANN achieves useful recall against brute force") {
+    val e = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.knnBruteForce(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // probing 3 of 8 Voronoi cells scans ~3/8 of the corpus per query;
+    // cosine-close vectors share cells, so recall must beat coverage
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 10))
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }
