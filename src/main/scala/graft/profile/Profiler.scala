@@ -124,10 +124,14 @@ object Profiler {
     * statistics — counts and sums — back to table scale by 1/fraction.
     * Intensive statistics (avg/stddev/percentiles/shape ratios) are
     * unbiased on the sample and pass through unscaled; min/max/min_ts/
-    * max_ts are sample extrema (conservative bounds). Distinct counts are
-    * NOT scaled — a sample's distinct count is a lower bound with no
-    * general unbiased scale-up; use the HLL one-scan mode
-    * (`exactDistinct=false` on the full table) when cardinality matters.
+    * max_ts are sample extrema (conservative bounds). Distinct counts come
+    * back NULL: a sample's distinct count has no general unbiased
+    * scale-up, and emitting it unscaled next to scaled value counts would
+    * poison ratio baselines downstream (TestGenerator's Unique_Pct gates
+    * skip None, exactly as they do for merged profiles). Use the HLL
+    * one-scan mode (`exactDistinct=false` on the full table) when
+    * cardinality matters. `distinct_date_ct` survives as a lower bound —
+    * its generated tests are floor-compared, so an undercount stays safe.
     *
     * This is the cheap first pass at 100 TB: `sample` is a narrow
     * stateless operator fused into the scan (no shuffle, no extra pass),
@@ -145,6 +149,7 @@ object Profiler {
       case c if ExtensiveCounts(c) =>
         round(col(c) / fraction).cast(LongType).as(c)
       case c if ExtensiveSums(c) => (col(c) / lit(fraction)).as(c)
+      case c @ "distinct_ct"     => lit(null).cast(LongType).as(c)
       case c => col(c)
     }: _*)
   }

@@ -96,6 +96,21 @@ object StreamingOps {
     df.groupBy().agg(count(lit(1)).as("record_ct"), aggs: _*)
   }
 
+  /** Streaming exact dedup for document/event streams: drop rows whose
+    * normalized-content hash was already seen, with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark` evicts hashes older than
+    * the horizon — unbounded dedup state is the classic streaming leak at
+    * 100 TB/day). The batch twin is graft.text.Dedup.exact; both key on
+    * the same md5(normalize(text)), so a document admitted by the stream
+    * is exactly one the batch pass would have kept.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String = DefaultWatermark): DataFrame =
+    docs.withColumn("content_hash",
+        md5(graft.text.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** R9 streaming liveness: running max event time per agent. */
   def liveness(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))

@@ -298,6 +298,32 @@ class QualitySpec extends AnyFunSuite {
     assert(r(("d", "Min_Date"))._1 == 0.0)
   }
 
+  test("sampled profile feeds generation and the suite passes on the " +
+      "full table") {
+    // the 100 TB loop: profile a 50% sample (counts scaled back), generate
+    // a suite from it, evaluate against the FULL table — thresholds must
+    // absorb the sampling error (statuses PASSED/WARNING, never FAILED)
+    val df = spark.read
+      .parquet(s"${SparkTestSession.sf}/lineitem.parquet")
+    val sampled = Profiler.profileSampled(df, "lineitem", fraction = 0.5,
+      seed = 42L)
+    val defs = TestGenerator.generate(sampled, lovs = Map.empty)
+    assert(defs.size > 20, s"only ${defs.size} tests generated")
+    // a sample has no unbiased distinct estimate: sampled profiles carry
+    // null distinct counts, so distinct-RATIO tests must not be generated
+    // (their baselines would mix scaled and unscaled counts)
+    val distinctFamily = Set("Unique", "Unique_Pct", "Distinct_Value_Ct")
+    assert(!defs.exists(d => distinctFamily(d.testType)))
+    // count/sum/shape tests generate normally
+    assert(defs.exists(_.testType == "Avg_Shift"))
+    assert(defs.exists(_.testType == "Row_Ct"))
+    val st = TestEvaluator.run(df, defs).collect()
+      .map(r => (r.getAs[String]("column_name"),
+        r.getAs[String]("test_type")) -> r.getAs[String]("status")).toMap
+    val failed = st.collect { case (k, "FAILED") => k }
+    assert(failed.isEmpty, s"sampling error broke: $failed")
+  }
+
   test("generator emits a sensible suite from a profile") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "b", 3.5))
       .toDF("id", "s", "x")

@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("sdedup")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "Hello  World"),
+        (2L, ts("2024-01-01 10:01:00"), "unique one"))
+      q.processAllAvailable()
+      // same normalized content (case/whitespace) in a LATER micro-batch
+      in.addData(
+        (3L, ts("2024-01-01 10:05:00"), "hello world"),
+        (4L, ts("2024-01-01 10:06:00"), "unique two"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 2L, 4L)) // doc 3 deduped against doc 1
+    } finally q.stop()
+  }
+
   test("streaming profile folds statistics across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
