@@ -80,6 +80,45 @@ object MultimodalOps {
     }
   }
 
+  /** Pluggable bytes → bytes media transform (resize / transcode /
+    * re-encode stand-in), same swap-one-class contract as [[MediaDecoder]].
+    */
+  trait MediaTransform extends Serializable {
+    def transform(bytes: Array[Byte]): Array[Byte]
+  }
+
+  /** STUB resizer — stride-samples the payload down to at most
+    * `targetBytes` bytes (deterministic, order-preserving). The real shape
+    * is the contract: binary in, smaller binary out, applied
+    * partition-parallel with per-partition codec init.
+    */
+  class StubResizer(val targetBytes: Int) extends MediaTransform {
+    require(targetBytes > 0)
+    def transform(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes.length <= targetBytes) bytes
+      else {
+        val out = new Array[Byte](targetBytes)
+        var i = 0
+        while (i < targetBytes) {
+          // spread picks across the payload: index = floor(i * len/target)
+          out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Partition-parallel media transform: (id, bytes) → (id, bytes). */
+  def transformMedia(ds: Dataset[(Long, Array[Byte])],
+                     t: MediaTransform): Dataset[(Long, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init happens here in a real implementation
+      it.map { case (id, bytes) => (id, t.transform(bytes)) }
+    }
+  }
+
   /** Partition-parallel feature extraction: mapPartitions so a real decoder
     * amortizes model/codec init once per partition (the mapInPandas batch
     * shape, in Scala). Input: (id, bytes); output: (id, features).

@@ -199,5 +199,18 @@ class SourcesSpec extends AnyFunSuite {
     // deterministic: same bytes → same features
     assert(feats(1L).toSeq ==
       new MultimodalOps.StubDecoder(16).decode(png).toSeq)
+
+    // resize: bounded output, deterministic, order-preserving; payloads
+    // already under the target pass through untouched
+    val resized = MultimodalOps
+      .transformMedia(ds, new MultimodalOps.StubResizer(6))
+      .collect().toMap
+    assert(resized(3L).length == 6)
+    assert(resized(1L).length == 6)
+    assert(resized(1L).head == png.head) // order-preserving stride
+    val passthrough = MultimodalOps
+      .transformMedia(ds, new MultimodalOps.StubResizer(1000))
+      .collect().toMap
+    assert(passthrough(2L).toSeq == jpg.toSeq)
   }
 }
