@@ -129,8 +129,10 @@ object Similarity {
     val train = corpus
       .select(array_to_vector(asDouble(col(vecCol))).as("features"))
       .limit(trainLimit)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
+    // a coarse quantizer only buckets — random init + few iterations is
+    // enough (kmeans|| init costs more than the clustering here)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").fit(train)
     val centroids: Seq[Seq[Double]] =
       model.clusterCenters.toSeq.map(_.toArray.toSeq)
     // squared distance to centroid c, up to the per-row constant |v|²:
