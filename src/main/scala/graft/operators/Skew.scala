@@ -35,6 +35,19 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__s")).as("total"))
 
+  /** count + sum per key in ONE two-stage salted pass. Pass a
+    * DECIMAL-cast value column when exactness across merge order matters
+    * (decimal addition is associative-exact, so the salted result is
+    * bit-identical to a direct groupBy).
+    */
+  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: Column,
+                     buckets: Int): DataFrame =
+    df.withColumn("__salt", salt(buckets))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
   /** Skewed equi-join: salt the big (skewed) side into `buckets` sub-keys
     * and replicate the small side once per bucket, so no single reducer
     * owns a hot key — identical join semantics, buckets× the small side's

@@ -284,6 +284,28 @@ object EventQueries {
        |  last_seen < (SELECT max(ts) FROM ev) - INTERVAL 1 DAY AS stale
        |FROM agg ORDER BY user_id""".stripMargin
 
+  // ---- skewed per-type rollup via salting ---------------------------------
+
+  /** The heavy-hitter shape: event_type has a handful of values, so a
+    * straight groupBy sends each type's entire volume to one reducer. The
+    * salted two-stage rollup splits every type across 32 partial groups
+    * first; DECIMAL sums make the merge bit-identical to the direct
+    * aggregation, so this is oracle-checkable.
+    */
+  def saltedRollup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew
+      .saltedCountSum(ev(s, dir), "event_type",
+        col("value").cast(DecimalType(18, 2)), buckets = 32)
+      .select(col("event_type"), col("n"),
+        col("total").cast(DoubleType).as("total_value"))
+      .orderBy("event_type")
+
+  val saltedRollupSql: String =
+    s"""$EvCte
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- A14 JSON props extraction ------------------------------------------
 
   def propsAgg(s: SparkSession, dir: String): DataFrame =
@@ -430,6 +452,7 @@ object EventQueries {
     "ev_out_of_sequence" -> (outOfSequence _),
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
+    "ev_salted_rollup" -> (saltedRollup _),
     "ev_volume_anomalies" -> (volumeAnomalies _),
     "ev_liveness" -> (liveness _),
     "ev_props_agg" -> (propsAgg _),
@@ -450,6 +473,7 @@ object EventQueries {
     "ev_out_of_sequence" -> outOfSequenceSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,
+    "ev_salted_rollup" -> saltedRollupSql,
     "ev_volume_anomalies" -> volumeAnomaliesSql,
     "ev_liveness" -> livenessSql,
     "ev_props_agg" -> propsAggSql,
