@@ -16,6 +16,14 @@ case class SessionState(sessionId: Long, lastMicros: Long)
 case class SessionAssign(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, session_id: Long)
 
+/** Bounded-instance assembler state: running instance counter + whether
+  * the latest instance is still open.
+  */
+case class InstanceState(counter: Long, open: Boolean)
+
+case class InstanceAssign(event_id: Long, user_id: Long,
+                          ts: java.sql.Timestamp, instance_id: Long)
+
 /** Out-of-sequence detector state: previous event type + time per key. */
 case class SeqState(lastType: String, lastMicros: Long)
 
@@ -144,6 +152,41 @@ object StreamingOps {
           }
           if (sorted.nonEmpty) state.update(SessionState(sid, last))
           out.iterator
+      }
+  }
+
+  /** R3 streaming journey-instance assembly, START/END-bounded: per-key
+    * state is (instance counter, open?). A start event always begins a
+    * new instance (a start while one is open supersedes it — the batch
+    * cumsum does the same: later rows take the higher start count), an
+    * end event closes the open instance inclusively, and events outside
+    * any open instance are dropped. StreamingSpec asserts agreement with
+    * the batch EventOps.journeyInstancesBounded on the same events.
+    */
+  def assignBoundedInstances(events: Dataset[SEvent], startType: String,
+                             endType: String): Dataset[InstanceAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent],
+         state: GroupState[InstanceState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(InstanceState(0L, false))
+          val out = Seq.newBuilder[InstanceAssign]
+          sorted.foreach { e =>
+            if (e.event_type == startType) {
+              st = InstanceState(st.counter + 1, open = true)
+              out += InstanceAssign(e.event_id, user, e.ts, st.counter)
+            } else if (st.open) {
+              out += InstanceAssign(e.event_id, user, e.ts, st.counter)
+              if (e.event_type == endType)
+                st = st.copy(open = false)
+            } // else: between instances — not part of any journey run
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
       }
   }
 

@@ -250,6 +250,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState == viaWindow)
   }
 
+  test("streaming bounded instances agree with the batch cumsum " +
+      "implementation across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      SEvent(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      SEvent(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+      SEvent(3, ts("2024-01-01 10:20:00"), 1, "purchase", 50.0), // closes 1
+      SEvent(4, ts("2024-01-01 10:30:00"), 1, "view", 0.0), // between: drop
+      SEvent(5, ts("2024-01-01 10:40:00"), 1, "signup", 1.0), // opens 2
+      SEvent(6, ts("2024-01-01 10:50:00"), 1, "signup", 1.0), // supersedes
+      SEvent(7, ts("2024-01-01 09:00:00"), 2, "view", 3.0)) // never opened
+    val in = MemoryStream[SEvent]
+    val q = StreamingOps.assignBoundedInstances(in.toDS(), "signup",
+        "purchase")
+      .writeStream.format("memory").queryName("sinst")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = events.splitAt(3) // state must carry across batches
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sinst").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          r.getAs[Long]("instance_id")).toMap
+      val batch = graft.events.EventOps.journeyInstancesBounded(
+          events.toDF().withColumn("props", lit("{}")), "signup",
+          "purchase").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("instance_id")) -> r.getAs[Long]("n_events")).toMap
+      // same membership: count streamed assignments per (user, instance)
+      val streamedCounts = spark.table("sinst").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("instance_id")))
+        .view.mapValues(_.length.toLong).toMap
+      assert(streamedCounts == batch)
+      assert(!streamed.contains(4L)) // between-instance event dropped
+      assert(!streamed.contains(7L)) // key with no start: nothing emitted
+      assert(streamed(6L) == 3L) // start-on-open superseded into #3
+    } finally q.stop()
+  }
+
   test("streaming alerts deliver to an external sink in bounded chunks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
