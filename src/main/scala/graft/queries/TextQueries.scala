@@ -73,6 +73,62 @@ object TextQueries {
        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- benchmark contamination --------------------------------------------
+
+  /** Docs with doc_id < [[BenchSplit]] play the held-out benchmark; the
+    * rest are the training corpus checked for eval leakage.
+    */
+  val BenchSplit = 50
+
+  def contaminationDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = docs(s, dir)
+    TextOps.contamination(d.filter(col("doc_id") >= BenchSplit),
+      d.filter(col("doc_id") < BenchSplit), "text", "doc_id", ShingleN)
+  }
+
+  val contaminationSql: String =
+    s"""$ShCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh
+       |  WHERE doc_id < $BenchSplit),
+       |corp AS (SELECT * FROM sh WHERE doc_id >= $BenchSplit)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(b.shingle) AS BIGINT) AS n_contaminated,
+       |  round(CAST(count(b.shingle) AS DOUBLE)/count(*), 4)
+       |    AS contamination
+       |FROM corp c LEFT JOIN bench b USING (shingle)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---- PII redaction -------------------------------------------------------
+
+  /** The harness tables carry no real PII, so the query PLANTS
+    * deterministic identifiers (an email from c_name, a phone from the
+    * key) identically on both engines and proves the scrub fires on every
+    * row — redaction itself is generic (emails/SSNs/phones/IPs; TextSpec
+    * plants all four kinds). Original kept alongside for auditability.
+    */
+  def piiRedactCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val contact = concat(lit("reach "),
+      regexp_replace(col("c_name"), "#", "."), lit("@example.com or "),
+      format_string("%03d-%03d-%04d", pmod(col("c_custkey"), lit(1000)),
+        pmod(col("c_custkey") * 7, lit(1000)),
+        pmod(col("c_custkey"), lit(10000))))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), contact.as("contact"),
+        TextOps.redactPii(contact).as("contact_redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val piiRedactSql: String = {
+    val contactSql = "'reach ' || replace(c_name, '#', '.') || " +
+      "'@example.com or ' || printf('%03d-%03d-%04d', " +
+      "c_custkey % 1000, (c_custkey * 7) % 1000, c_custkey % 10000)"
+    s"""SELECT c_custkey, $contactSql AS contact,
+       |  ${TextOps.redactPiiSql(contactSql)} AS contact_redacted
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
   // ---- MinHash+LSH / SimHash / fingerprints (rows-only) -------------------
 
   def neardupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -176,6 +232,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
+    "contamination_documents" -> (contaminationDocs _),
+    "pii_redact_customer" -> (piiRedactCustomer _),
     "neardup_minhash_documents" -> (neardupMinhash _),
     "simhash_documents" -> (simhashDocs _),
     "fingerprint_documents" -> (fingerprintDocs _),
@@ -188,6 +246,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
+    "contamination_documents" -> contaminationSql,
+    "pii_redact_customer" -> piiRedactSql,
     "langid_documents" -> langIdSql,
     "quality_documents" -> qualitySql,
     "tokencount_documents" -> tokenCountsSql,

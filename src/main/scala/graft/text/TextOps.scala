@@ -110,6 +110,59 @@ object TextOps {
       .orderBy(groupCol)
   }
 
+  /** PII redaction rules, applied in order (emails first so phone/SSN
+    * digit runs inside an address part never clip an email). Pattern
+    * strings are shared VERBATIM with the SQL oracle (RE2-compatible
+    * syntax only), so Spark and DuckDB redact identically.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{2,3}[-.][0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?\\b"
+      -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+  )
+
+  /** Scrub direct identifiers from free text — the standard pre-training
+    * hygiene pass. A chain of regexp_replace calls: narrow, stateless,
+    * codegen'd, no shuffle.
+    */
+  def redactPii(textCol: Column): Column =
+    PiiRules.foldLeft(textCol) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** The same chain as DuckDB SQL over column expression `cs` ('g' =
+    * replace all, matching Spark's default).
+    */
+  def redactPiiSql(cs: String): String =
+    PiiRules.foldLeft(cs) { case (s, (re, tag)) =>
+      s"regexp_replace($s, '${re.replace("'", "''")}', '$tag', 'g')"
+    }
+
+  /** Benchmark-contamination check: for each corpus document, the fraction
+    * of its distinct word n-gram shingles that appear anywhere in the
+    * benchmark set — the standard eval-leakage gate before training. The
+    * benchmark shingle set is dimension-sized (benchmarks are small) and
+    * broadcast; the corpus side is one shingle explosion + one grouped
+    * count, so the check scales with corpus size, not corpus × benchmark.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame = {
+    val cs = Dedup.shingles(corpus, textCol, idCol, n)
+    val bs = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    cs.join(broadcast(bs), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_shingles"), 4)
+          .as("contamination"))
+      .orderBy(idCol)
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

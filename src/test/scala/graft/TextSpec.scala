@@ -110,4 +110,36 @@ class TextSpec extends AnyFunSuite {
     // hello | world | 42 | x | !
     assert(out.getAs[Long]("regex_tokens") == 5)
   }
+
+  test("PII redaction scrubs emails, SSNs, phones, and IPs") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org asap"),
+      (2L, "ssn 123-45-6789 on file"),
+      (3L, "call 555-867-5309 or 25-989-741-2988"),
+      (4L, "host 192.168.10.254 is down"),
+      (5L, "nothing sensitive here 12345")).toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.text.TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> asap")
+    assert(out(2L) == "ssn <SSN> on file")
+    assert(out(3L) == "call <PHONE> or <PHONE>")
+    assert(out(4L) == "host <IP> is down")
+    assert(out(5L) == "nothing sensitive here 12345")
+  }
+
+  test("contamination measures benchmark shingle overlap per document") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma epsilon"), // 2 of 3 bigrams in benchmark
+      (11L, "zeta eta theta iota"))      // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps
+      .contamination(corpus, bench, "text", "doc_id", 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination"))).toMap
+    assert(out(10L) == ((3L, 2L, 0.6667)))
+    assert(out(11L) == ((3L, 0L, 0.0)))
+  }
 }
