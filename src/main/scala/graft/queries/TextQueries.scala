@@ -56,8 +56,11 @@ object TextQueries {
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", ShingleN,
       MinJaccard)
 
-  val neardupNgramSql: String =
-    s"""$ShCte,
+  /** CTE chain ending in a `pairs` relation — shared by the pair query and
+    * the cluster (connected-components) oracle below.
+    */
+  private val NgramPairsCtes: String =
+    s"""${ShCte.stripPrefix("WITH ")},
        |keep AS (SELECT shingle FROM sh GROUP BY shingle
        |  HAVING count(*) <= ${Dedup.DefaultMaxDf}),
        |shk AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
@@ -65,13 +68,36 @@ object TextQueries {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    count(*) AS c FROM shk a JOIN shk b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b,
        |  round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
        |FROM inter
        |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard)""".stripMargin
+
+  val neardupNgramSql: String =
+    s"""WITH $NgramPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- duplicate clusters over the near-dup pair graph --------------------
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(neardupNgram(s, dir), idA = "doc_a", idB = "doc_b")
+
+  /** Oracle: the same pair list (neardupNgramSql CTEs) closed into
+    * connected components with a recursive CTE — cluster id = min id
+    * reachable from each node (including itself).
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $NgramPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r
+       |    JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   // ---- benchmark contamination --------------------------------------------
 
@@ -233,6 +259,7 @@ object TextQueries {
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
     "contamination_documents" -> (contaminationDocs _),
+    "dedup_clusters_documents" -> (dedupClusters _),
     "pii_redact_customer" -> (piiRedactCustomer _),
     "neardup_minhash_documents" -> (neardupMinhash _),
     "simhash_documents" -> (simhashDocs _),
@@ -247,6 +274,7 @@ object TextQueries {
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,
+    "dedup_clusters_documents" -> dedupClustersSql,
     "pii_redact_customer" -> piiRedactSql,
     "langid_documents" -> langIdSql,
     "quality_documents" -> qualitySql,

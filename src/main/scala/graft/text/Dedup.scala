@@ -48,6 +48,53 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("n_dupes"))
       .orderBy(idCol)
 
+  /** Duplicate-CLUSTER assembly: turn a near-dup pair list into connected
+    * components, labeling every member with the smallest id in its
+    * component — the step that makes pair output actionable (keep one doc
+    * per cluster). Iterative min-label propagation: each round every node
+    * adopts the smallest label among itself and its neighbors; rounds
+    * needed = graph diameter (near-dup clusters are shallow — chains of
+    * borderline pairs, typically < 10 hops).
+    *
+    * Scale shape: one shuffle per round on the edge key (the classic
+    * distributed connected-components loop; the driver only launches
+    * rounds and checks a one-row convergence count — no edge data ever
+    * leaves the executors). Label state is localCheckpoint'ed each round
+    * so the lineage stays flat. Output: (doc_id, cluster_id) for every
+    * node that appears in a pair; singletons are implicitly their own
+    * cluster.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          edges("dst") === col("dst2"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word n-gram shingles: (id, shingle). */
   def shingles(df: DataFrame, textCol: String, idCol: String,
                n: Int): DataFrame = {

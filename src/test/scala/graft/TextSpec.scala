@@ -111,6 +111,17 @@ class TextSpec extends AnyFunSuite {
     assert(out.getAs[Long]("regex_tokens") == 5)
   }
 
+  test("dup clusters: chained pairs collapse into one component") {
+    // 1-2, 2-3, 3-4 chain (diameter 3) + disjoint 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = graft.text.Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("PII redaction scrubs emails, SSNs, phones, and IPs") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org asap"),
