@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.text.{Dedup, TextOps}
+import graft.text.{Curation, Dedup, TextOps}
 
 /** LLM-data-pipeline text surface over the `documents` table: dedup (exact,
   * exact n-gram Jaccard, MinHash+LSH, SimHash, winnowing fingerprints) and
@@ -253,9 +253,139 @@ object TextQueries {
        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  // ---- curation funnel, deterministic split, per-lang top quality ---------
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    Curation.curationFunnel(docs(s, dir), benchSplit = BenchSplit,
+      shingleN = ShingleN, minJaccard = MinJaccard)
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Curation.deterministicSplit(docs(s, dir))
+
+  def topQualityPerLang(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .orderBy("lang", "rnk")
+  }
+
+  private val EnList =
+    TextOps.Stopwords.head._2.map(x => s"'$x'").mkString(", ")
+
+  /** The qualitySql score expression over a word-array column `w` —
+    * structurally identical to [[TextOps.qualityScore]]'s tree.
+    */
+  private def scoreSql(w: String): String =
+    s"floor((least(1.0, CAST(len($w) AS DOUBLE)/50.0)*0.3 + " +
+      s"round(CAST(len(list_intersect($w, [$EnList])) AS DOUBLE)/len($w), 4)*0.3 + " +
+      s"(1.0 - round(1.0 - CAST(len(list_distinct($w)) AS DOUBLE)/len($w), 4))*0.4)" +
+      "*10000)/10000"
+
+  /** `predictedLang != 'und'` reduces to "some stopword list matched":
+    * greatest over the per-language distinct-intersection sizes > 0.
+    */
+  private val LangOkSql: String =
+    TextOps.Stopwords.map { case (_, sw) =>
+      "len(list_intersect(w, [" + sw.map(x => s"'$x'").mkString(", ") + "]))"
+    }.mkString("greatest(", ", ", ") > 0")
+
+  /** DuckDB n-gram shingle list comprehension over word array `w`. */
+  private def shingleListSql(n: Int): String =
+    if (n == 2) "[w[i] || ' ' || w[i+1] for i in range(1, len(w))]"
+    else s"[list_aggregate(w[i:i+${n - 1}], 'string_agg', ' ') " +
+      s"for i in range(1, len(w)-${n - 2})]"
+
+  val curationFunnelSql: String = {
+    val contamN = Curation.DefaultContamN
+    def stageSel(no: Int, name: String, rel: String) =
+      s"SELECT CAST($no AS BIGINT) AS stage, '$name' AS stage_name, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM $rel"
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, text,
+       |  string_split_regex(trim(text), '\\s+') AS w,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_toks FROM documents),
+       |corpus AS (SELECT * FROM base WHERE doc_id >= $BenchSplit),
+       |s1 AS (SELECT * FROM corpus WHERE $LangOkSql),
+       |s2 AS (SELECT * FROM s1
+       |  WHERE ${scoreSql("w")} >= ${Curation.DefaultMinScore}),
+       |s3 AS (SELECT * FROM s2 QUALIFY doc_id = min(doc_id) OVER
+       |  (PARTITION BY md5($NormSql))),
+       |sh4 AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
+       |  unnest(${shingleListSql(ShingleN)}) AS shingle FROM s3)),
+       |keep4 AS (SELECT shingle FROM sh4 GROUP BY shingle
+       |  HAVING count(*) <= ${Dedup.DefaultMaxDf}),
+       |shk4 AS (SELECT sh4.* FROM sh4 JOIN keep4 USING (shingle)),
+       |sz4 AS (SELECT doc_id, count(*) AS n FROM shk4 GROUP BY doc_id),
+       |inter4 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS c FROM shk4 a JOIN shk4 b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs4 AS (SELECT doc_a, doc_b FROM inter4
+       |  JOIN sz4 sa ON sa.doc_id = doc_a JOIN sz4 sb ON sb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs4
+       |  UNION SELECT doc_b, doc_a FROM pairs4),
+       |reach(src, dst) AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e
+       |    ON r.dst = e.src),
+       |clusters AS (SELECT src AS doc_id, least(src, min(dst))
+       |  AS cluster_id FROM reach GROUP BY src),
+       |s4 AS (SELECT s3.* FROM s3 LEFT JOIN clusters USING (doc_id)
+       |  WHERE cluster_id IS NULL OR cluster_id = doc_id),
+       |sh5 AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
+       |  unnest(${shingleListSql(contamN)}) AS shingle FROM s4)),
+       |bench5 AS (SELECT DISTINCT shingle FROM (SELECT
+       |  unnest(${shingleListSql(contamN)}) AS shingle FROM base
+       |  WHERE doc_id < $BenchSplit)),
+       |contam AS (SELECT c.doc_id,
+       |    round(CAST(count(b.shingle) AS DOUBLE)/count(*), 4)
+       |      AS contamination
+       |  FROM sh5 c LEFT JOIN bench5 b USING (shingle) GROUP BY c.doc_id),
+       |s5 AS (SELECT s4.* FROM s4 LEFT JOIN contam USING (doc_id)
+       |  WHERE contamination IS NULL OR
+       |    contamination < ${Curation.DefaultMaxContam})
+       |SELECT * FROM (
+       |  ${stageSel(0, "corpus", "corpus")}
+       |  UNION ALL ${stageSel(1, "lang_id", "s1")}
+       |  UNION ALL ${stageSel(2, "quality", "s2")}
+       |  UNION ALL ${stageSel(3, "exact_dedup", "s3")}
+       |  UNION ALL ${stageSel(4, "neardup_dedup", "s4")}
+       |  UNION ALL ${stageSel(5, "decontaminated", "s5")})
+       |ORDER BY stage""".stripMargin
+  }
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+       |    AS bucket,
+       |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
+       |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val topQualityPerLangSql: String =
+    s"""$ToksCte,
+       |m AS (SELECT lang, doc_id, ${scoreSql("w")} AS score
+       |  FROM toks JOIN documents USING (doc_id)),
+       |r AS (SELECT lang, doc_id, score, CAST(rank() OVER
+       |  (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM m)
+       |SELECT lang, doc_id, score, rnk FROM r WHERE rnk <= 3
+       |ORDER BY lang, rnk""".stripMargin
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_funnel_documents" -> (curationFunnel _),
+    "split_assign_documents" -> (splitAssign _),
+    "top_quality_per_lang" -> (topQualityPerLang _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
     "contamination_documents" -> (contaminationDocs _),
@@ -271,6 +401,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "curation_funnel_documents" -> curationFunnelSql,
+    "split_assign_documents" -> splitAssignSql,
+    "top_quality_per_lang" -> topQualityPerLangSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end training-corpus curation: the composed pipeline a
+  * pre-training data team actually runs — language filter, quality filter,
+  * exact dedup, near-dup cluster dedup, benchmark decontamination — plus
+  * the deterministic train/val/test split that follows it. Re-expresses
+  * the reference's multi-step curation posture (dk-installer's staged
+  * MultiStepAction, SURVEY §3.3) as one declarative Spark program.
+  *
+  * Scale shape: every stage is a filter or a shuffle-by-key over the
+  * SURVIVORS of the previous stage, so work shrinks monotonically down the
+  * funnel; the only quadratic-risk step (near-dup pair generation) runs on
+  * the post-quality corpus with the stop-shingle df cap. Stage frontiers
+  * that feed both a count and the next stage are localCheckpoint'ed — at
+  * warehouse scale each frontier would be a materialized table between
+  * jobs, which is the same shape.
+  */
+object Curation {
+
+  /** Default stage thresholds (chosen to discriminate on the harness
+    * corpus; every value is surfaced in the funnel output's stage names
+    * only implicitly — callers parameterize).
+    */
+  val DefaultMinScore = 0.45
+  val DefaultContamN = 4
+  val DefaultMaxContam = 0.5
+
+  /** Whitespace-normalized content hash — the exact-dedup key, shared with
+    * [[Dedup.exact]] and the DuckDB oracle (md5 hex is engine-portable).
+    */
+  private def contentHash(textCol: String) =
+    md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+
+  /** Six-stage curation funnel over a documents table: rows
+    * `(stage, stage_name, n_docs, n_tokens)`, one per stage, counting the
+    * documents and whitespace tokens that survive up to and including that
+    * stage. Documents with id < `benchSplit` play the held-out benchmark
+    * (never part of the corpus; source of decontamination shingles).
+    */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", benchSplit: Long = 50,
+                     minScore: Double = DefaultMinScore,
+                     shingleN: Int = 2, minJaccard: Double = 0.4,
+                     contamN: Int = DefaultContamN,
+                     maxContam: Double = DefaultMaxContam): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol),
+        size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"))
+      .localCheckpoint(true)
+    val corpus = base.filter(col(idCol) >= benchSplit)
+    val bench = base.filter(col(idCol) < benchSplit)
+
+    // 1. Language filter: keep documents whose stopword evidence
+    //    identifies a language at all.
+    val s1 = corpus.filter(
+      TextOps.predictedLang(TextOps.words(col(textCol))) =!= "und")
+    // 2. Quality filter on the shared composite score.
+    val s2 = s1.filter(TextOps.qualityScore(col(textCol)) >= minScore)
+    // 3. Exact dedup: keep the smallest id per normalized content hash.
+    //    One partitioned window on the hash — a single key shuffle.
+    val s3 = s2.withColumn("__h", contentHash(textCol))
+      .withColumn("__keep",
+        min(col(idCol)).over(Window.partitionBy("__h")))
+      .filter(col(idCol) === col("__keep")).drop("__h", "__keep")
+      .localCheckpoint(true)
+    // 4. Near-dup dedup: pair graph over survivors, closed into clusters;
+    //    keep each cluster's smallest id (docs in no pair keep themselves).
+    val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(s3, textCol, idCol, shingleN, minJaccard),
+        idA = "doc_a", idB = "doc_b")
+      .select(col("doc_id").as("__cdoc"), col("cluster_id"))
+    val s4 = s3.join(clusters, s3(idCol) === col("__cdoc"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("__cdoc", "cluster_id")
+      .localCheckpoint(true)
+    // 5. Decontamination: drop survivors sharing too many contamN-gram
+    //    shingles with the benchmark set. Documents too short to shingle
+    //    have no contamination row and are kept.
+    val contam = TextOps.contamination(s4, bench, textCol, idCol, contamN)
+      .select(col(idCol).as("__kdoc"), col("contamination"))
+    val s5 = s4.join(contam, s4(idCol) === col("__kdoc"), "left")
+      .filter(col("contamination").isNull ||
+        col("contamination") < maxContam)
+
+    def stageRow(df: DataFrame, no: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(no).cast(LongType).as("stage"),
+          lit(name).as("stage_name"), col("n_docs"), col("n_tokens"))
+
+    Seq((corpus, 0, "corpus"), (s1, 1, "lang_id"), (s2, 2, "quality"),
+        (s3, 3, "exact_dedup"), (s4, 4, "neardup_dedup"),
+        (s5, 5, "decontaminated"))
+      .map { case (d, i, n) => stageRow(d, i, n) }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
+  /** Deterministic train/val/test assignment: bucket 0-99 from the first
+    * six hex digits of md5(id), split 80/10/10. Hash-based (not random)
+    * so the assignment is stable across runs, engines, and re-partitions —
+    * the property a reproducible pipeline needs. Pure per-row expression:
+    * no shuffle, no state, embarrassingly parallel.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String = "doc_id",
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100).as("bucket")
+    df.select(col(idCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy(idCol)
+  }
+}

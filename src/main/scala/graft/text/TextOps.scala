@@ -60,13 +60,13 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
 
-  /** Per-document quality metrics + composite score (top `limit` docs).
-    * Signals: length (saturating at 50 words), English-stopword ratio,
-    * repetition (1 - distinct/total words).
+  /** The composite quality score of a text column — shared by the quality
+    * report, the per-language top-k, and the curation funnel's filter so
+    * every consumer evaluates the SAME expression tree (IEEE doubles are
+    * deterministic given identical trees).
     */
-  def qualityScores(df: DataFrame, textCol: String, idCol: String,
-                    limit: Int): DataFrame = {
-    val w = words(col(textCol))
+  def qualityScore(textCol: Column): Column = {
+    val w = words(textCol)
     val nWords = size(w).cast(LongType)
     val nStop = size(array_intersect(w,
       lit(Stopwords.head._2.toArray))).cast(LongType)
@@ -77,16 +77,36 @@ object TextOps {
     // floor-scale instead of round: the weighted sum of 4-dp inputs lands
     // exactly on .xxxx5 constantly, where round() tie-breaking differs
     // between engines; floor of bit-identical doubles is bit-identical.
-    val score = floor((lengthScore * 0.3 + stopRatio * 0.3 +
+    floor((lengthScore * 0.3 + stopRatio * 0.3 +
       (lit(1.0) - dupRatio) * 0.4) * 10000) / 10000
+  }
+
+  /** Per-document quality metrics + composite score, all documents.
+    * Signals: length (saturating at 50 words), English-stopword ratio,
+    * repetition (1 - distinct/total words).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast(LongType)
+    val nStop = size(array_intersect(w,
+      lit(Stopwords.head._2.toArray))).cast(LongType)
+    val dupRatio = round(lit(1.0) -
+      size(array_distinct(w)).cast(DoubleType) / nWords, 4)
+    val stopRatio = round(nStop.cast(DoubleType) / nWords, 4)
     df.select(col(idCol), nWords.as("n_words"),
-        round(length(regexp_replace(col(textCol), "\\s", ""))
-          .cast(DoubleType) / nWords, 4).as("avg_word_len"),
-        stopRatio.as("stop_ratio"), dupRatio.as("dup_ratio"),
-        score.as("score"))
+      round(length(regexp_replace(col(textCol), "\\s", ""))
+        .cast(DoubleType) / nWords, 4).as("avg_word_len"),
+      stopRatio.as("stop_ratio"), dupRatio.as("dup_ratio"),
+      qualityScore(col(textCol)).as("score"))
+  }
+
+  /** Top `limit` documents by composite quality score. */
+  def qualityScores(df: DataFrame, textCol: String, idCol: String,
+                    limit: Int): DataFrame =
+    qualityMetrics(df, textCol, idCol)
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
-  }
 
   /** Token counts per source: whitespace tokens vs regex (BPE-ish) tokens,
     * plus chars-per-token — the budget arithmetic of an LLM data pipeline.

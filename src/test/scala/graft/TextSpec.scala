@@ -122,6 +122,55 @@ class TextSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("curation funnel drops docs at the intended stages") {
+    // ids < 10 are the "benchmark"; corpus docs exercise each filter:
+    // 20 = healthy; 21 = no stopwords (lang drop); 22 = pure repetition
+    // (quality drop); 23 = exact dup of 20 modulo whitespace; 24 =
+    // near-dup of 20; 25 = copy of bench doc 1 (contamination drop).
+    val bench = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs away to the forest in the morning light again"
+    val healthy = "the cat sat on a mat and the dog lay on the rug " +
+      "while a bird flew over the quiet house in the warm morning sun " +
+      "and the children played in the garden with a red ball for hours"
+    val docs = Seq(
+      (1L, bench),
+      (20L, healthy),
+      (21L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff"),
+      (22L, "the the the the the the the the"),
+      (23L, "  " + healthy.replace(" cat ", "  cat ")),
+      (24L, healthy.replace("red ball", "blue ball")),
+      (25L, bench + " the end"),
+    ).toDF("doc_id", "text")
+    val out = graft.text.Curation
+      .curationFunnel(docs, benchSplit = 10L, contamN = 4)
+      .collect().map(r => r.getAs[String]("stage_name") ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(out("corpus") == 6)
+    assert(out("lang_id") == 5)        // 21 dropped (no stopwords)
+    assert(out("quality") == 4)        // 22 dropped (too short)
+    assert(out("exact_dedup") == 3)    // 23 dropped (dup of 20)
+    assert(out("neardup_dedup") == 2)  // 24 dropped (near-dup of 20)
+    assert(out("decontaminated") == 1) // 25 dropped (bench overlap)
+  }
+
+  test("deterministic split is stable and respects bucket boundaries") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val a = graft.text.Curation.deterministicSplit(ids).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+        r.getAs[String]("split")))
+    val b = graft.text.Curation
+      .deterministicSplit(ids.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+        r.getAs[String]("split")))
+    assert(a.sameElements(b)) // partitioning-independent
+    assert(a.forall { case (_, bk, sp) =>
+      bk >= 0 && bk < 100 &&
+        sp == (if (bk < 80) "train" else if (bk < 90) "val" else "test")
+    })
+    assert(a.map(_._3).distinct.sorted.sameElements(
+      Array("test", "train", "val")))
+  }
+
   test("PII redaction scrubs emails, SSNs, phones, and IPs") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org asap"),
