@@ -80,7 +80,21 @@ object SimQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  def centroidsByLabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(emb(s, dir), "label", "embedding")
+
+  val centroidsSql: String =
+    s"""WITH u AS (SELECT label,
+       |  unnest([{'d': i-1, 'v': embedding[i]}
+       |    for i in range(1, len(embedding)+1)]) AS s FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(s.d AS BIGINT) AS dim,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(sum(CAST(s.v AS DECIMAL(28,6))) AS DOUBLE)/count(*), 4)
+       |    AS centroid
+       |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_embeddings" -> (centroidsByLabel _),
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
@@ -88,6 +102,7 @@ object SimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "centroid_embeddings" -> centroidsSql,
     "knn_embeddings" -> knnSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
   )

@@ -42,6 +42,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-label centroid of a vector column, one row per (label, dim).
+    * posexplode fans each vector into its components; the per-dimension
+    * sums are exact DECIMAL(28,6) (addition-order-independent — the
+    * Profiler parity pattern), so the derived double centroid hash-matches
+    * any engine computing the same decimal sums. Scale shape: rows × dim
+    * explode feeds a map-side partial aggregate; the shuffle carries only
+    * (labels × dim) groups.
+    */
+  def centroids(df: DataFrame, labelCol: String,
+                vecCol: String): DataFrame =
+    df.select(col(labelCol).cast(LongType).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v").cast(graft.profile.Profiler.SumDec)).as("s1"))
+      .select(col("label"), col("dim").cast(LongType).as("dim"),
+        col("n_vecs"),
+        round(col("s1").cast(DoubleType) / col("n_vecs"), 4).as("centroid"))
+      .orderBy("label", "dim")
+
   /** Embedding-cosine near-duplicate pairs — the exact tier of the vector
     * dedup ladder (SURVEY.md M6): every unordered pair with cosine ≥ tau.
     * The verification baseline the oracle can replicate, same role as

@@ -38,6 +38,19 @@ class SimSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("per-label centroids average each dimension exactly") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroids(df, "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("dim")) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid"))).toMap
+    assert(out((0L, 0L)) == (2L, 2.0) && out((0L, 1L)) == (2L, 4.0))
+    assert(out((1L, 0L)) == (1L, 10.0) && out((1L, 1L)) == (1L, 0.0))
+  }
+
   test("cosine near-dup pairs surface planted duplicates only") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
