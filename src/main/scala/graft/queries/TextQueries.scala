@@ -275,6 +275,35 @@ object TextQueries {
       .orderBy("lang", "rnk")
   }
 
+  /** Token budget per packed training sequence. */
+  val PackBudget = 512L
+
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), budget = PackBudget)
+
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_toks FROM documents),
+       |o AS (SELECT source, doc_id, n_toks,
+       |  CAST(coalesce(sum(n_toks) OVER (PARTITION BY source
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t)
+       |SELECT source, doc_id, n_toks, off, off // $PackBudget AS bin
+       |FROM o ORDER BY source, doc_id""".stripMargin
+
+  /** Per-language stratified sample — seeded, reproducible within Spark;
+    * registered rows-only (Bernoulli draws are engine-specific) and
+    * property-gated in TextSpec.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.2, "es" -> 0.5, "de" -> 0.5,
+      "fr" -> 0.5, "zh" -> 0.5)
+    docs(s, dir).stat.sampleBy("lang", fractions, seed = 42L)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   private val EnList =
     TextOps.Stopwords.head._2.map(x => s"'$x'").mkString(", ")
 
@@ -386,6 +415,8 @@ object TextQueries {
     "curation_funnel_documents" -> (curationFunnel _),
     "split_assign_documents" -> (splitAssign _),
     "top_quality_per_lang" -> (topQualityPerLang _),
+    "pack_sequences_documents" -> (packSequences _),
+    "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
     "contamination_documents" -> (contaminationDocs _),
@@ -404,6 +435,7 @@ object TextQueries {
     "curation_funnel_documents" -> curationFunnelSql,
     "split_assign_documents" -> splitAssignSql,
     "top_quality_per_lang" -> topQualityPerLangSql,
+    "pack_sequences_documents" -> packSequencesSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

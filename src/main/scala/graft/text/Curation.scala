@@ -100,6 +100,27 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** Sequence packing: assign each document a bin (context window) of at
+    * most `budget` tokens by stream order — the step that turns a curated
+    * corpus into fixed-size training sequences. Documents are laid out in
+    * (group, id) order; a document starting at stream offset `off` goes to
+    * bin `off div budget`, so documents never split and a bin overflows by
+    * at most one document (first-fit-by-stream-order packing). One
+    * partitioned window per group column (e.g. source) — packing
+    * parallelizes across groups and never needs a global order.
+    */
+  def packSequences(docs: DataFrame, groupCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    budget: Long = 512L): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(groupCol), col(idCol),
+        size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"))
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"off div $budget"))
+      .orderBy(groupCol, idCol)
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the first
     * six hex digits of md5(id), split 80/10/10. Hash-based (not random)
     * so the assignment is stable across runs, engines, and re-partitions —

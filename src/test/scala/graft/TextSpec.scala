@@ -171,6 +171,42 @@ class TextSpec extends AnyFunSuite {
       Array("test", "train", "val")))
   }
 
+  test("sequence packing fills bins in stream order without splitting docs") {
+    // source A: 300+300+100 tokens with budget 512 → offs 0/300/600 →
+    // bins 0/0/1 (doc 2 overflows bin 0; doc 3 starts past the budget).
+    val docs = Seq(
+      ("A", 1L, Seq.fill(300)("w").mkString(" ")),
+      ("A", 2L, Seq.fill(300)("x").mkString(" ")),
+      ("A", 3L, Seq.fill(100)("y").mkString(" ")),
+      ("B", 4L, Seq.fill(600)("z").mkString(" ")),
+      ("B", 5L, Seq.fill(10)("q").mkString(" ")),
+    ).toDF("source", "doc_id", "text")
+    val out = graft.text.Curation.packSequences(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("off"), r.getAs[Long]("bin"))).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (300L, 0L) &&
+      out(3L) == (600L, 1L))
+    assert(out(4L) == (0L, 0L) && out(5L) == (600L, 1L))
+  }
+
+  test("stratified sample is seeded-deterministic and respects strata") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.TextQueries.sampleStratified(spark, dir).collect()
+    val b = graft.queries.TextQueries.sampleStratified(spark, dir).collect()
+    assert(a.sameElements(b)) // same seed → same sample
+    val full = graft.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    // en sampled at 0.2, rest at 0.5 — loose binomial bounds
+    got.toMap.foreach { case (lang, n) =>
+      val f = if (lang == "en") 0.2 else 0.5
+      assert(n <= full(lang), s"$lang oversampled")
+      assert(n >= 0 && n <= math.ceil(full(lang) * f * 3).toLong + 2,
+        s"$lang count $n vs ${full(lang)} at $f")
+    }
+  }
+
   test("PII redaction scrubs emails, SSNs, phones, and IPs") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org asap"),
