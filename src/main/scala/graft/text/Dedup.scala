@@ -66,9 +66,12 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    // No dedup shuffle on the edge list: min-label propagation is
+    // insensitive to duplicate edges (min over a multiset), and reversing
+    // a unique unordered pair list cannot create collisions anyway.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var round = 0
@@ -79,16 +82,19 @@ object Dedup {
           edges("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
+      // The convergence flag rides the update row (any neighbor label
+      // strictly below the current one), so checking it is a scan of the
+      // checkpointed result — no extra join or shuffle per round.
       val updated = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
