@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
+import graft.plans.RewriteHofDotProduct
+import graft.sim.Similarity
+
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // parquet-backed so ConvertToLocalRelation can't constant-fold the
+  // whole expression away before the rewrite has anything to match
+  private def vecs = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .limit(8)
+
+  private def hasDot(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect { case n => n.expressions }.flatten
+      .exists(_.exists(_.isInstanceOf[DotProduct]))
+
+  test("optimizer rewrites the HOF dot-product pattern to DotProduct") {
+    val df = vecs.select(col("vec_id"),
+      Similarity.dotHof(col("v"), col("v")).as("d"))
+    // SparkTestSession registers GraftExtensions, so the optimized plan
+    // must carry the native expression...
+    assert(hasDot(df.queryExecution.optimizedPlan),
+      s"no DotProduct in: ${df.queryExecution.optimizedPlan}")
+    // ...and the analyzed (pre-optimizer) plan must not, proving the
+    // rule (not the query author) did the rewrite.
+    assert(!hasDot(df.queryExecution.analyzed))
+  }
+
+  test("rewrite preserves values bit-for-bit vs the native direct path") {
+    val viaHof = vecs
+      .select(col("vec_id"), Similarity.dotHof(col("v"), col("v")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val viaNative = vecs
+      .select(col("vec_id"), Similarity.dot(col("v"), col("v")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(viaHof.sameElements(viaNative))
+  }
+
+  test("non-matching folds are left alone") {
+    // zero literal != 0.0 → not a dot product; must keep the HOF form
+    val df = vecs.select(aggregate(
+      zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(1.5), (acc, v) => acc + v).as("d"))
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = RewriteHofDotProduct(analyzed)
+    assert(rewritten == analyzed)
+    assert(!hasDot(df.queryExecution.optimizedPlan))
+  }
+}
