@@ -259,6 +259,9 @@ object TextQueries {
     Curation.curationFunnel(docs(s, dir), benchSplit = BenchSplit,
       shingleN = ShingleN, minJaccard = MinJaccard)
 
+  def curatedDocs(s: SparkSession, dir: String): DataFrame =
+    Curation.curatedCorpus(docs(s, dir), benchSplit = BenchSplit)
+
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     Curation.deterministicSplit(docs(s, dir))
 
@@ -330,14 +333,12 @@ object TextQueries {
     else s"[list_aggregate(w[i:i+${n - 1}], 'string_agg', ' ') " +
       s"for i in range(1, len(w)-${n - 2})]"
 
-  val curationFunnelSql: String = {
+  /** The shared stage-CTE chain (through `s5`, the curated corpus) —
+    * prefix of both the funnel report and the curated-corpus oracle.
+    */
+  private val CurationCtes: String = {
     val contamN = Curation.DefaultContamN
-    def stageSel(no: Int, name: String, rel: String) =
-      s"SELECT CAST($no AS BIGINT) AS stage, '$name' AS stage_name, " +
-        "CAST(count(*) AS BIGINT) AS n_docs, " +
-        s"CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM $rel"
-    s"""WITH RECURSIVE
-       |base AS (SELECT doc_id, text,
+    s"""base AS (SELECT doc_id, text,
        |  string_split_regex(trim(text), '\\s+') AS w,
        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
        |    AS n_toks FROM documents),
@@ -379,7 +380,16 @@ object TextQueries {
        |  FROM sh5 c LEFT JOIN bench5 b USING (shingle) GROUP BY c.doc_id),
        |s5 AS (SELECT s4.* FROM s4 LEFT JOIN contam USING (doc_id)
        |  WHERE contamination IS NULL OR
-       |    contamination < ${Curation.DefaultMaxContam})
+       |    contamination < ${Curation.DefaultMaxContam})""".stripMargin
+  }
+
+  val curationFunnelSql: String = {
+    def stageSel(no: Int, name: String, rel: String) =
+      s"SELECT CAST($no AS BIGINT) AS stage, '$name' AS stage_name, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM $rel"
+    s"""WITH RECURSIVE
+       |$CurationCtes
        |SELECT * FROM (
        |  ${stageSel(0, "corpus", "corpus")}
        |  UNION ALL ${stageSel(1, "lang_id", "s1")}
@@ -389,6 +399,11 @@ object TextQueries {
        |  UNION ALL ${stageSel(5, "decontaminated", "s5")})
        |ORDER BY stage""".stripMargin
   }
+
+  val curatedDocsSql: String =
+    s"""WITH RECURSIVE
+       |$CurationCtes
+       |SELECT doc_id, n_toks FROM s5 ORDER BY doc_id""".stripMargin
 
   val splitAssignSql: String =
     s"""SELECT doc_id,
@@ -413,6 +428,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_funnel_documents" -> (curationFunnel _),
+    "curated_documents" -> (curatedDocs _),
     "split_assign_documents" -> (splitAssign _),
     "top_quality_per_lang" -> (topQualityPerLang _),
     "pack_sequences_documents" -> (packSequences _),
@@ -433,6 +449,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "curation_funnel_documents" -> curationFunnelSql,
+    "curated_documents" -> curatedDocsSql,
     "split_assign_documents" -> splitAssignSql,
     "top_quality_per_lang" -> topQualityPerLangSql,
     "pack_sequences_documents" -> packSequencesSql,

@@ -36,18 +36,20 @@ object Curation {
   private def contentHash(textCol: String) =
     md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
 
-  /** Six-stage curation funnel over a documents table: rows
-    * `(stage, stage_name, n_docs, n_tokens)`, one per stage, counting the
-    * documents and whitespace tokens that survive up to and including that
-    * stage. Documents with id < `benchSplit` play the held-out benchmark
-    * (never part of the corpus; source of decontamination shingles).
+  /** The six stage frontiers of the curation pipeline, in order — each
+    * DataFrame holds `(idCol, textCol, n_toks)` for the documents
+    * surviving up to and including that stage. Documents with id <
+    * `benchSplit` play the held-out benchmark (never part of the corpus;
+    * source of decontamination shingles). The last frontier IS the
+    * curated corpus.
     */
-  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+  def curationStages(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", benchSplit: Long = 50,
                      minScore: Double = DefaultMinScore,
                      shingleN: Int = 2, minJaccard: Double = 0.4,
                      contamN: Int = DefaultContamN,
-                     maxContam: Double = DefaultMaxContam): DataFrame = {
+                     maxContam: Double = DefaultMaxContam)
+      : Seq[(String, DataFrame)] = {
     val base = docs.select(col(idCol), col(textCol),
         size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"))
       .localCheckpoint(true)
@@ -85,20 +87,45 @@ object Curation {
     val s5 = s4.join(contam, s4(idCol) === col("__kdoc"), "left")
       .filter(col("contamination").isNull ||
         col("contamination") < maxContam)
+      .drop("__kdoc", "contamination")
 
-    def stageRow(df: DataFrame, no: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
-        .select(lit(no).cast(LongType).as("stage"),
-          lit(name).as("stage_name"), col("n_docs"), col("n_tokens"))
+    Seq("corpus" -> corpus, "lang_id" -> s1, "quality" -> s2,
+      "exact_dedup" -> s3, "neardup_dedup" -> s4,
+      "decontaminated" -> s5)
+  }
 
-    Seq((corpus, 0, "corpus"), (s1, 1, "lang_id"), (s2, 2, "quality"),
-        (s3, 3, "exact_dedup"), (s4, 4, "neardup_dedup"),
-        (s5, 5, "decontaminated"))
-      .map { case (d, i, n) => stageRow(d, i, n) }
+  /** Six-stage curation funnel report: rows
+    * `(stage, stage_name, n_docs, n_tokens)`, one per stage, counting the
+    * documents and whitespace tokens that survive up to and including
+    * that stage.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", benchSplit: Long = 50,
+                     minScore: Double = DefaultMinScore,
+                     shingleN: Int = 2, minJaccard: Double = 0.4,
+                     contamN: Int = DefaultContamN,
+                     maxContam: Double = DefaultMaxContam): DataFrame =
+    curationStages(docs, idCol, textCol, benchSplit, minScore, shingleN,
+        minJaccard, contamN, maxContam)
+      .zipWithIndex
+      .map { case ((name, d), i) =>
+        d.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+          .select(lit(i).cast(LongType).as("stage"),
+            lit(name).as("stage_name"), col("n_docs"), col("n_tokens"))
+      }
       .reduce(_ unionByName _)
       .orderBy("stage")
-  }
+
+  /** The curated corpus itself — the last stage frontier as
+    * `(idCol, n_toks)`, the document set a training run would consume.
+    */
+  def curatedCorpus(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", benchSplit: Long = 50)
+      : DataFrame =
+    curationStages(docs, idCol, textCol, benchSplit).last._2
+      .select(col(idCol), col("n_toks"))
+      .orderBy(idCol)
 
   /** Sequence packing: assign each document a bin (context window) of at
     * most `budget` tokens by stream order — the step that turns a curated
