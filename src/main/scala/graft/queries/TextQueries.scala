@@ -232,6 +232,20 @@ object TextQueries {
        |  round(CAST(sum(re) AS DOUBLE)/count(*), 4) AS tokens_per_doc
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- corpus vocabulary ---------------------------------------------------
+
+  /** Top-k vocabulary size. */
+  val VocabK = 100
+
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabulary(docs(s, dir), "text", VocabK)
+
+  val vocabSql: String =
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |  AS word FROM documents)
+       |SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+       |GROUP BY word ORDER BY freq DESC, word LIMIT $VocabK""".stripMargin
+
   // ---- corpus stats --------------------------------------------------------
 
   def corpusStats(s: SparkSession, dir: String): DataFrame =
@@ -444,6 +458,7 @@ object TextQueries {
     "langid_documents" -> (langId _),
     "quality_documents" -> (quality _),
     "tokencount_documents" -> (tokenCounts _),
+    "vocab_documents" -> (vocab _),
     "corpus_stats_documents" -> (corpusStats _),
   )
 
@@ -461,6 +476,7 @@ object TextQueries {
     "langid_documents" -> langIdSql,
     "quality_documents" -> qualitySql,
     "tokencount_documents" -> tokenCountsSql,
+    "vocab_documents" -> vocabSql,
     "corpus_stats_documents" -> corpusStatsSql,
   )
 }

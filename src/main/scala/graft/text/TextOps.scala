@@ -183,6 +183,18 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Corpus vocabulary: the `limit` most frequent whitespace tokens by
+    * total occurrence count — the frequency table a tokenizer build
+    * starts from. One explode + one count shuffle + TakeOrdered top-k
+    * (no global window, no full sort).
+    */
+  def vocabulary(df: DataFrame, textCol: String, limit: Int): DataFrame =
+    df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(limit)
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */
