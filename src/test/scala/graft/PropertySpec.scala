@@ -104,6 +104,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairs = Seq.fill(30) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(p => p._1 != p._2).distinct
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.text.Dedup
+        .dupClusters(pairs.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are already the component minima here because
+      // unions always point the larger root at the smaller one
+      assert(got == want, s"edges: $pairs")
+    }
+  }
+
   test("exact dedup is idempotent and keeps the smallest id per content") {
     import spark.implicits._
     val docs = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 1000L),
