@@ -93,7 +93,24 @@ object SimQueries {
        |    AS centroid
        |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+
+  val quantizeSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, ve,
+       |  list_max(list_transform(ve, x -> abs(x))) AS sc FROM v),
+       |u AS (SELECT vec_id, sc, unnest([{'d': i-1, 'x': ve[i]}
+       |  for i in range(1, len(ve)+1)]) AS e FROM s)
+       |SELECT vec_id, CAST(e.d AS BIGINT) AS dim,
+       |  CAST(CASE WHEN sc > 0 THEN round(e.x*127.0/sc, 0)
+       |    ELSE 0.0 END AS BIGINT) AS q,
+       |  round(sc, 4) AS scale
+       |FROM u ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantize_embeddings" -> (quantize _),
     "centroid_embeddings" -> (centroidsByLabel _),
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
@@ -102,6 +119,7 @@ object SimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,
     "knn_embeddings" -> knnSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,

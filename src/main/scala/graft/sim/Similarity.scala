@@ -42,6 +42,27 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Symmetric int8 quantization with a per-vector max-abs scale — the
+    * standard storage-compression step for an embedding store (4× smaller
+    * than float32; at 100 TB that is the difference between one copy and
+    * four). Emits one row per (id, dim) with the quantized level and the
+    * rounded scale so the result is hash-stable scalars, not arrays. Pure
+    * per-row expressions — no shuffle, embarrassingly parallel.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol), scale.as("__s"),
+        posexplode(v).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast(LongType).as("dim"),
+        when(col("__s") > 0,
+          round(col("x") * lit(127.0) / col("__s"), 0))
+          .otherwise(0.0).cast(LongType).as("q"),
+        round(col("__s"), 4).as("scale"))
+      .orderBy(idCol, "dim")
+  }
+
   /** Per-label centroid of a vector column, one row per (label, dim).
     * posexplode fans each vector into its components; the per-dimension
     * sums are exact DECIMAL(28,6) (addition-order-independent — the

@@ -38,6 +38,26 @@ class SimSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("int8 quantization is bounded, exact at extremes, zero-safe") {
+    val df = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero vector → scale 0, q 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("dim")) ->
+        (r.getAs[Long]("q"), r.getAs[Double]("scale"))).toMap
+    assert(out((1L, 0L)) == (127L, 2.0))  // max-abs element hits ±127
+    assert(out((1L, 1L))._1 == -64L)      // round(-1*127/2) = -64
+    assert(out((1L, 2L))._1 == 32L)       // round(0.5*127/2) = 32
+    assert((0L to 2L).forall(d => out((2L, d)) == (0L, 0.0)))
+    // dequantization error ≤ scale/254 (half a quantization step)
+    val x = Seq(2.0, -1.0, 0.5)
+    (0 to 2).foreach { d =>
+      val (q, s) = out((1L, d.toLong))
+      assert(math.abs(q * s / 127.0 - x(d)) <= s / 254.0 + 1e-12)
+    }
+  }
+
   test("per-label centroids average each dimension exactly") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), 0),
