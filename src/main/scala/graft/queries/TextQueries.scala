@@ -246,6 +246,32 @@ object TextQueries {
        |SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
        |GROUP BY word ORDER BY freq DESC, word LIMIT $VocabK""".stripMargin
 
+  // ---- TF-IDF --------------------------------------------------------------
+
+  /** Per-document top terms kept. */
+  val TfidfK = 3
+
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(docs(s, dir), "text", "doc_id", TfidfK)
+
+  val tfidfSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT doc_id, word, tf, df,
+       |  round(CAST(tf AS DOUBLE) *
+       |    (ln((n + 1.0)/(CAST(df AS DOUBLE) + 1.0)) + 1.0), 4) AS tfidf
+       |  FROM tf JOIN dfreq USING (word), n),
+       |r AS (SELECT *, CAST(rank() OVER (PARTITION BY doc_id
+       |  ORDER BY tfidf DESC, word) AS BIGINT) AS rnk FROM sc)
+       |SELECT doc_id, word, tf, df, tfidf, rnk FROM r WHERE rnk <= $TfidfK
+       |ORDER BY doc_id, rnk, word""".stripMargin
+
   // ---- corpus stats --------------------------------------------------------
 
   def corpusStats(s: SparkSession, dir: String): DataFrame =
@@ -459,6 +485,7 @@ object TextQueries {
     "quality_documents" -> (quality _),
     "tokencount_documents" -> (tokenCounts _),
     "vocab_documents" -> (vocab _),
+    "tfidf_documents" -> (tfidf _),
     "corpus_stats_documents" -> (corpusStats _),
   )
 
@@ -477,6 +504,7 @@ object TextQueries {
     "quality_documents" -> qualitySql,
     "tokencount_documents" -> tokenCountsSql,
     "vocab_documents" -> vocabSql,
+    "tfidf_documents" -> tfidfSql,
     "corpus_stats_documents" -> corpusStatsSql,
   )
 }

@@ -195,6 +195,34 @@ object TextOps {
       .orderBy(col("freq").desc, col("word"))
       .limit(limit)
 
+  /** Top-`topK` TF-IDF terms per document: term frequency × smoothed
+    * inverse document frequency (ln((N+1)/(df+1)) + 1). Two key shuffles
+    * (doc-term counts, term document-frequencies) plus a broadcast
+    * one-row corpus count — no driver-side action, and the per-document
+    * top-k is a partitioned window (rank-limit pushdown applies).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast(DoubleType).as("n"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast(DoubleType) *
+        (log((col("n") + lit(1.0)) / (col("df").cast(DoubleType) +
+          lit(1.0))) + lit(1.0)), 4))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", rank().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("word"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+      .orderBy(col(idCol), col("rnk"), col("word"))
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

@@ -171,6 +171,21 @@ class TextSpec extends AnyFunSuite {
       Array("test", "train", "val")))
   }
 
+  test("tf-idf ranks distinctive terms above common ones") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "text", "doc_id", 1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("word"),
+        r.getAs[Double]("tfidf"))).toMap
+    assert(out(1L)._1 == "apple") // rare + repeated beats common banana
+    assert(out(3L)._1 == "cherry")
+    // doc 1: tf=2, df=1, N=3 → 2*(ln(4/2)+1) rounded to 4dp
+    assert(math.abs(out(1L)._2 - 3.3863) < 1e-9)
+  }
+
   test("sequence packing fills bins in stream order without splitting docs") {
     // source A: 300+300+100 tokens with budget 512 → offs 0/300/600 →
     // bins 0/0/1 (doc 2 overflows bin 0; doc 3 starts past the budget).
