@@ -347,6 +347,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Chunking window: 64 words, 16 overlap (step 48). */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(docs(s, dir), chunkSize = ChunkSize,
+      overlap = ChunkOverlap)
+
+  val chunkDocsSql: String = {
+    val step = ChunkSize - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |c AS (SELECT doc_id, w, unnest(range(0, len(w), $step)) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(start/$step AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start,
+       |  CAST(least($ChunkSize, len(w) - start) AS BIGINT) AS n_words,
+       |  list_aggregate(w[start+1:start+$ChunkSize], 'string_agg', ' ')
+       |    AS chunk
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   private val EnList =
     TextOps.Stopwords.head._2.map(x => s"'$x'").mkString(", ")
 
@@ -472,6 +494,7 @@ object TextQueries {
     "split_assign_documents" -> (splitAssign _),
     "top_quality_per_lang" -> (topQualityPerLang _),
     "pack_sequences_documents" -> (packSequences _),
+    "chunk_documents" -> (chunkDocs _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -495,6 +518,7 @@ object TextQueries {
     "split_assign_documents" -> splitAssignSql,
     "top_quality_per_lang" -> topQualityPerLangSql,
     "pack_sequences_documents" -> packSequencesSql,
+    "chunk_documents" -> chunkDocsSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

@@ -148,6 +148,31 @@ object Curation {
       .orderBy(groupCol, idCol)
   }
 
+  /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
+    * each document becomes windows of `chunkSize` words starting every
+    * `chunkSize - overlap` words (the last chunk may be short). One
+    * generator expression per row (sequence → posexplode → slice), no
+    * shuffle, no driver involvement; output rows are (id, chunk_id,
+    * start, n_words, chunk-text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", chunkSize: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0)
+    val step = chunkSize - overlap
+    docs.select(col(idCol), TextOps.words(col(textCol)).as("w"))
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start"),
+        least(lit(chunkSize), size(col("w")) - col("start"))
+          .cast(LongType).as("n_words"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkSize)))
+          .as("chunk"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the first
     * six hex digits of md5(id), split 80/10/10. Hash-based (not random)
     * so the assignment is stable across runs, engines, and re-partitions —

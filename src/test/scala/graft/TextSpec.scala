@@ -186,6 +186,20 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._2 - 3.3863) < 1e-9)
   }
 
+  test("chunking emits overlapping windows covering every word") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = graft.text.Curation
+      .chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+        chunkSize = 4, overlap = 1) // step 3 → starts 0,3,6,9
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("n_words"), r.getAs[String]("chunk")))
+    assert(out.length == 4)
+    assert(out(0) == (0L, 0L, 4L, "w1 w2 w3 w4"))
+    assert(out(1) == (1L, 3L, 4L, "w4 w5 w6 w7")) // 1-word overlap
+    assert(out(3) == (3L, 9L, 1L, "w10"))         // short tail chunk
+  }
+
   test("sequence packing fills bins in stream order without splitting docs") {
     // source A: 300+300+100 tokens with budget 512 → offs 0/300/600 →
     // bins 0/0/1 (doc 2 overflows bin 0; doc 3 starts past the budget).
