@@ -119,6 +119,23 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation stage: the stateless filters of the batch
+    * curation funnel (language identifiable, quality score ≥ minScore)
+    * applied to a document stream, then watermark-bounded exact dedup —
+    * ingest-time corpus hygiene. The filters are pure column expressions
+    * shared with [[graft.text.Curation]], so batch and streaming agree
+    * row-for-row; only the dedup step carries state, bounded by the
+    * watermark exactly like [[dedupStream]].
+    */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+                   minScore: Double, watermarkDelay: String =
+                     DefaultWatermark): DataFrame =
+    dedupStream(
+      docs.filter(graft.text.TextOps
+          .predictedLang(graft.text.TextOps.words(col(textCol))) =!= "und")
+        .filter(graft.text.TextOps.qualityScore(col(textCol)) >= minScore),
+      textCol, tsCol, watermarkDelay)
+
   /** R9 streaming liveness: running max event time per agent. */
   def liveness(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))

@@ -61,6 +61,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation filters language/quality then dedups") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val healthy = "the cat sat on a mat and the dog lay on the rug " +
+      "while a bird flew over the quiet house in the warm morning sun " +
+      "and the children played in the garden with a red ball for hours"
+    val q = StreamingOps.curateStream(docs, "text", "ts", minScore = 0.45)
+      .writeStream.format("memory").queryName("scurate")
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), healthy),
+        (2L, ts("2024-01-01 10:01:00"), "zz qq ww rr tt"), // lang drop
+        (3L, ts("2024-01-01 10:02:00"), "the the the the the")) // quality
+      q.processAllAvailable()
+      in.addData( // exact dup of doc 1 in a later micro-batch
+        (4L, ts("2024-01-01 10:05:00"), "  " + healthy.replace(" ", "  ")))
+      q.processAllAvailable()
+      val kept = spark.table("scurate").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L))
+    } finally q.stop()
+  }
+
   test("streaming profile folds statistics across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
