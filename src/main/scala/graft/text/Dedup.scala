@@ -63,6 +63,13 @@ object Dedup {
     * so the lineage stays flat. Output: (doc_id, cluster_id) for every
     * node that appears in a pair; singletons are implicitly their own
     * cluster.
+    *
+    * If a component's diameter exceeds `maxRounds` (a >20-hop chain of
+    * borderline pairs — pathological for near-dup graphs), the result is
+    * an UNDER-merged clustering: such a component splits into several
+    * clusters, so dedup keeps extra representatives. Conservative —
+    * never drops a non-duplicate — but raise `maxRounds` if exact
+    * components matter.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
