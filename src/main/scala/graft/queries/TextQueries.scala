@@ -293,6 +293,39 @@ object TextQueries {
        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  // ---- semantic dedup (embeddings x text) ---------------------------------
+
+  /** Cosine threshold for semantic candidates (matches SimQueries). */
+  val SemanticTau = 0.4
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.semanticDedupPairs(docs(s, dir),
+      Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
+      shingleN = ShingleN, minJaccard = MinJaccard)
+
+  val semanticDedupSql: String = {
+    val cos = "list_inner_product(a.ve, b.ve) / " +
+      "(sqrt(list_inner_product(a.ve, a.ve)) * " +
+      "sqrt(list_inner_product(b.ve, b.ve)))"
+    val inter = "CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)"
+    val jac = s"$inter/(len(sa.shs) + len(sb.shs) - $inter)"
+    s"""$ShCte,
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |cand AS (SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round($cos, 4) AS cos_sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |  WHERE cos_sim >= $SemanticTau),
+       |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh
+       |  GROUP BY doc_id)
+       |SELECT id_a, id_b, cos_sim, round($jac, 4) AS jaccard,
+       |  ($jac >= $MinJaccard) AS agree
+       |FROM cand JOIN sets sa ON sa.doc_id = id_a
+       |JOIN sets sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -495,6 +528,7 @@ object TextQueries {
     "top_quality_per_lang" -> (topQualityPerLang _),
     "pack_sequences_documents" -> (packSequences _),
     "chunk_documents" -> (chunkDocs _),
+    "semantic_dedup_pairs" -> (semanticDedup _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -519,6 +553,7 @@ object TextQueries {
     "top_quality_per_lang" -> topQualityPerLangSql,
     "pack_sequences_documents" -> packSequencesSql,
     "chunk_documents" -> chunkDocsSql,
+    "semantic_dedup_pairs" -> semanticDedupSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

@@ -148,6 +148,45 @@ object Curation {
       .orderBy(groupCol, idCol)
   }
 
+  /** Semantic near-dup pairs with lexical confirmation (the SemDeDup
+    * posture): candidate pairs come from embedding cosine similarity
+    * (meaning-level), each verified with the exact word-shingle Jaccard
+    * of the two texts (surface-level). `agree` marks pairs where both
+    * signals clear their thresholds — the safe-to-drop set; cosine-only
+    * pairs are paraphrase candidates.
+    *
+    * Scale shape: candidate generation is the block-tiled cosine pass
+    * (or swap in the LSH tier); verification packs each document's
+    * distinct shingles into ONE array row, so a candidate pair is a
+    * single row and the intersection is an in-row `array_intersect` —
+    * two key joins, no pair×shingle explosion.
+    */
+  def semanticDedupPairs(docs: DataFrame, vecs: DataFrame,
+                         docIdCol: String = "doc_id",
+                         vecIdCol: String = "vec_id",
+                         textCol: String = "text",
+                         vecCol: String = "embedding",
+                         minCos: Double = 0.4, shingleN: Int = 2,
+                         minJaccard: Double = 0.4): DataFrame = {
+    val cand = graft.sim.Similarity
+      .cosineNearDupPairs(vecs, vecIdCol, vecCol, minCos)
+    val sets = Dedup.shingles(docs, textCol, docIdCol, shingleN)
+      .groupBy(col(docIdCol))
+      .agg(collect_list(col("shingle")).as("shs"))
+    val j = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+      (size(col("sa")) + size(col("sb")) -
+        size(array_intersect(col("sa"), col("sb"))))
+    cand
+      .join(sets.select(col(docIdCol).as("id_a"), col("shs").as("sa")),
+        "id_a")
+      .join(sets.select(col(docIdCol).as("id_b"), col("shs").as("sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("cos_sim"),
+        round(j, 4).as("jaccard"),
+        (j >= minJaccard).as("agree"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
     * each document becomes windows of `chunkSize` words starting every
     * `chunkSize - overlap` words (the last chunk may be short). One

@@ -171,6 +171,26 @@ class TextSpec extends AnyFunSuite {
       Array("test", "train", "val")))
   }
 
+  test("semantic dedup confirms cosine candidates with lexical jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // lexical twin
+      (3L, "completely different words entirely here now"), // paraphrase-ish
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),  // cosine-close to 1
+      (3L, Array(0.8f, 0.05f)), // cosine-close to 1 but different text
+    ).toDF("vec_id", "embedding")
+    val out = graft.text.Curation.semanticDedupPairs(docs, vecs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Boolean]("agree"))).toMap
+    assert(out((1L, 2L))._2)          // both signals agree → safe drop
+    assert(!out((1L, 3L))._2)         // cosine-only → paraphrase candidate
+    assert(out((1L, 2L))._1 > 0.5 && out((1L, 3L))._1 == 0.0)
+  }
+
   test("tf-idf ranks distinctive terms above common ones") {
     val docs = Seq(
       (1L, "apple apple banana"),
