@@ -22,9 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Accumulation is left-to-right, bit-identical to the HOF fold and to
   * DuckDB's list_inner_product, so oracle parity is unaffected (the
-  * interpreted nullSafeEval path runs the same loop). Null ARRAYS
-  * propagate null (BinaryExpression's null-safe contract); null ELEMENTS
-  * are not checked — embedding vectors are dense by construction.
+  * interpreted nullSafeEval path runs the same loop). Null semantics
+  * match the HOF chain EXACTLY — required for [[graft.plans
+  * .RewriteHofDotProduct]] to be a sound rewrite: null ARRAYS propagate
+  * null (BinaryExpression's null-safe contract), length-MISMATCHED
+  * arrays yield null (zip_with pads the shorter side with null, and the
+  * null product poisons the fold), and null ELEMENTS yield null for the
+  * same reason.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,15 +41,22 @@ case class DotProduct(left: Expression, right: Expression)
         s"$prettyName needs two array<double> inputs, got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // nullable even over non-null children: length mismatch / null element
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -56,12 +67,19 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -17,9 +17,12 @@ import graft.functions.DotProduct
   * never enter whole-stage codegen (~40× slower on the embedding
   * workload, see DotProduct's scaladoc). Users writing the idiomatic
   * DataFrame formulation get the fused primitive loop automatically;
-  * the rewrite is semantics-preserving because DotProduct folds
-  * left-to-right over min(len) exactly like the HOF chain, including
-  * null-array propagation.
+  * the rewrite is semantics-preserving because DotProduct reproduces
+  * the HOF chain's behavior exactly — left-to-right accumulation AND
+  * the null cases (null array, length mismatch, null element all yield
+  * null, as zip_with's null padding does in the fold). The zero literal
+  * must be bit-exact +0.0: an empty-array fold returns the init literal
+  * itself.
   *
   * Registered through [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions` or
@@ -62,7 +65,11 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(l, r, mul: LambdaFunction),
           Literal(zero: Double, DoubleType), merge: LambdaFunction, finish)
-          if zero == 0.0 && isDoubleArray(l) && isDoubleArray(r) &&
+          // raw-bits check: -0.0 == 0.0 but an empty-array fold returns
+          // the init literal itself, and -0.0 is not bit-identical to
+          // DotProduct's +0.0
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            isDoubleArray(l) && isDoubleArray(r) &&
             isElementProduct(mul) && isSum(merge) && isIdentity(finish) =>
         DotProduct(l, r)
     }

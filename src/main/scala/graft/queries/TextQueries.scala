@@ -333,7 +333,8 @@ object TextQueries {
       shingleN = ShingleN, minJaccard = MinJaccard)
 
   def curatedDocs(s: SparkSession, dir: String): DataFrame =
-    Curation.curatedCorpus(docs(s, dir), benchSplit = BenchSplit)
+    Curation.curatedCorpus(docs(s, dir), benchSplit = BenchSplit,
+      shingleN = ShingleN, minJaccard = MinJaccard)
 
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     Curation.deterministicSplit(docs(s, dir))

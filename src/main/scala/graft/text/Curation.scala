@@ -30,11 +30,13 @@ object Curation {
   val DefaultContamN = 4
   val DefaultMaxContam = 0.5
 
-  /** Whitespace-normalized content hash — the exact-dedup key, shared with
-    * [[Dedup.exact]] and the DuckDB oracle (md5 hex is engine-portable).
+  /** Whitespace-normalized content hash — the exact-dedup key. Built on
+    * [[Dedup.normalize]] (the single canonical normalization, also behind
+    * Dedup.exact and the NormSql oracle string) so the funnel's stage-3
+    * keys can never drift from the standalone exact-dedup surface.
     */
   private def contentHash(textCol: String) =
-    md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    md5(Dedup.normalize(col(textCol)))
 
   /** The six stage frontiers of the curation pipeline, in order — each
     * DataFrame holds `(idCol, textCol, n_toks)` for the documents
@@ -119,11 +121,17 @@ object Curation {
 
   /** The curated corpus itself — the last stage frontier as
     * `(idCol, n_toks)`, the document set a training run would consume.
+    * Takes the same thresholds as [[curationFunnel]] so a caller tuning
+    * one surface cannot silently leave the other behind.
     */
   def curatedCorpus(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", benchSplit: Long = 50)
-      : DataFrame =
-    curationStages(docs, idCol, textCol, benchSplit).last._2
+                    textCol: String = "text", benchSplit: Long = 50,
+                    minScore: Double = DefaultMinScore,
+                    shingleN: Int = 2, minJaccard: Double = 0.4,
+                    contamN: Int = DefaultContamN,
+                    maxContam: Double = DefaultMaxContam): DataFrame =
+    curationStages(docs, idCol, textCol, benchSplit, minScore, shingleN,
+        minJaccard, contamN, maxContam).last._2
       .select(col(idCol), col("n_toks"))
       .orderBy(idCol)
 

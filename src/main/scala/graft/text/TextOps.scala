@@ -60,12 +60,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
 
-  /** The composite quality score of a text column — shared by the quality
-    * report, the per-language top-k, and the curation funnel's filter so
-    * every consumer evaluates the SAME expression tree (IEEE doubles are
-    * deterministic given identical trees).
+  /** The quality-score components (word count, stopword ratio,
+    * repetition ratio) — ONE definition feeding both the score and the
+    * reported metric columns, so the report always corresponds to what
+    * ranked it.
     */
-  def qualityScore(textCol: Column): Column = {
+  private def qualityParts(textCol: Column): (Column, Column, Column) = {
     val w = words(textCol)
     val nWords = size(w).cast(LongType)
     val nStop = size(array_intersect(w,
@@ -73,6 +73,16 @@ object TextOps {
     val dupRatio = round(lit(1.0) -
       size(array_distinct(w)).cast(DoubleType) / nWords, 4)
     val stopRatio = round(nStop.cast(DoubleType) / nWords, 4)
+    (nWords, stopRatio, dupRatio)
+  }
+
+  /** The composite quality score of a text column — shared by the quality
+    * report, the per-language top-k, and the curation funnel's filter so
+    * every consumer evaluates the SAME expression tree (IEEE doubles are
+    * deterministic given identical trees).
+    */
+  def qualityScore(textCol: Column): Column = {
+    val (nWords, stopRatio, dupRatio) = qualityParts(textCol)
     val lengthScore = least(lit(1.0), nWords.cast(DoubleType) / lit(50.0))
     // floor-scale instead of round: the weighted sum of 4-dp inputs lands
     // exactly on .xxxx5 constantly, where round() tie-breaking differs
@@ -87,13 +97,7 @@ object TextOps {
     */
   def qualityMetrics(df: DataFrame, textCol: String,
                      idCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val nWords = size(w).cast(LongType)
-    val nStop = size(array_intersect(w,
-      lit(Stopwords.head._2.toArray))).cast(LongType)
-    val dupRatio = round(lit(1.0) -
-      size(array_distinct(w)).cast(DoubleType) / nWords, 4)
-    val stopRatio = round(nStop.cast(DoubleType) / nWords, 4)
+    val (nWords, stopRatio, dupRatio) = qualityParts(col(textCol))
     df.select(col(idCol), nWords.as("n_words"),
       round(length(regexp_replace(col(textCol), "\\s", ""))
         .cast(DoubleType) / nWords, 4).as("avg_word_len"),

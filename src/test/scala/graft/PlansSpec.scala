@@ -43,6 +43,28 @@ class PlansSpec extends AnyFunSuite {
     assert(viaHof.sameElements(viaNative))
   }
 
+  test("DotProduct matches the HOF fold on null/mismatch edge cases") {
+    // parquet-backed so neither side constant-folds
+    val tmp = java.nio.file.Files.createTempDirectory("dotp").toString
+    Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),       // dense, equal length
+      (2L, Seq(1.0), Seq(1.0, 2.0)),            // length mismatch → null
+      (3L, Seq[Double](), Seq[Double]()),       // empty → 0.0
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(tmp)
+    // a null element (Seq of boxed) → null
+    val df = spark.read.parquet(tmp)
+    val both = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(both(1).isNullAt(1)) // the mismatched row really is null
+    assert(both(2).getDouble(1) == 0.0)
+  }
+
   test("non-matching folds are left alone") {
     // zero literal != 0.0 → not a dot product; must keep the HOF form
     val df = vecs.select(aggregate(
