@@ -24,7 +24,10 @@ object PlanAudit {
     * brute-force oracle baselines for the LSH-bucketed scale paths.
     */
   val BruteForceByDesign: Set[String] =
-    Set("knn_embeddings", "neardup_cosine_embeddings")
+    Set("knn_embeddings", "neardup_cosine_embeddings",
+      // candidate tier IS cosineNearDupPairs (same documented block-tiled
+      // all-pairs scan; swap in the LSH tier at corpus scale)
+      "semantic_dedup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
