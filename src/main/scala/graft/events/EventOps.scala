@@ -168,20 +168,28 @@ object EventOps {
     * (reference instance conditions `{action: START|END|END_PAYLOAD}`,
     * demo_helper.py:279-287, 1851-1875): an instance opens at a
     * startType event and closes at the next endType event (inclusive);
-    * events outside any open instance belong to none. Two per-key cumsum
-    * windows — the end count lags one row so the closing event stays
-    * inside its instance.
+    * events outside any open instance belong to none, and a STRAY end
+    * (no instance open) is a no-op — it must not offset later instances,
+    * matching the streaming state machine (StreamingOps
+    * .assignBoundedInstances). A row is inside an open instance iff no
+    * end event falls strictly between the most recent start and the row:
+    * the lagged end-count at the row equals the end-count captured AT
+    * that start (carried forward with last(ignoreNulls)). Three per-key
+    * window passes, one shuffle.
     */
   def journeyInstancesBounded(ev: DataFrame, startType: String,
                               endType: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w0 = w.rowsBetween(Window.unboundedPreceding, 0)
     val starts = sum(when(col("event_type") === startType, 1).otherwise(0))
-      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      .over(w0)
     val endsBefore = sum(when(col("event_type") === endType, 1).otherwise(0))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     ev.withColumn("__s", starts)
       .withColumn("__e", coalesce(endsBefore, lit(0)))
-      .filter(col("__s") > col("__e"))
+      .withColumn("__el", last(when(col("event_type") === startType,
+        col("__e")), ignoreNulls = true).over(w0))
+      .filter(col("__el").isNotNull && col("__e") === col("__el"))
       .groupBy(col("user_id"), col("__s").cast(LongType).as("instance_id"))
       .agg(
         min(col("ts")).as("instance_start"),
@@ -197,7 +205,7 @@ object EventOps {
     * condition is an end-type event that CARRIES A PAYLOAD (non-null
     * `props.k` count) — a bare end event does not close the instance —
     * and the instance reports the closing event's payload count. Same
-    * two-cumsum window shape as [[journeyInstancesBounded]]; by
+    * stray-tolerant window shape as [[journeyInstancesBounded]]; by
     * construction an instance contains at most one closing event, so the
     * conditional max picks exactly it.
     */
@@ -206,15 +214,18 @@ object EventOps {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     val isEnd = col("event_type") === endType && k.isNotNull
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w0 = w.rowsBetween(Window.unboundedPreceding, 0)
     val starts = sum(when(col("event_type") === startType, 1).otherwise(0))
-      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      .over(w0)
     val endsBefore = sum(when(isEnd, 1).otherwise(0))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     ev.withColumn("__k", k)
       .withColumn("__end", isEnd)
       .withColumn("__s", starts)
       .withColumn("__e", coalesce(endsBefore, lit(0)))
-      .filter(col("__s") > col("__e"))
+      .withColumn("__el", last(when(col("event_type") === startType,
+        col("__e")), ignoreNulls = true).over(w0))
+      .filter(col("__el").isNotNull && col("__e") === col("__el"))
       .groupBy(col("user_id"), col("__s").cast(LongType).as("instance_id"))
       .agg(
         min(col("ts")).as("instance_start"),

@@ -154,13 +154,19 @@ object EventQueries {
        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
-       |  FROM ev)
+       |  FROM ev),
+       |m2 AS (SELECT *,
+       |  last_value(CASE WHEN event_type = 'signup' THEN e END
+       |      IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS el
+       |  FROM m)
        |SELECT user_id, CAST(s AS BIGINT) AS instance_id,
        |  min(ts) AS instance_start, max(ts) AS instance_end,
        |  CAST(count(*) AS BIGINT) AS n_events,
        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
        |    AS completed
-       |FROM m WHERE s > e GROUP BY user_id, s
+       |FROM m2 WHERE el IS NOT NULL AND e = el GROUP BY user_id, s
        |ORDER BY user_id, instance_id""".stripMargin
 
   def journeysPayload(s: SparkSession, dir: String): DataFrame =
@@ -180,13 +186,19 @@ object EventQueries {
        |      THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
-       |  FROM ev)
+       |  FROM ev),
+       |m2 AS (SELECT *,
+       |  last_value(CASE WHEN event_type = 'signup' THEN e END
+       |      IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS el
+       |  FROM m)
        |SELECT user_id, CAST(s AS BIGINT) AS instance_id,
        |  min(ts) AS instance_start, max(ts) AS instance_end,
        |  CAST(count(*) AS BIGINT) AS n_events,
        |  max(CASE WHEN isend THEN 1 ELSE 0 END) = 1 AS completed,
        |  max(CASE WHEN isend THEN k END) AS payload_ct
-       |FROM m WHERE s > e GROUP BY user_id, s
+       |FROM m2 WHERE el IS NOT NULL AND e = el GROUP BY user_id, s
        |ORDER BY user_id, instance_id""".stripMargin
 
   // ---- R4 out-of-sequence vs journey DAG ----------------------------------

@@ -108,6 +108,12 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val left = vecs.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
+    // Each block's (small) pair output is materialized with
+    // localCheckpoint BEFORE the next block starts: a lazy union of all
+    // blocks would keep every tile's broadcast live for the whole job,
+    // putting the full corpus back on the driver and every executor —
+    // the exact failure the tiling exists to avoid. Eager per-block jobs
+    // bound peak broadcast memory to one tile.
     val raw = (0 until nBlocks).map { b =>
       val tile = vecs.filter(pmod(col("id"), lit(nBlocks)) === b)
         .select(col("id").as("id_b"), col("v").as("vb"),
@@ -118,6 +124,7 @@ object Similarity {
         // pre-filter with a half-ulp-of-rounding margin: HALF_UP rounding
         // to 4 decimals can lift a value by < 5e-5, never more
         .filter(col("raw") >= tau - 5e-5)
+        .localCheckpoint(true)
     }.reduce(_ unionAll _)
     raw.select(col("id_a"), col("id_b"),
         round(col("raw"), 4).as("cos_sim"))
@@ -167,9 +174,15 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nlist)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Train on a seeded Bernoulli SAMPLE, not limit(): limit takes an
+    // arbitrary scan prefix — on a corpus stored sorted/clustered the
+    // centroids would cover one region of the space and recall would
+    // collapse. The one count() is a cheap control-plane job.
+    val total = corpus.count()
+    val fraction = math.min(1.0, trainLimit.toDouble / math.max(1L, total))
     val train = corpus
       .select(array_to_vector(asDouble(col(vecCol))).as("features"))
-      .limit(trainLimit)
+      .sample(withReplacement = false, fraction, seed)
     // a coarse quantizer only buckets — random init + few iterations is
     // enough (kmeans|| init costs more than the clustering here)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)

@@ -134,17 +134,21 @@ object TextOps {
       .orderBy(groupCol)
   }
 
-  /** PII redaction rules, applied in order (emails first so phone/SSN
-    * digit runs inside an address part never clip an email). Pattern
-    * strings are shared VERBATIM with the SQL oracle (RE2-compatible
-    * syntax only), so Spark and DuckDB redact identically.
+  /** PII redaction rules, applied in order: emails first (so phone/SSN
+    * digit runs inside an address part never clip an email), then IPs
+    * BEFORE phones — the phone pattern's dotted form matches three
+    * dotted octets, so running it first would mangle IPv4 addresses
+    * with 3-digit middle octets ("172.217.164.110" → "<PHONE>.110",
+    * leaking the last octet). Pattern strings are shared VERBATIM with
+    * the SQL oracle (RE2-compatible syntax only), so Spark and DuckDB
+    * redact identically.
     */
   val PiiRules: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
     "\\b[0-9]{2,3}[-.][0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?\\b"
       -> "<PHONE>",
-    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
   )
 
   /** Scrub direct identifiers from free text — the standard pre-training

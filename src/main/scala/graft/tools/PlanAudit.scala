@@ -47,21 +47,36 @@ object PlanAudit {
         }.nonEmpty
         // A nested-loop join is only a hazard when neither logical side
         // is bounded to one row (scalar-aggregate recombination) and no
-        // equality conjunct could have hash-partitioned it.
-        import org.apache.spark.sql.catalyst.expressions.EqualTo
+        // TOP-LEVEL equality conjunct between non-literal sides could
+        // have hash-partitioned it. (An EqualTo under OR, or against a
+        // literal, does not make a join hash-joinable — and a Generate/
+        // Expand above a scalar aggregate multiplies rows, so it is not
+        // one-row.)
+        import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe,
+          EqualTo, Expression, Literal}
         import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-          Join, LogicalPlan, UnaryNode}
+          Expand, Generate, Join, LogicalPlan, UnaryNode}
         def oneRow(p: LogicalPlan): Boolean = p match {
           case a: Aggregate => a.groupingExpressions.isEmpty
+          case _: Generate | _: Expand => false
           case u: UnaryNode => oneRow(u.child)
           case _            => p.maxRows.exists(_ <= 1L)
         }
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case x         => Seq(x)
+        }
+        def hashableEquality(cond: Option[Expression]): Boolean =
+          cond.exists(conjuncts(_).exists {
+            case EqualTo(l, r) =>
+              !l.isInstanceOf[Literal] && !r.isInstanceOf[Literal]
+            case EqualNullSafe(l, r) =>
+              !l.isInstanceOf[Literal] && !r.isInstanceOf[Literal]
+            case _ => false
+          })
         val realNestedLoop = qe.optimizedPlan.collect {
           case j: Join if !oneRow(j.left) && !oneRow(j.right) &&
-              !j.condition.exists(_.exists {
-                case EqualTo(_, _) => true
-                case _             => false
-              }) => j
+              !hashableEquality(j.condition) => j
         }.nonEmpty
         val hazards = Seq(
           "Expand" -> plan.contains("Expand"),

@@ -167,6 +167,23 @@ class EventsSpec extends AnyFunSuite {
     assert(u2.length == 1 && !u2.head.getAs[Boolean]("completed"))
   }
 
+  test("a stray END between instances does not offset later instances") {
+    // signup, purchase (closes 1), purchase (STRAY), signup, view:
+    // instance 2 must still be emitted — a stray end is a no-op, matching
+    // the streaming state machine
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 9L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 9L, "purchase", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 9L, "purchase", 3.0, "{}"),
+      (4L, ts("2024-01-01 10:30:00"), 9L, "signup", 4.0, "{}"),
+      (5L, ts("2024-01-01 10:40:00"), 9L, "view", 5.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val inst = EventOps.journeyInstancesBounded(ev, "signup", "purchase")
+      .collect().map(r => r.getAs[Long]("instance_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Boolean]("completed"))).toMap
+    assert(inst == Map(1L -> (2L, true), 2L -> (2L, false)))
+  }
+
   test("END_PAYLOAD instances close only on payload-carrying end events") {
     // user 4: purchase WITHOUT a payload must not close the instance; the
     // later purchase WITH props.k=7 closes it and reports payload_ct=7

@@ -285,6 +285,7 @@ class StreamingSpec extends AnyFunSuite {
       SEvent(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
       SEvent(3, ts("2024-01-01 10:20:00"), 1, "purchase", 50.0), // closes 1
       SEvent(4, ts("2024-01-01 10:30:00"), 1, "view", 0.0), // between: drop
+      SEvent(8, ts("2024-01-01 10:35:00"), 1, "purchase", 0.0), // STRAY end
       SEvent(5, ts("2024-01-01 10:40:00"), 1, "signup", 1.0), // opens 2
       SEvent(6, ts("2024-01-01 10:50:00"), 1, "signup", 1.0), // supersedes
       SEvent(7, ts("2024-01-01 09:00:00"), 2, "view", 3.0)) // never opened
@@ -294,7 +295,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sinst")
       .option("checkpointLocation", tmpCheckpoint()).start()
     try {
-      val (b1, b2) = events.splitAt(3) // state must carry across batches
+      val (b1, b2) = events.splitAt(4) // state must carry across batches
       in.addData(b1: _*); q.processAllAvailable()
       in.addData(b2: _*); q.processAllAvailable()
       val streamed = spark.table("sinst").collect()
@@ -312,6 +313,7 @@ class StreamingSpec extends AnyFunSuite {
         .view.mapValues(_.length.toLong).toMap
       assert(streamedCounts == batch)
       assert(!streamed.contains(4L)) // between-instance event dropped
+      assert(!streamed.contains(8L)) // stray end: no-op on BOTH paths
       assert(!streamed.contains(7L)) // key with no start: nothing emitted
       assert(streamed(6L) == 3L) // start-on-open superseded into #3
     } finally q.stop()

@@ -262,7 +262,10 @@ class TextSpec extends AnyFunSuite {
       (2L, "ssn 123-45-6789 on file"),
       (3L, "call 555-867-5309 or 25-989-741-2988"),
       (4L, "host 192.168.10.254 is down"),
-      (5L, "nothing sensitive here 12345")).toDF("id", "text")
+      (5L, "nothing sensitive here 12345"),
+      // 3-digit middle octets: the phone rule would clip this to
+      // "<PHONE>.110" if it ran before the IP rule
+      (6L, "node 172.217.164.110 unreachable")).toDF("id", "text")
     val out = df.select(col("id"),
         graft.text.TextOps.redactPii(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -271,6 +274,7 @@ class TextSpec extends AnyFunSuite {
     assert(out(3L) == "call <PHONE> or <PHONE>")
     assert(out(4L) == "host <IP> is down")
     assert(out(5L) == "nothing sensitive here 12345")
+    assert(out(6L) == "node <IP> unreachable")
   }
 
   test("contamination measures benchmark shingle overlap per document") {
