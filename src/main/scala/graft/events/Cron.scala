@@ -1,6 +1,7 @@
 package graft.events
 
-import java.time.{Instant, ZoneId, ZonedDateTime}
+import java.time.{Instant, LocalDateTime, ZoneId}
+import java.time.temporal.ChronoUnit
 
 /** Minimal 5-field cron evaluation — the reference declares schedules as
   * `{expectation: BATCH_PIPELINE_START_TIME, schedule: "0 23 * * *",
@@ -20,7 +21,7 @@ object Cron {
   case class Spec(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
                   months: Set[Int], dows: Set[Int],
                   domAny: Boolean, dowAny: Boolean) {
-    def matches(t: ZonedDateTime): Boolean = {
+    def matches(t: LocalDateTime): Boolean = {
       val domOk = doms(t.getDayOfMonth)
       val dowOk = dows(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
       val dayOk =
@@ -58,15 +59,39 @@ object Cron {
       domAny = fs(2) == "*", dowAny = fs(4) == "*")
   }
 
-  /** All fire instants in [from, to), minute granularity. */
+  /** All fire instants in [from, to), minute granularity, evaluated
+    * against the WALL CLOCK of `zone` (the reference schedule's
+    * `timezone` field, demo_helper.py:653-660) and returned as UTC
+    * instants for comparison against event time.
+    *
+    * Iterating local wall-clock minutes (not absolute time) makes the
+    * DST semantics explicit and deterministic:
+    *   - a wall time skipped by a spring-forward gap never fires that
+    *     day (it does not exist on the local clock);
+    *   - a wall time repeated by a fall-back overlap fires ONCE, at its
+    *     first (earlier-offset) occurrence — matching how cron daemons
+    *     fire a job at most once per scheduled wall time.
+    * For fixed-offset zones (UTC) this is instant-per-matching-minute,
+    * identical to absolute-time iteration.
+    */
   def expand(expr: String, from: Instant, to: Instant,
              zone: ZoneId = ZoneId.of("UTC")): Seq[Instant] = {
     val spec = parse(expr)
-    var t = ZonedDateTime.ofInstant(from, zone).withSecond(0).withNano(0)
-    if (t.toInstant.isBefore(from)) t = t.plusMinutes(1)
+    val rules = zone.getRules
+    // ±2 h of local-clock slack covers offset shifts at the range edges;
+    // the [from, to) filter on the emitted instant keeps bounds exact.
+    var t = LocalDateTime.ofInstant(from, zone)
+      .truncatedTo(ChronoUnit.MINUTES).minusHours(2)
+    val end = LocalDateTime.ofInstant(to, zone).plusHours(2)
     val out = Seq.newBuilder[Instant]
-    while (t.toInstant.isBefore(to)) {
-      if (spec.matches(t)) out += t.toInstant
+    while (t.isBefore(end)) {
+      if (spec.matches(t)) {
+        val offsets = rules.getValidOffsets(t)
+        if (!offsets.isEmpty) { // gap times are skipped
+          val inst = t.toInstant(offsets.get(0)) // earliest occurrence
+          if (!inst.isBefore(from) && inst.isBefore(to)) out += inst
+        }
+      }
       t = t.plusMinutes(1)
     }
     out.result()

@@ -113,23 +113,10 @@ object EventOps {
     */
   def lateStartsCron(ev: DataFrame, cron: String, marginSeconds: Long,
                      gapSeconds: Long,
-                     spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
-    val horizon = hi.toInstant.plusSeconds(86400)
-    val slots = Cron.expand(cron, lo.toInstant.minusSeconds(2 * 86400),
-      horizon)
-    require(slots.nonEmpty, s"cron '$cron' fires nowhere in the event range")
-    val utc = java.time.ZoneOffset.UTC
-    val pairs = slots.zip(slots.tail :+ horizon).flatMap { case (s, next) =>
-      val d0 = s.atZone(utc).toLocalDate
-      val d1 = next.atZone(utc).toLocalDate
-      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
-        .map(d => (java.sql.Date.valueOf(d), java.sql.Timestamp.from(s)))
-        .toSeq
-    }
-    val slotDf = pairs.toDF("day", "ts")
+                     spark: org.apache.spark.sql.SparkSession,
+                     zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+      : DataFrame = {
+    val slotDf = cronSlotsByDay(ev, cron, spark, zone)
     val starts = withSessionId(ev, gapSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("ts"))
@@ -141,6 +128,68 @@ object EventOps {
           marginSeconds * 1000000L).as("late_start"),
         round((unix_micros(col("ts")) - unix_micros(col("expected_start"))) /
           lit(6.0e7), 4).as("minutes_late"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Expand a cron schedule over the event-time range and register each
+    * slot under every UTC day its governance interval [slot, nextSlot)
+    * touches — the broadcast-ready control-plane side of the day-keyed
+    * as-of join used by [[lateStartsCron]] / [[lateEndsCron]]. The cron
+    * is evaluated on `zone`'s wall clock (reference schedules carry a
+    * `timezone`, demo_helper.py:653-660); day registration stays UTC
+    * because it only keys the join and must match `to_date(ts)` in the
+    * (UTC) Spark session.
+    */
+  private def cronSlotsByDay(ev: DataFrame, cron: String,
+                             spark: org.apache.spark.sql.SparkSession,
+                             zone: java.time.ZoneId): DataFrame = {
+    import spark.implicits._
+    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    val horizon = hi.toInstant.plusSeconds(86400)
+    val slots = Cron.expand(cron, lo.toInstant.minusSeconds(2 * 86400),
+      horizon, zone)
+    require(slots.nonEmpty, s"cron '$cron' fires nowhere in the event range")
+    val utc = java.time.ZoneOffset.UTC
+    val pairs = slots.zip(slots.tail :+ horizon).flatMap { case (s, next) =>
+      val d0 = s.atZone(utc).toLocalDate
+      val d1 = next.atZone(utc).toLocalDate
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => (java.sql.Date.valueOf(d), java.sql.Timestamp.from(s)))
+        .toSeq
+    }
+    pairs.toDF("day", "ts")
+  }
+
+  /** R2 counterpart for run ENDS — LATE_END alongside LATE_START
+    * (reference rules match `LATE_END` the same way they match
+    * `LATE_START`, demo_helper.py:1899-1915): a run governed by expected
+    * start slot S must END by S + allowedRunSeconds + margin; a run that
+    * started on time but overran its window is as much an SLA breach as
+    * a late start. Runs are attributed to their governing slot by their
+    * START (as-of match), so start- and end-lateness for one run always
+    * reference the same slot.
+    */
+  def lateEndsCron(ev: DataFrame, cron: String, allowedRunSeconds: Long,
+                   marginSeconds: Long, gapSeconds: Long,
+                   spark: org.apache.spark.sql.SparkSession,
+                   zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+      : DataFrame = {
+    val slotDf = cronSlotsByDay(ev, cron, spark, zone)
+    val runs = withSessionId(ev, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("ts"), max(col("ts")).as("actual_end"))
+      .withColumn("day", to_date(col("ts")))
+    val expectedEnd = timestamp_micros(unix_micros(col("expected_start")) +
+      allowedRunSeconds * 1000000L)
+    asOfJoin(runs, slotDf, "day", "ts", "expected_start")
+      .select(col("user_id"), col("session_id"),
+        col("ts").as("actual_start"), col("actual_end"),
+        col("expected_start"), expectedEnd.as("expected_end"),
+        ((unix_micros(col("actual_end")) - unix_micros(expectedEnd)) >
+          marginSeconds * 1000000L).as("late_end"),
+        round((unix_micros(col("actual_end")) - unix_micros(expectedEnd)) /
+          lit(6.0e7), 4).as("minutes_over"))
       .orderBy("user_id", "session_id")
   }
 
@@ -315,7 +364,35 @@ object EventOps {
     * (match = event-type match only, the run-state rule form).
     */
   case class AlertRule(id: String, eventType: String, field: String,
-                       op: String, threshold: Double, action: String)
+                       op: String, threshold: Double, action: String,
+                       template: String = "")
+
+  /** Compile a `{field}` payload template into ONE string Column — the
+    * reference's action-payload field substitution (webhook payloads
+    * embed event fields like `{datapoint.from_table}`,
+    * demo_helper.py:1894,1908). `{props.<k>}` addresses a JSON props
+    * key, any other `{name}` an event column; NULL fields render empty,
+    * unknown column names fail at compile (analysis) time. The result
+    * is a plain `concat` — codegen-friendly, no UDF.
+    */
+  def templateColumn(tpl: String): Column = {
+    val token = "\\{([A-Za-z0-9_.]+)\\}".r
+    val parts = Seq.newBuilder[Column]
+    var last = 0
+    for (m <- token.findAllMatchIn(tpl)) {
+      if (m.start > last) parts += lit(tpl.substring(last, m.start))
+      val f = m.group(1)
+      val c =
+        if (f.startsWith("props."))
+          get_json_object(col("props"), "$." + f.stripPrefix("props."))
+        else col(f).cast(StringType)
+      parts += coalesce(c, lit(""))
+      last = m.end
+    }
+    if (last < tpl.length) parts += lit(tpl.substring(last))
+    val ps = parts.result()
+    if (ps.isEmpty) lit("") else concat(ps: _*)
+  }
 
   /** Compile a rule list into ONE scan of the event stream: every rule
     * becomes a (fired, measured, …) struct, the per-row rule array is
@@ -347,8 +424,9 @@ object EventOps {
         (col("event_type") === r.eventType && cond).as("fired"),
         v.as("measured"),
         lit(r.action).as("action"),
-        format_string(s"rule ${r.id} fired for user %d", col("user_id"))
-          .as("message"))
+        (if (r.template.nonEmpty) templateColumn(r.template)
+         else format_string(s"rule ${r.id} fired for user %d",
+           col("user_id"))).as("message"))
     }
     val out = ev.select(col("event_id"), col("user_id"), col("ts"),
         explode(filter(array(structs: _*), s => s.getField("fired")))

@@ -126,6 +126,74 @@ object EventQueries {
        |  ON s.actual_start >= sl.expected_start
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Allowed run duration before a run's END is late (R2 LATE_END). */
+  val AllowedRunSeconds = 3600L
+
+  def lateEnds(s: SparkSession, dir: String): DataFrame =
+    EventOps.lateEndsCron(ev(s, dir), SubDailyCron, AllowedRunSeconds,
+      MarginSeconds, GapSeconds, s)
+
+  /** LATE_END mirror of [[lateStartsHourlySql]]: same independent slot
+    * derivation and ASOF attribution by run START; the end deadline is
+    * slot + allowed-duration, breach margin on the END timestamp.
+    */
+  val lateEndsSql: String =
+    s"""$SessCte,
+       |runs AS (SELECT user_id, session_id, min(ts) AS actual_start,
+       |    max(ts) AS actual_end FROM sess GROUP BY 1, 2),
+       |slots AS (SELECT unnest(generate_series(
+       |    date_trunc('day', (SELECT min(ts) FROM ev)) - INTERVAL 2 DAY,
+       |    date_trunc('day', (SELECT max(ts) FROM ev)) + INTERVAL 1 DAY,
+       |    INTERVAL 4 HOUR)) AS expected_start)
+       |SELECT r.user_id, r.session_id, r.actual_start, r.actual_end,
+       |  sl.expected_start,
+       |  sl.expected_start + INTERVAL $AllowedRunSeconds SECOND
+       |    AS expected_end,
+       |  date_diff('microsecond',
+       |    sl.expected_start + INTERVAL $AllowedRunSeconds SECOND,
+       |    r.actual_end) > ${MarginSeconds}000000 AS late_end,
+       |  round(date_diff('microsecond',
+       |    sl.expected_start + INTERVAL $AllowedRunSeconds SECOND,
+       |    r.actual_end) / 6e7, 4) AS minutes_over
+       |FROM runs r ASOF JOIN slots sl
+       |  ON r.actual_start >= sl.expected_start
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Schedule timezone for the tz-aware lateness query: a non-UTC,
+    * non-whole-hour offset (+05:30) so any UTC-only expansion is off by
+    * a visibly fractional amount.
+    */
+  val TzZone = "Asia/Kolkata"
+  val TzCron = "0 6 * * *"
+
+  def lateStartsTz(s: SparkSession, dir: String): DataFrame =
+    EventOps.lateStartsCron(ev(s, dir), TzCron, MarginSeconds, GapSeconds,
+      s, java.time.ZoneId.of(TzZone))
+
+  /** DuckDB mirror derives the slots independently: 06:00 IST is 00:30
+    * UTC (fixed +05:30 offset, no DST in range — DST-boundary behavior
+    * is CronSpec-gated since the bundled DuckDB has no ICU timezone
+    * support to derive it in-engine).
+    */
+  val lateStartsTzSql: String =
+    s"""$SessCte,
+       |starts AS (SELECT user_id, session_id, min(ts) AS actual_start
+       |  FROM sess GROUP BY 1, 2),
+       |slots AS (SELECT unnest(generate_series(
+       |    date_trunc('day', (SELECT min(ts) FROM ev)) - INTERVAL 2 DAY
+       |      + INTERVAL 30 MINUTE,
+       |    date_trunc('day', (SELECT max(ts) FROM ev)) + INTERVAL 1 DAY
+       |      + INTERVAL 30 MINUTE,
+       |    INTERVAL 1 DAY)) AS expected_start)
+       |SELECT s.user_id, s.session_id, s.actual_start, sl.expected_start,
+       |  date_diff('microsecond', sl.expected_start, s.actual_start)
+       |    > ${MarginSeconds}000000 AS late_start,
+       |  round(date_diff('microsecond', sl.expected_start, s.actual_start)
+       |    / 6e7, 4) AS minutes_late
+       |FROM starts s ASOF JOIN slots sl
+       |  ON s.actual_start >= sl.expected_start
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---- R3 journey-instance assembly ---------------------------------------
 
   def journeys(s: SparkSession, dir: String): DataFrame =
@@ -399,6 +467,77 @@ object EventQueries {
        |) ORDER BY rule_id, event_id""".stripMargin
   }
 
+  // ---- rule-action payload templating (R6) ---------------------------------
+
+  /** Rules carrying `{field}` payload templates (the reference's webhook
+    * payload substitution, demo_helper.py:1894,1908): one addressing
+    * plain columns, one mixing a column with a dynamically-typed JSON
+    * props field. Only integral/string fields are templated — float
+    * rendering is engine-specific and belongs in `measured`, not the
+    * payload text.
+    */
+  val TemplatedRules = Seq(
+    EventOps.AlertRule("hook_purchase", "purchase", "value", "gt",
+      MetricThreshold, "CALL_WEBHOOK",
+      template =
+        "POST /hooks/alerts user={user_id} event={event_id} k={props.k}"),
+    EventOps.AlertRule("mail_error", "error", "value", "match", 0.0,
+      "SEND_EMAIL",
+      template = "Run for user {user_id} hit {event_type} (event {event_id})"),
+  )
+
+  def ruleTemplated(s: SparkSession, dir: String): DataFrame =
+    EventOps.ruleAlerts(ev(s, dir), TemplatedRules)
+
+  /** SQL mirror of [[EventOps.templateColumn]]: the same template string
+    * compiled to a `||` concatenation, so Spark and the oracle always
+    * render the same payload for the same rule list.
+    */
+  private def templateSqlExpr(tpl: String): String = {
+    val token = "\\{([A-Za-z0-9_.]+)\\}".r
+    val parts = Seq.newBuilder[String]
+    var last = 0
+    for (m <- token.findAllMatchIn(tpl)) {
+      if (m.start > last)
+        parts += s"'${tpl.substring(last, m.start).replace("'", "''")}'"
+      val f = m.group(1)
+      parts +=
+        (if (f.startsWith("props."))
+          s"coalesce(json_extract_string(props, '$$.${f.stripPrefix("props.")}'), '')"
+        else s"coalesce(CAST($f AS VARCHAR), '')")
+      last = m.end
+    }
+    if (last < tpl.length)
+      parts += s"'${tpl.substring(last).replace("'", "''")}'"
+    val ps = parts.result()
+    if (ps.isEmpty) "''" else ps.mkString(" || ")
+  }
+
+  val ruleTemplatedSql: String = {
+    val parts = TemplatedRules.map { r =>
+      val field =
+        if (r.field.startsWith("props."))
+          s"TRY_CAST(json_extract_string(props, '$$.${r.field.stripPrefix("props.")}') AS DOUBLE)"
+        else s"TRY_CAST(${r.field} AS DOUBLE)"
+      val cond = r.op match {
+        case "gt"    => s"$field > ${r.threshold}"
+        case "ge"    => s"$field >= ${r.threshold}"
+        case "lt"    => s"$field < ${r.threshold}"
+        case "le"    => s"$field <= ${r.threshold}"
+        case "eq"    => s"$field = ${r.threshold}"
+        case "match" => "TRUE"
+      }
+      s"""SELECT event_id, user_id, ts, '${r.id}' AS rule_id,
+         |  $field AS measured, '${r.action}' AS action,
+         |  ${templateSqlExpr(r.template)} AS message
+         |FROM ev WHERE event_type = '${r.eventType}' AND $cond""".stripMargin
+    }
+    s"""$EvCte
+       |SELECT * FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) ORDER BY rule_id, event_id""".stripMargin
+  }
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -458,6 +597,9 @@ object EventQueries {
     "ev_failed_runs" -> (failedRuns _),
     "ev_late_starts" -> (lateStarts _),
     "ev_late_starts_hourly" -> (lateStartsHourly _),
+    "ev_late_starts_tz" -> (lateStartsTz _),
+    "ev_late_ends" -> (lateEnds _),
+    "ev_rule_templated" -> (ruleTemplated _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -479,6 +621,9 @@ object EventQueries {
     "ev_failed_runs" -> failedRunsSql,
     "ev_late_starts" -> lateStartsSql,
     "ev_late_starts_hourly" -> lateStartsHourlySql,
+    "ev_late_starts_tz" -> lateStartsTzSql,
+    "ev_late_ends" -> lateEndsSql,
+    "ev_rule_templated" -> ruleTemplatedSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

@@ -1,13 +1,12 @@
 package graft
 
-import java.time.{Instant, ZoneId, ZonedDateTime}
+import java.time.{Instant, LocalDateTime, ZoneId}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.events.Cron
 
 class CronSpec extends AnyFunSuite {
 
-  private def zdt(s: String): ZonedDateTime =
-    ZonedDateTime.of(java.time.LocalDateTime.parse(s), ZoneId.of("UTC"))
+  private def zdt(s: String): LocalDateTime = LocalDateTime.parse(s)
 
   test("basic daily schedule expands once per day") {
     val fires = Cron.expand("0 23 * * *",
@@ -41,6 +40,53 @@ class CronSpec extends AnyFunSuite {
     assert(spec.minutes == Set(0, 15, 30, 45))
     assert(spec.hours == (9 to 17).toSet)
     assert(spec.dows == (1 to 5).toSet)
+  }
+
+  test("non-UTC zone: wall-clock schedule maps to offset UTC instants") {
+    val fires = Cron.expand("0 6 * * *",
+      Instant.parse("2024-01-01T00:00:00Z"),
+      Instant.parse("2024-01-03T00:00:00Z"), ZoneId.of("Asia/Kolkata"))
+    // 06:00 IST = 00:30 UTC (+05:30 — a non-whole-hour offset)
+    assert(fires.map(_.toString) == Seq(
+      "2024-01-01T00:30:00Z", "2024-01-02T00:30:00Z"))
+  }
+
+  test("DST spring-forward shifts the UTC instant of a daily schedule") {
+    // America/New_York: EST (UTC-5) → EDT (UTC-4) on 2024-03-10 02:00
+    val fires = Cron.expand("0 6 * * *",
+      Instant.parse("2024-03-09T00:00:00Z"),
+      Instant.parse("2024-03-12T00:00:00Z"), ZoneId.of("America/New_York"))
+    assert(fires.map(_.toString) == Seq(
+      "2024-03-09T11:00:00Z", // 06:00 EST
+      "2024-03-10T10:00:00Z", // 06:00 EDT
+      "2024-03-11T10:00:00Z"))
+  }
+
+  test("wall times inside the spring-forward gap are skipped") {
+    // 02:30 local does not exist on 2024-03-10 in America/New_York
+    val fires = Cron.expand("30 2 * * *",
+      Instant.parse("2024-03-09T00:00:00Z"),
+      Instant.parse("2024-03-12T00:00:00Z"), ZoneId.of("America/New_York"))
+    assert(fires.map(_.toString) == Seq(
+      "2024-03-09T07:30:00Z", // 02:30 EST on the 9th
+      "2024-03-11T06:30:00Z")) // gap on the 10th, 02:30 EDT on the 11th
+  }
+
+  test("fall-back ambiguous wall times fire once, at the first occurrence") {
+    // 2024-11-03 in America/New_York repeats 01:00-01:59 (EDT then EST)
+    val fires = Cron.expand("30 1 * * *",
+      Instant.parse("2024-11-03T00:00:00Z"),
+      Instant.parse("2024-11-04T00:00:00Z"), ZoneId.of("America/New_York"))
+    assert(fires.map(_.toString) == Seq("2024-11-03T05:30:00Z")) // 01:30 EDT
+  }
+
+  test("UTC expansion is unchanged by the wall-clock iteration") {
+    val fires = Cron.expand("0 */4 * * *",
+      Instant.parse("2024-01-01T03:00:00Z"),
+      Instant.parse("2024-01-01T13:00:00Z"))
+    assert(fires.map(_.toString) == Seq(
+      "2024-01-01T04:00:00Z", "2024-01-01T08:00:00Z",
+      "2024-01-01T12:00:00Z"))
   }
 
   test("out-of-range field values are rejected") {

@@ -222,4 +222,55 @@ class EventsSpec extends AnyFunSuite {
     assert(buy.getAs[String]("message") == "rule big_buy fired for user 1")
     assert(buy.getAs[String]("action") == "CALL_WEBHOOK")
   }
+
+  test("rule payload templates substitute columns and props fields") {
+    val rules = Seq(
+      EventOps.AlertRule("big_buy", "purchase", "value", "gt", 40.0,
+        "CALL_WEBHOOK",
+        template = "user={user_id} type={event_type} k={props.k}!"),
+      // {props.missing} is absent from every event → renders empty
+      EventOps.AlertRule("err", "error", "value", "match", 0.0,
+        "SEND_EMAIL", template = "m=[{props.missing}] id={event_id}"),
+    )
+    val alerts = EventOps.ruleAlerts(fixture, rules).collect()
+      .map(r => r.getAs[String]("rule_id") -> r.getAs[String]("message"))
+      .toMap
+    assert(alerts("big_buy") == "user=1 type=purchase k=3!")
+    assert(alerts("err") == "m=[] id=4")
+  }
+
+  test("late ends flag runs that overrun their slot's allowed duration") {
+    // 4-hourly slots, 60 min allowed, 10 min margin.
+    // user 1 session 1 (10:00→10:10, slot 08:00): deadline 09:00 → 70 min
+    //   over, late. Session 2 (13:00→13:05, slot 12:00): deadline 13:00 →
+    //   5 min over, within margin → NOT late.
+    // user 2 (09:00→09:20, slot 08:00): 20 min over → late.
+    val out = EventOps.lateEndsCron(fixture, "0 */4 * * *",
+        allowedRunSeconds = 3600, marginSeconds = 600, gapSeconds = 3600,
+        spark).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+        -> r).toMap
+    val u1s1 = out((1L, 1L))
+    assert(u1s1.getAs[Timestamp]("expected_end") == ts("2024-01-01 09:00:00"))
+    assert(u1s1.getAs[Boolean]("late_end"))
+    assert(u1s1.getAs[Double]("minutes_over") == 70.0)
+    val u1s2 = out((1L, 2L))
+    assert(u1s2.getAs[Timestamp]("expected_end") == ts("2024-01-01 13:00:00"))
+    assert(!u1s2.getAs[Boolean]("late_end"))
+    assert(u1s2.getAs[Double]("minutes_over") == 5.0)
+    assert(out((2L, 1L)).getAs[Boolean]("late_end"))
+    assert(out((2L, 1L)).getAs[Double]("minutes_over") == 20.0)
+  }
+
+  test("tz-aware lateness expands the schedule on the zone's wall clock") {
+    // 06:00 Asia/Kolkata = 00:30 UTC: a 09:00 UTC run start is 8.5 h late
+    // vs the IST slot (a UTC-expanded 06:00 slot would say 3 h)
+    val out = EventOps.lateStartsCron(fixture, "0 6 * * *", 600, 3600,
+        spark, java.time.ZoneId.of("Asia/Kolkata")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+        -> r).toMap
+    assert(out((2L, 1L)).getAs[Timestamp]("expected_start") ==
+      ts("2024-01-01 00:30:00"))
+    assert(out((2L, 1L)).getAs[Double]("minutes_late") == 510.0)
+  }
 }

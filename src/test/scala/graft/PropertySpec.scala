@@ -71,7 +71,7 @@ class PropertySpec extends AnyFunSuite {
       val fires = Cron.expand(e, from, to)
       assert(fires == fires.sorted && fires.toSet.size == fires.size)
       fires.foreach { i =>
-        assert(spec.matches(java.time.ZonedDateTime.ofInstant(
+        assert(spec.matches(java.time.LocalDateTime.ofInstant(
           i, java.time.ZoneId.of("UTC"))), s"$e -> $i")
       }
       assert(fires.forall(i => !i.isBefore(from) && i.isBefore(to)))
