@@ -326,6 +326,16 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The scale tier of the same surface: banded-LSH candidates + the
+    * identical exact-cosine + lexical verification. Registered rows-only
+    * (the seeded hyperplane signatures are engine-specific); recall vs
+    * the oracle-green exact row is spec-gated in TextSpec.
+    */
+  def semanticDedupAnn(s: SparkSession, dir: String): DataFrame =
+    Curation.semanticDedupPairsAnn(docs(s, dir),
+      Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
+      shingleN = ShingleN, minJaccard = MinJaccard)
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -530,6 +540,7 @@ object TextQueries {
     "pack_sequences_documents" -> (packSequences _),
     "chunk_documents" -> (chunkDocs _),
     "semantic_dedup_pairs" -> (semanticDedup _),
+    "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),

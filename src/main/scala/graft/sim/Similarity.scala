@@ -132,6 +132,81 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** ANN tier of the near-dup pair ladder — banded sign-bit LSH
+    * (OR-of-ANDs amplification): `bands` independent signatures of
+    * `planesPerBand` hyperplane sign bits each; two vectors are
+    * CANDIDATES iff some band's full signature matches, and candidates
+    * are then verified with the exact codegen'd cosine. Candidate
+    * generation is a self equi-join on (band, bucket) — Σ bucket², never
+    * n² — and verification joins vectors back by id, so no vector rides
+    * the candidate shuffle twice.
+    *
+    * Band/width trade-off (standard S-curve): match probability for a
+    * pair at angle θ is 1 − (1 − p^r)^b with p = 1 − θ/π, r =
+    * planesPerBand, b = bands. Pruning power depends on the THRESHOLD,
+    * not the corpus size: in the cos ≥ 0.9 regime semantic dedup
+    * normally targets (θ ≤ 26°, p ≥ 0.86), 8 bands × 8 planes passes
+    * ≈ 3% of background pairs at recall ≈ 0.99 — that is the 100 TB
+    * configuration. The harness corpus' near-dups sit at cos 0.4–0.5
+    * (θ ≈ 60–66°, p ≈ 0.63 vs 0.5 for background — an intrinsically
+    * shallow S-curve), so the defaults trade the other way: 12 bands ×
+    * 3 planes holds measured recall ≥ 0.95 while pruning ~21% of pairs.
+    * Both regimes are measured in SimSpec (recall vs
+    * [[cosineNearDupPairs]]; pruning via [[lshCandidatePairs]]).
+    */
+  def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                            tau: Double, dim: Int, bands: Int = 12,
+                            planesPerBand: Int = 3,
+                            seed: Long = 7L): DataFrame = {
+    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    lshCandidatePairs(df, idCol, vecCol, dim, bands, planesPerBand, seed)
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("raw"))
+      // same half-ulp-of-rounding margin as the exact tier
+      .filter(col("raw") >= tau - 5e-5)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The candidate tier of [[cosineNearDupPairsLsh]], exposed on its own:
+    * distinct unordered id pairs whose banded sign-bit signatures collide
+    * in at least one band. SimSpec measures its pruning factor directly
+    * (candidates / all pairs) next to the end-to-end recall.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bands: Int, planesPerBand: Int,
+                        seed: Long = 7L): DataFrame = {
+    // each band's bucket packs planesPerBand sign bits into one Long;
+    // the number of bands is unconstrained
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val keyed = df
+      .select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          bucketExpr(col("v"),
+            planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    // a pair colliding in several bands appears once per collision —
+    // distinct happens here, while rows are only ids
+    keyed.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(keyed.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector (self
     * excluded). `queries` must be small — it is broadcast; the corpus is
     * scanned once with no shuffle before the per-query top-k.

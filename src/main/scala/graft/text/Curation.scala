@@ -175,9 +175,45 @@ object Curation {
                          textCol: String = "text",
                          vecCol: String = "embedding",
                          minCos: Double = 0.4, shingleN: Int = 2,
-                         minJaccard: Double = 0.4): DataFrame = {
-    val cand = graft.sim.Similarity
-      .cosineNearDupPairs(vecs, vecIdCol, vecCol, minCos)
+                         minJaccard: Double = 0.4): DataFrame =
+    confirmPairsLexically(
+      graft.sim.Similarity.cosineNearDupPairs(vecs, vecIdCol, vecCol,
+        minCos),
+      docs, docIdCol, textCol, shingleN, minJaccard)
+
+  /** [[semanticDedupPairs]] with the SCALE candidate tier: cosine
+    * candidates come from the banded-LSH pair generator
+    * (Similarity.cosineNearDupPairsLsh — a (band, bucket) equi-join,
+    * never all-pairs) instead of the exact block-tiled scan, then get
+    * the same exact-cosine verification and lexical confirmation. Same
+    * output schema as the exact tier; recall < 1 by design, measured
+    * in SimSpec/TextSpec against the exact row.
+    */
+  def semanticDedupPairsAnn(docs: DataFrame, vecs: DataFrame,
+                            docIdCol: String = "doc_id",
+                            vecIdCol: String = "vec_id",
+                            textCol: String = "text",
+                            vecCol: String = "embedding",
+                            minCos: Double = 0.4, shingleN: Int = 2,
+                            minJaccard: Double = 0.4, dim: Int = 64,
+                            bands: Int = 12,
+                            planesPerBand: Int = 3): DataFrame =
+    confirmPairsLexically(
+      graft.sim.Similarity.cosineNearDupPairsLsh(vecs, vecIdCol, vecCol,
+        minCos, dim, bands, planesPerBand),
+      docs, docIdCol, textCol, shingleN, minJaccard)
+
+  /** The lexical verification tier shared by both semantic-dedup
+    * variants: each candidate `(id_a, id_b, cos_sim)` row gains the
+    * exact word-shingle Jaccard of the two texts and the `agree` flag.
+    * Each document's distinct shingles are packed into ONE array row,
+    * so a pair is a single row and the intersection is an in-row
+    * `array_intersect` — two key joins, no pair×shingle explosion.
+    */
+  private def confirmPairsLexically(cand: DataFrame, docs: DataFrame,
+                                    docIdCol: String, textCol: String,
+                                    shingleN: Int,
+                                    minJaccard: Double): DataFrame = {
     val sets = Dedup.shingles(docs, textCol, docIdCol, shingleN)
       .groupBy(col(docIdCol))
       .agg(collect_list(col("shingle")).as("shs"))

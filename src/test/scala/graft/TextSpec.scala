@@ -191,6 +191,23 @@ class TextSpec extends AnyFunSuite {
     assert(out((1L, 2L))._1 > 0.5 && out((1L, 3L))._1 == 0.0)
   }
 
+  test("ANN semantic dedup recalls >= 0.9 of the exact tier's pairs") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val vecs = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "agree").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Boolean]("agree"))
+      .toMap
+    val exact = pairs(graft.text.Curation.semanticDedupPairs(docs, vecs))
+    val ann = pairs(graft.text.Curation.semanticDedupPairsAnn(docs, vecs))
+    val recall =
+      (exact.keySet & ann.keySet).size.toDouble / exact.keySet.size
+    assert(recall >= 0.9, s"semantic pair recall = $recall")
+    // verification is shared, so every surviving pair carries the SAME
+    // jaccard/agree verdict as the exact tier — no false positives
+    assert(ann.forall { case (k, v) => exact.get(k).contains(v) })
+  }
+
   test("tf-idf ranks distinctive terms above common ones") {
     val docs = Seq(
       (1L, "apple apple banana"),
