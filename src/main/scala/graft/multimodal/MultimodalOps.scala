@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus feature extraction shaped for
   * a 100 TB pipeline (per-partition batched decode, no driver involvement).
   *
-  * The decode step itself is a STUB — media codecs are not available in
-  * this container — implemented as a deterministic hash-derived feature
-  * vector behind the [[MediaDecoder]] trait. Everything around it (schema,
-  * partition-parallel batch shape, binary slicing, metadata extraction) is
-  * real and tested; swapping in a real decoder is a one-class change.
+  * Decoders plug in behind [[MediaDecoder]] / [[MediaTransform]]. A REAL
+  * pure-JVM image codec exists for PPM ([[Ppm.FeatureDecoder]] /
+  * [[Ppm.Resize]] — actual pixel statistics, oracle-verified); for
+  * formats whose codecs are absent in this container (jpeg/png/audio)
+  * the [[StubDecoder]]/[[StubResizer]] stand-ins keep the plumbing
+  * testable, and swapping in a codec is a one-class change.
   */
 object MultimodalOps {
 
@@ -20,6 +21,8 @@ object MultimodalOps {
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hexPrefix = hex(substring(bin, 1, 4))
     when(hexPrefix.startsWith("89504E47"), "png")
+      .when(hexPrefix.startsWith("5036"), "ppm") // "P6"
+
       .when(hexPrefix.startsWith("FFD8FF"), "jpeg")
       .when(hexPrefix.startsWith("52494646"), "riff") // wav/avi containers
       .when(hexPrefix.startsWith("00000018") ||

@@ -213,4 +213,52 @@ class SourcesSpec extends AnyFunSuite {
       .collect().toMap
     assert(passthrough(2L).toSeq == jpg.toSeq)
   }
+
+  test("PPM codec round-trips pixels exactly and parses hardened headers") {
+    import graft.multimodal.Ppm
+    // gradient image: every channel value is position-determined
+    val img = Ppm.decode(Ppm.encode(5, 3,
+      (x, y) => (x * 50, y * 80, (x + y) * 7)))
+    assert(img.width == 5 && img.height == 3)
+    assert(img(4, 2, 0) == 200 && img(4, 2, 1) == 160 && img(4, 2, 2) == 42)
+    // high-bit samples survive the signed-byte crossing
+    val hot = Ppm.decode(Ppm.encode(1, 1, (_, _) => (255, 128, 0)))
+    assert(hot(0, 0, 0) == 255 && hot(0, 0, 1) == 128 && hot(0, 0, 2) == 0)
+    // comments and extra whitespace between header tokens are legal PPM
+    val withComment =
+      ("P6\n# a comment\n 2 1\n# another\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4, 5, 6))
+    val c = Ppm.decode(withComment)
+    assert(c.width == 2 && c(1, 0, 2) == 6)
+    // malformed payloads are rejected, not mis-decoded
+    intercept[IllegalArgumentException](
+      Ppm.decode("P5\n1 1\n255\nx".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n2 2\n255\n".getBytes("US-ASCII"))) // truncated
+  }
+
+  test("PPM feature decoder and resize compute real pixel statistics") {
+    import graft.multimodal.Ppm
+    // 2×2 with known channels: R = {10,20,30,40}, G = 0, B = 255
+    val bytes = Ppm.encode(2, 2, (x, y) => (10 + 10 * (y * 2 + x), 0, 255))
+    val f = new Ppm.FeatureDecoder().decode(bytes)
+    assert(f(0) == 2f && f(1) == 2f)           // width, height
+    assert(f(2) == 100f)                        // sum R
+    assert(f(3) == 0f && f(4) == 4 * 255f)      // sum G, sum B
+    // lum = 299·r + 587·0 + 114·255 → min at r=10, max at r=40
+    assert(f(5) == (299 * 10 + 114 * 255).toFloat)
+    assert(f(6) == (299 * 40 + 114 * 255).toFloat)
+    assert(f(7) == 4f)                          // n_pixels
+    // nearest-neighbor downscale keeps exact source samples
+    val big = Ppm.encode(4, 4, (x, y) => (x * 60, y * 60, 7))
+    val small = Ppm.decode(new Ppm.Resize(2, 2).transform(big))
+    assert(small.width == 2 && small.height == 2)
+    assert(small(0, 0, 0) == 0 && small(1, 0, 0) == 120) // src x = 0, 2
+    assert(small(0, 1, 1) == 120 && small(1, 1, 2) == 7) // src y = 2
+    // sniffing recognizes the P6 magic
+    val df2 = Seq((1L, bytes)).toDF("id", "media")
+    val fmt = MultimodalOps.withMediaMeta(df2, "media")
+      .collect().head.getAs[String]("format")
+    assert(fmt == "ppm")
+  }
 }
