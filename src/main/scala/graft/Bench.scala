@@ -1,26 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: every registered query timed SPARK_GRAFT_REPS
+  * times (default 5) in a per-rep randomized order (seeded by the rep
+  * index — deterministic across runs), reporting the per-query MEDIAN.
+  * Randomized order + median de-noises the 32-way-parallel local JVM:
+  * a query's number no longer depends on which heavy neighbor ran just
+  * before it, and one GC pause cannot shift a timing. `spread` (max −
+  * min across reps) is emitted per query so run-to-run variance is
+  * visible in the artifact instead of needing a re-run to detect.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = Sessions.local(cpus, cpus)
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/parquet-footer warmup outside the timings (the r1
     // numbers charged ~6 s of session startup to whichever query ran first)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val only = args.toSet // optional: bench just these queries
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }.map {
-      case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (rep <- 1 to reps) {
+      val order = new scala.util.Random(rep).shuffle(names)
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted; s(s.size / 2)
+    }
+    val med = names.map { case (n, _) => n -> median(times(n)) }
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = names.map { case (n, _) =>
+      s"\"" + n + "\":" + (times(n).max - times(n).min)
+    }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

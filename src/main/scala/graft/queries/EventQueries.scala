@@ -538,6 +538,23 @@ object EventQueries {
        |) ORDER BY rule_id, event_id""".stripMargin
   }
 
+  // ---- bounded Structured Streaming run (R1 via the stream path) ----------
+
+  /** The streaming sessionizer run end-to-end (file source → stateful
+    * state machine → memory sink) and summarized. Oracle-checkable
+    * because the state machine provably agrees with the batch window
+    * sessionization (StreamingSpec), whose SQL mirror this reuses.
+    */
+  def streamSessionsBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionSummariesBounded(s, dir, GapSeconds)
+
+  val streamSessionsBoundedSql: String =
+    s"""$SessCte
+       |SELECT user_id, session_id, min(ts) AS session_start,
+       |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -600,6 +617,7 @@ object EventQueries {
     "ev_late_starts_tz" -> (lateStartsTz _),
     "ev_late_ends" -> (lateEnds _),
     "ev_rule_templated" -> (ruleTemplated _),
+    "stream_sessions_bounded" -> (streamSessionsBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -624,6 +642,7 @@ object EventQueries {
     "ev_late_starts_tz" -> lateStartsTzSql,
     "ev_late_ends" -> lateEndsSql,
     "ev_rule_templated" -> ruleTemplatedSql,
+    "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

@@ -267,4 +267,42 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val boundedRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Bounded END-TO-END run of the streaming sessionizer for the driver
+    * contract: stage the events table into a drop folder, stream it
+    * through the real file source and the stateful
+    * flatMapGroupsWithState sessionizer into a memory sink, drain with
+    * processAllAvailable, and summarize the result as a batch frame.
+    * Structured Streaming is genuinely exercised; boundedness comes
+    * only from the drop folder being finite. The single staged file
+    * arrives as one micro-batch, so per-key event-time order (the
+    * state machine's contract with its upstream) holds trivially; a
+    * multi-file folder would need the files dropped in event-time
+    * order, as a real ingestion pipeline does.
+    */
+  def sessionSummariesBounded(spark: SparkSession, sfDir: String,
+                              gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val drop = java.nio.file.Files.createTempDirectory("graft-evdrop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      drop.resolve("events-000.parquet"))
+    val name = s"graft_stream_sessions_${boundedRuns.incrementAndGet()}"
+    val events = eventStream(spark, drop.toString).as[SEvent]
+    val q = assignSessions(events, gapSeconds)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
 }

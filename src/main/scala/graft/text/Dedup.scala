@@ -52,24 +52,25 @@ object Dedup {
     * components, labeling every member with the smallest id in its
     * component — the step that makes pair output actionable (keep one doc
     * per cluster). Iterative min-label propagation: each round every node
-    * adopts the smallest label among itself and its neighbors; rounds
-    * needed = graph diameter (near-dup clusters are shallow — chains of
-    * borderline pairs, typically < 10 hops).
+    * adopts the smallest label among itself and its neighbors, then every
+    * label POINTER-JUMPS (label := label(label), the Shiloach–Vishkin
+    * shortcut) — so label information travels 2^k hops after k rounds and
+    * convergence needs O(log diameter) rounds, not O(diameter). A
+    * 100-hop chain of borderline pairs closes in 7 rounds; the default
+    * `maxRounds` = 20 covers diameters up to ~10⁶.
     *
-    * Scale shape: one shuffle per round on the edge key (the classic
-    * distributed connected-components loop; the driver only launches
+    * Scale shape: two key shuffles per round (neighbor-min on the edge
+    * key + the label self-join for the jump; the driver only launches
     * rounds and checks a one-row convergence count — no edge data ever
     * leaves the executors). Label state is localCheckpoint'ed each round
     * so the lineage stays flat. Output: (doc_id, cluster_id) for every
     * node that appears in a pair; singletons are implicitly their own
     * cluster.
     *
-    * If a component's diameter exceeds `maxRounds` (a >20-hop chain of
-    * borderline pairs — pathological for near-dup graphs), the result is
-    * an UNDER-merged clustering: such a component splits into several
-    * clusters, so dedup keeps extra representatives. Conservative —
-    * never drops a non-duplicate — but raise `maxRounds` if exact
-    * components matter.
+    * In the (now astronomically unlikely) event a component outlives
+    * `maxRounds`, the result is an UNDER-merged clustering — it splits
+    * into several clusters, so dedup keeps extra representatives.
+    * Conservative: never drops a non-duplicate.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
@@ -89,19 +90,30 @@ object Dedup {
           edges("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      // The convergence flag rides the update row (any neighbor label
-      // strictly below the current one), so checking it is a scan of the
-      // checkpointed result — no extra join or shuffle per round.
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label"))
             .as("changed"))
+        .localCheckpoint(true) // consumed twice by the jump self-join
+      // Pointer jump: replace each label with ITS OWN current label.
+      // The invariant label(x) ≤ x (init id, updates are mins including
+      // self) makes the jump monotone, and label values are always node
+      // ids, so the self-join always finds its row. The convergence
+      // flag rides the update row (strict decrease from either the
+      // neighbor step or the jump), so checking it is a scan of the
+      // checkpointed result — no extra job per round.
+      val jumped = stepped.alias("s")
+        .join(stepped.select(col("id").as("jid"),
+          col("label").as("jlabel")), col("s.label") === col("jid"))
+        .select(col("s.id").as("id"), col("jlabel").as("label"),
+          (col("s.changed") || col("jlabel") < col("s.label"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      converged = jumped.filter(col("changed")).isEmpty
+      labels = jumped.drop("changed")
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

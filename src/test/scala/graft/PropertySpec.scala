@@ -134,6 +134,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters closes a 100-hop chain within the default rounds") {
+    import spark.implicits._
+    // the diameter stress case: pointer jumping must converge in
+    // O(log d) rounds, so the default maxRounds = 20 closes this chain
+    // (plain min-label propagation would need 100 rounds and under-merge)
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val got = graft.text.Dedup
+      .dupClusters(chain.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 101 && got.values.forall(_ == 0L))
+  }
+
   test("exact dedup is idempotent and keeps the smallest id per content") {
     import spark.implicits._
     val docs = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 1000L),
