@@ -78,8 +78,11 @@ object Ppm {
     require(width > 0 && height > 0, "ppm: bad dimensions")
     require(maxval > 0 && maxval <= 255, "ppm: only 1-byte samples")
     pos += 1 // exactly ONE whitespace byte separates header from data
-    val n = width * height * 3
-    require(bytes.length - pos >= n, "ppm: truncated pixel data")
+    // size math in Long: a hostile header like "65536 65536" must fail
+    // the truncation check, not wrap Int and pass it
+    val nL = width.toLong * height * 3
+    require(nL <= bytes.length.toLong - pos, "ppm: truncated pixel data")
+    val n = nL.toInt
     val rgb = new Array[Int](n)
     var i = 0
     while (i < n) { rgb(i) = bytes(pos + i) & 0xff; i += 1 }

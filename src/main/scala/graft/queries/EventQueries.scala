@@ -527,9 +527,14 @@ object EventQueries {
         case "eq"    => s"$field = ${r.threshold}"
         case "match" => "TRUE"
       }
+      // mirror ruleAlerts exactly: an empty template falls back to the
+      // fixed format_string message, on BOTH sides
+      val msg =
+        if (r.template.nonEmpty) templateSqlExpr(r.template)
+        else s"printf('rule ${r.id} fired for user %d', user_id)"
       s"""SELECT event_id, user_id, ts, '${r.id}' AS rule_id,
          |  $field AS measured, '${r.action}' AS action,
-         |  ${templateSqlExpr(r.template)} AS message
+         |  $msg AS message
          |FROM ev WHERE event_type = '${r.eventType}' AND $cond""".stripMargin
     }
     s"""$EvCte

@@ -30,9 +30,17 @@ object MediaQueries {
       .select(col("doc_id"), col("n_bytes"), col("sha256"), col("format"))
       .orderBy("doc_id")
 
+  /** The oracle mirrors the PRINTABLE magics (text-derived payloads can
+    * legitimately start with "P6" or "RIFF"; the png/jpeg magics are
+    * invalid UTF-8 lead bytes and cannot open a parquet string), so a
+    * corpus refresh cannot desynchronize the sniff from the oracle.
+    */
   val mediaMetaSql: String =
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |  sha256(text) AS sha256, 'unknown' AS format
+      |  sha256(text) AS sha256,
+      |  CASE WHEN text LIKE 'P6%' THEN 'ppm'
+      |       WHEN text LIKE 'RIFF%' THEN 'riff'
+      |       ELSE 'unknown' END AS format
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
 
   /** Synthetic image geometry + the pixel closed form shared by the

@@ -46,6 +46,16 @@ object StreamingOps {
 
   val DefaultWatermark = "55 hours"
 
+  /** Full microsecond epoch of a Timestamp. `getTime` alone is
+    * MILLISECOND-truncated — the event data carries sub-millisecond
+    * precision, and the batch sessionizer (and the DuckDB oracle behind
+    * stream_sessions_bounded) compare gaps in exact micros, so the
+    * stream side must too or a gap within 1 ms of the threshold
+    * sessionizes differently per path.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
   /** R5 streaming metric rule — stateless filter, no watermark needed. */
   def metricRuleAlerts(ev: DataFrame, eventType: String,
                        threshold: Double): DataFrame =
@@ -156,12 +166,12 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[SEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var (sid, last) = state.getOption
             .map(s => (s.sessionId, s.lastMicros))
             .getOrElse((0L, Long.MinValue))
           val out = sorted.map { e =>
-            val m = e.ts.getTime * 1000L
+            val m = micros(e.ts)
             if (last == Long.MinValue || m - last > gapSeconds * 1000000L)
               sid += 1
             last = m
@@ -189,7 +199,7 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[SEvent],
          state: GroupState[InstanceState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(InstanceState(0L, false))
           val out = Seq.newBuilder[InstanceAssign]
           sorted.foreach { e =>
@@ -222,11 +232,11 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[SEvent], state: GroupState[SeqState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var prev = state.getOption.orNull
           val out = Seq.newBuilder[SeqAlert]
           sorted.foreach { e =>
-            val m = e.ts.getTime * 1000L
+            val m = micros(e.ts)
             val inSession =
               prev != null && m - prev.lastMicros <= gapSeconds * 1000000L
             if (inSession && dagClosure((e.event_type, prev.lastType)))
@@ -286,23 +296,36 @@ object StreamingOps {
                               gapSeconds: Long): DataFrame = {
     import spark.implicits._
     val drop = java.nio.file.Files.createTempDirectory("graft-evdrop")
+    val staged = drop.resolve("events-000.parquet")
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      drop.resolve("events-000.parquet"))
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val name = s"graft_stream_sessions_${boundedRuns.incrementAndGet()}"
     val events = eventStream(spark, drop.toString).as[SEvent]
     val q = assignSessions(events, gapSeconds)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft-ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // The memory sink holds one row PER EVENT in driver memory, and this
+    // runs once per Verify/Bench invocation: materialize the (small)
+    // summary eagerly, then drop the sink table and the staged temp
+    // files so repeated runs don't accumulate driver state or disk.
+    val summary = spark.table(name)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "session_id")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmTree(drop); rmTree(ckpt)
+    summary
   }
 }

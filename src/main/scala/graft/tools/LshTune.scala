@@ -26,10 +26,12 @@ object LshTune {
         .cosineNearDupPairsLsh(e, "vec_id", "embedding", tau, 64, b, r)
         .select("id_a", "id_b").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
-      val recall = (exact & got).size.toDouble / exact.size
+      val recall =
+        if (exact.isEmpty) "n/a (no exact pairs at this tau)"
+        else f"${(exact & got).size.toDouble / exact.size}%.3f"
       val cand = Similarity
         .lshCandidatePairs(e, "vec_id", "embedding", 64, b, r).count()
-      println(f"r=$r b=$b recall=$recall%.3f cand=$cand " +
+      println(f"r=$r b=$b recall=$recall cand=$cand " +
         f"prune=${cand.toDouble / allPairs}%.3f")
     }
     spark.stop()

@@ -235,6 +235,12 @@ class SourcesSpec extends AnyFunSuite {
       Ppm.decode("P5\n1 1\n255\nx".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       Ppm.decode("P6\n2 2\n255\n".getBytes("US-ASCII"))) // truncated
+    // hostile dimensions whose byte count wraps Int must still fail the
+    // truncation check (65536*65536*3 wraps to 0 mod 2^32)
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n65536 65536\n255\n ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n1000000 1000000\n255\n ".getBytes("US-ASCII")))
   }
 
   test("PPM feature decoder and resize compute real pixel statistics") {

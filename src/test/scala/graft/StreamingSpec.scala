@@ -276,6 +276,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState == viaWindow)
   }
 
+  test("streaming sessionizer honors sub-millisecond gaps like the batch " +
+      "path") {
+    import spark.implicits._
+    // the event data is microsecond-grained: a gap of 1800.0005 s must
+    // cut a session (strict > 1800 s) on BOTH paths — getTime alone is
+    // millisecond-truncated and would merge it
+    val events = Seq(
+      SEvent(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      SEvent(2, java.sql.Timestamp.valueOf("2024-01-01 10:30:00.000500"),
+        1, "view", 2.0))
+    val viaState = StreamingOps.assignSessions(events.toDS(), 1800)
+      .collect().map(r => r.event_id -> r.session_id).toMap
+    val viaWindow = graft.events.EventOps.withSessionId(
+        events.toDF().withColumn("props", lit("{}")), 1800)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("session_id")).toMap
+    assert(viaState == viaWindow)
+    assert(viaState(1L) != viaState(2L)) // the micro-gap DID cut
+  }
+
   test("streaming bounded instances agree with the batch cumsum " +
       "implementation across micro-batches") {
     import spark.implicits._
