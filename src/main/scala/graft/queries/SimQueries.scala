@@ -109,7 +109,25 @@ object SimQueries {
        |  round(sc, 4) AS scale
        |FROM u ORDER BY vec_id, dim""".stripMargin
 
+  // ---- vector-store hygiene ------------------------------------------------
+
+  def vectorHygiene(s: SparkSession, dir: String): DataFrame =
+    Similarity.vectorHygiene(emb(s, dir), "vec_id", "embedding", Dim)
+
+  val vectorHygieneSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |c AS (SELECT vec_id,
+       |    CAST(len(ve) AS BIGINT) AS dim_ct,
+       |    CAST(len(list_filter(ve, x -> isnan(x))) AS BIGINT) AS n_nan,
+       |    CAST(len(list_filter(ve, x -> x = 0)) AS BIGINT) AS n_zero,
+       |    round(sqrt(list_inner_product(ve, ve)), 4) AS norm
+       |  FROM v)
+       |SELECT *, n_nan > 0 OR norm = 0 OR dim_ct <> $Dim AS degenerate
+       |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vector_hygiene_embeddings" -> (vectorHygiene _),
     "quantize_embeddings" -> (quantize _),
     "centroid_embeddings" -> (centroidsByLabel _),
     "knn_embeddings" -> (knn _),
@@ -119,6 +137,7 @@ object SimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vector_hygiene_embeddings" -> vectorHygieneSql,
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,
     "knn_embeddings" -> knnSql,

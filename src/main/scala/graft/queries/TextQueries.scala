@@ -336,6 +336,26 @@ object TextQueries {
       Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
       shingleN = ShingleN, minJaccard = MinJaccard)
 
+  // ---- unigram LM surprisal (CCNet-style quality signal) ------------------
+
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramSurprisal(docs(s, dir), "text", "doc_id")
+
+  /** Mirror of the decimal-summed surprisal: per-token round(−ln p, 6)
+    * summed as DECIMAL(18,6) (order-independent), averaged, rounded 4 dp.
+    */
+  val lmSurprisalSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |freq AS (SELECT word, count(*) AS ct FROM toks GROUP BY word),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  round(CAST(sum(CAST(round(-ln(CAST(ct AS DOUBLE) / total), 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_surprisal
+       |FROM toks JOIN freq USING (word), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -541,6 +561,7 @@ object TextQueries {
     "chunk_documents" -> (chunkDocs _),
     "semantic_dedup_pairs" -> (semanticDedup _),
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
+    "lm_surprisal_documents" -> (lmSurprisal _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -566,6 +587,7 @@ object TextQueries {
     "pack_sequences_documents" -> packSequencesSql,
     "chunk_documents" -> chunkDocsSql,
     "semantic_dedup_pairs" -> semanticDedupSql,
+    "lm_surprisal_documents" -> lmSurprisalSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

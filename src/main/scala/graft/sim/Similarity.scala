@@ -291,6 +291,28 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-vector hygiene for an embedding store — the data-quality pass a
+    * 100 TB vector corpus needs before anything downstream trusts it:
+    * dimension drift, NaN contamination, zero components, and
+    * zero-norm/degenerate vectors (which poison cosine math with
+    * divisions by zero). Pure per-row expressions over the array — no
+    * shuffle, embarrassingly parallel; the norm runs on the codegen'd
+    * [[dot]] expression.
+    */
+  def vectorHygiene(df: DataFrame, idCol: String, vecCol: String,
+                    expectedDim: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol),
+        size(v).cast(LongType).as("dim_ct"),
+        size(filter(v, x => isnan(x))).cast(LongType).as("n_nan"),
+        size(filter(v, x => x === 0.0)).cast(LongType).as("n_zero"),
+        round(norm(v), 4).as("norm"))
+      .withColumn("degenerate",
+        col("n_nan") > 0 || col("norm") === 0.0 ||
+          col("dim_ct") =!= expectedDim)
+      .orderBy(idCol)
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim` gaussians from a
     * fixed seed. Tiny control-plane data, embedded as plan literals.
     */

@@ -231,6 +231,39 @@ object TextOps {
       .orderBy(col(idCol), col("rnk"), col("word"))
   }
 
+  /** Unigram-surprisal quality score — the LM-filter posture (CCNet-style
+    * perplexity filtering with the corpus itself as the language model):
+    * per-document average of −ln p(word) under the corpus unigram
+    * distribution. Documents full of rare words score high (candidate
+    * noise/gibberish at the tail), boilerplate scores low — the standard
+    * third signal next to the heuristic quality score and the dedup
+    * ladder.
+    *
+    * Parity shape: per-token surprisal is rounded to 6 dp and summed as
+    * DECIMAL(18,6) — addition-order-independent, so the hash survives any
+    * partitioning (the tfidf precedent: both engines' ln agree at these
+    * magnitudes, and the decimal sum removes the float-sum ordering
+    * hazard). Scale shape: explode → count per word → one shuffle join of
+    * tokens to frequencies on the word key → per-doc aggregate; the
+    * corpus total rides a broadcast one-row aggregate, no driver action.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("ct"))
+    val total = toks.agg(count(lit(1)).cast(DoubleType).as("total"))
+    toks.join(freq, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("surp",
+        round(-log(col("ct").cast(DoubleType) / col("total")), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("surp")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .orderBy(idCol)
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

@@ -119,6 +119,27 @@ class SimSpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 10))
   }
 
+  test("vector hygiene flags NaN, zero-norm, and dimension drift") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),                 // clean, norm 5
+      (2L, Array(0.0f, 0.0f)),                 // zero-norm → degenerate
+      (3L, Array(Float.NaN, 1.0f)),            // NaN → degenerate
+      (4L, Array(1.0f, 2.0f, 3.0f)),           // wrong dim → degenerate
+      (5L, Array(0.0f, 2.0f)),                 // a zero COMPONENT is fine
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.vectorHygiene(df, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getAs[Boolean]("degenerate"))
+    assert(out(1L).getAs[Double]("norm") == 5.0)
+    assert(out(2L).getAs[Boolean]("degenerate"))
+    assert(out(3L).getAs[Boolean]("degenerate") &&
+      out(3L).getAs[Long]("n_nan") == 1)
+    assert(out(4L).getAs[Boolean]("degenerate") &&
+      out(4L).getAs[Long]("dim_ct") == 3)
+    assert(!out(5L).getAs[Boolean]("degenerate") &&
+      out(5L).getAs[Long]("n_zero") == 1)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }

@@ -208,6 +208,22 @@ class TextSpec extends AnyFunSuite {
     assert(ann.forall { case (k, v) => exact.get(k).contains(v) })
   }
 
+  test("unigram surprisal scores rare-word documents above boilerplate") {
+    val docs = Seq(
+      (1L, "the the the the"),             // most common token only
+      (2L, "the the zyx qwv"),             // half rare singletons
+      (3L, "zyx2 qwv2 kjh2 wsd2"),         // all rare singletons
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramSurprisal(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("avg_surprisal"))).toMap
+    assert(out(1L)._1 == 4)
+    // p(the) = 6/12 → −ln(0.5); singletons p = 1/12 → −ln(1/12)
+    assert(math.abs(out(1L)._2 - 0.6931) < 1e-9)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    assert(math.abs(out(3L)._2 - 2.4849) < 1e-9)
+  }
+
   test("tf-idf ranks distinctive terms above common ones") {
     val docs = Seq(
       (1L, "apple apple banana"),
