@@ -356,6 +356,42 @@ object TextQueries {
        |FROM toks JOIN freq USING (word), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- DSIR importance weights (target = the English slice) ---------------
+
+  val DsirBuckets = 64
+
+  def importanceWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceWeights(docs(s, dir),
+      org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = DsirBuckets)
+
+  /** Mirror: bigram bag with multiplicity, md5-prefix bucket, add-one
+    * smoothed log-ratio rounded 6 dp summed as DECIMAL.
+    */
+  val importanceWeightsSql: String =
+    s"""$ToksCte,
+       |f AS (SELECT doc_id, lang = 'en' AS is_target,
+       |    ('0x' || substr(md5(feat), 1, 6))::BIGINT % $DsirBuckets
+       |      AS bucket
+       |  FROM (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1]
+       |      for i in range(1, len(w))]) AS feat
+       |    FROM toks JOIN documents USING (doc_id))),
+       |bc AS (SELECT bucket, count(*) AS q_ct,
+       |    count(CASE WHEN is_target THEN 1 END) AS p_ct
+       |  FROM f GROUP BY bucket),
+       |tot AS (SELECT sum(q_ct) AS q_tot, sum(p_ct) AS p_tot FROM bc),
+       |sc AS (SELECT bucket,
+       |    CAST(round(ln(CAST(p_ct + 1 AS DOUBLE) /
+       |        CAST(p_tot + $DsirBuckets AS DOUBLE)) -
+       |      ln(CAST(q_ct + 1 AS DOUBLE) /
+       |        CAST(q_tot + $DsirBuckets AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS score
+       |  FROM bc, tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  round(CAST(sum(score) AS DOUBLE), 4) AS log_weight
+       |FROM f JOIN sc USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -562,6 +598,7 @@ object TextQueries {
     "semantic_dedup_pairs" -> (semanticDedup _),
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
     "lm_surprisal_documents" -> (lmSurprisal _),
+    "importance_weights_documents" -> (importanceWeights _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -588,6 +625,7 @@ object TextQueries {
     "chunk_documents" -> chunkDocsSql,
     "semantic_dedup_pairs" -> semanticDedupSql,
     "lm_surprisal_documents" -> lmSurprisalSql,
+    "importance_weights_documents" -> importanceWeightsSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -229,6 +229,62 @@ object Curation {
         round(j, 4).as("jaccard"),
         (j >= minJaccard).as("agree"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its hashed-n-gram profile resembles a TARGET slice of
+    * the corpus versus the corpus overall —
+    * log w(x) = Σ_features ( ln p_target[bucket] − ln q_source[bucket] ),
+    * with add-one-smoothed bucket distributions. Documents resembling
+    * the target get positive log-weights and survive importance
+    * resampling; this is the standard cheap alternative to training a
+    * quality classifier.
+    *
+    * Determinism/parity: features hash to buckets via the md5-prefix
+    * trick (cross-engine identical, the deterministicSplit pattern);
+    * per-bucket log-ratios round to 6 dp and accumulate as
+    * DECIMAL(18,6), so the per-doc sum is addition-order independent.
+    * Scale shape: one explode → one groupBy(bucket) over the corpus
+    * (the model is `buckets` rows — control-plane), then a broadcast
+    * join of the exploded features to the 64-row score table and a
+    * per-doc aggregate. No driver action, no all-pairs anything.
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 64, n: Int = 2): DataFrame = {
+    require(buckets >= 2 && n >= 1)
+    val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    // n-gram features WITH multiplicity (unlike Dedup.shingles, which
+    // distincts for set semantics — a bag model needs the counts)
+    val feats = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col(idCol), col("is_target"), explode(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))")).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(col("feat")), 1, 6), 16, 10)
+          .cast(LongType) % buckets)
+    val bucketCts = feats.groupBy("bucket")
+      .agg(count(lit(1)).as("q_ct"),
+        count(when(col("is_target"), 1)).as("p_ct"))
+    val totals = bucketCts.agg(sum(col("q_ct")).as("q_tot"),
+      sum(col("p_ct")).as("p_tot"))
+    val scores = bucketCts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("p_ct") + lit(1)).cast(DoubleType) /
+            (col("p_tot") + lit(buckets)).cast(DoubleType)) -
+            log((col("q_ct") + lit(1)).cast(DoubleType) /
+              (col("q_tot") + lit(buckets)).cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("score"))
+    feats.join(broadcast(scores), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("score")).cast(DoubleType), 4).as("log_weight"))
+      .orderBy(idCol)
   }
 
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:

@@ -208,6 +208,33 @@ class TextSpec extends AnyFunSuite {
     assert(ann.forall { case (k, v) => exact.get(k).contains(v) })
   }
 
+  test("importance weights upweight documents resembling the target slice") {
+    import org.apache.spark.sql.functions.col
+    // target docs speak one vocabulary, the rest another; a fresh doc in
+    // the target vocabulary must get a HIGHER log-weight than one in the
+    // source-only vocabulary
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta gamma", true),
+      (3L, "delta epsilon delta epsilon delta", false),
+      (4L, "delta epsilon zeta delta epsilon", false),
+      (5L, "alpha beta alpha", false),    // target-like, not in target
+      (6L, "delta epsilon delta", false), // source-like
+    ).toDF("doc_id", "text", "is_t")
+    val out = graft.text.Curation
+      .importanceWeights(docs, col("is_t"), buckets = 256)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("log_weight")).toMap
+    // log-weights are RELATIVE (add-one smoothing over the bucket space
+    // shifts the baseline when the target slice is small) — the DSIR
+    // property is the ordering: target-vocabulary docs above
+    // source-only-vocabulary docs, by a wide margin per feature
+    assert(out(5L) > out(6L) + 1.0,
+      s"target-like ${out(5L)} vs source-only ${out(6L)}")
+    assert(Seq(1L, 2L, 5L).map(out).min >
+      Seq(3L, 4L, 6L).map(out).max)
+  }
+
   test("unigram surprisal scores rare-word documents above boilerplate") {
     val docs = Seq(
       (1L, "the the the the"),             // most common token only
