@@ -392,6 +392,25 @@ object TextQueries {
        |FROM f JOIN sc USING (bucket)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- domain-mixture rebalancing plan ------------------------------------
+
+  def mixturePlan(s: SparkSession, dir: String): DataFrame =
+    Curation.mixturePlan(docs(s, dir))
+
+  val mixturePlanSql: String =
+    s"""WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS tot, min(n_tokens) AS min_toks,
+       |    count(*) AS k FROM agg)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / tot, 4) AS cur_share,
+       |  round(1.0 / k, 4) AS target_share,
+       |  CAST(min_toks AS BIGINT) AS budget_tokens,
+       |  round(CAST(min_toks AS DOUBLE) / n_tokens, 4) AS keep_rate
+       |FROM agg, tot ORDER BY source""".stripMargin
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -599,6 +618,7 @@ object TextQueries {
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
     "lm_surprisal_documents" -> (lmSurprisal _),
     "importance_weights_documents" -> (importanceWeights _),
+    "mixture_plan_documents" -> (mixturePlan _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -626,6 +646,7 @@ object TextQueries {
     "semantic_dedup_pairs" -> semanticDedupSql,
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
+    "mixture_plan_documents" -> mixturePlanSql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

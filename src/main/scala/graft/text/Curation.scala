@@ -287,6 +287,36 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Domain-mixture rebalancing plan: given per-domain token inventories
+    * and a UNIFORM target mixture, compute the largest total budget the
+    * smallest domain can support and the per-domain keep-rate that
+    * achieves it (budget_d = min over domains of available tokens;
+    * keep_rate_d = budget / available_d). This is the control-plane
+    * artifact a mixture-balancing step (the DoReMi/data-mixing posture)
+    * feeds into sampling — the actual sampling composes with
+    * [[deterministicSplit]]-style hash bucketing. One groupBy over the
+    * corpus; the plan itself is |domains| rows.
+    */
+  def mixturePlan(docs: DataFrame, domainCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val agg = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol))).cast(LongType))
+          .as("n_tokens"))
+    val tot = agg.agg(sum(col("n_tokens")).as("tot"),
+      min(col("n_tokens")).as("min_toks"),
+      count(lit(1)).as("k"))
+    agg.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("tot"), 4)
+          .as("cur_share"),
+        round(lit(1.0) / col("k"), 4).as("target_share"),
+        col("min_toks").as("budget_tokens"),
+        round(col("min_toks").cast(DoubleType) / col("n_tokens"), 4)
+          .as("keep_rate"))
+      .orderBy(domainCol)
+  }
+
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
     * each document becomes windows of `chunkSize` words starting every
     * `chunkSize - overlap` words (the last chunk may be short). One

@@ -235,6 +235,23 @@ class TextSpec extends AnyFunSuite {
       Seq(3L, 4L, 6L).map(out).max)
   }
 
+  test("mixture plan budgets every domain to the smallest one") {
+    val docs = Seq(
+      (1L, "a b c d", "web"),   // 4 tokens
+      (2L, "a b c d", "web"),   // web: 8 total
+      (3L, "a b", "books"),     // books: 2 total
+      (4L, "a b c d e f", "code"), // code: 6 total
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.Curation.mixturePlan(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("books").getAs[Long]("budget_tokens") == 2)
+    assert(out("books").getAs[Double]("keep_rate") == 1.0)
+    assert(out("web").getAs[Double]("keep_rate") == 0.25)   // 2/8
+    assert(out("code").getAs[Double]("keep_rate") == 0.3333)
+    assert(out("web").getAs[Double]("cur_share") == 0.5)    // 8/16
+    assert(out("web").getAs[Double]("target_share") == 0.3333)
+  }
+
   test("unigram surprisal scores rare-word documents above boilerplate") {
     val docs = Seq(
       (1L, "the the the the"),             // most common token only
