@@ -109,6 +109,30 @@ object SimQueries {
        |  round(sc, 4) AS scale
        |FROM u ORDER BY vec_id, dim""".stripMargin
 
+  // ---- random projection ---------------------------------------------------
+
+  /** JL projection 64 → 16; the integer matrix renders identically into
+    * the Spark plan and the oracle SQL.
+    */
+  val RpOutDim = 16
+  val RpSeed = 20260812L
+  private lazy val RpMat = Similarity.rpMatrix(RpOutDim, Dim, RpSeed)
+
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(emb(s, dir), "vec_id", "embedding", RpMat)
+
+  val randomProjectionSql: String = {
+    val outs = RpMat.zipWithIndex.map { case (row, j) =>
+      val arr = row.map(c => s"$c/1000.0").mkString("[", ", ", "]")
+      f"round(list_inner_product(ve, $arr), 6) AS r$j%02d"
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |${outs.mkString(",\n")}
+       |FROM v ORDER BY vec_id""".stripMargin
+  }
+
   // ---- vector-store hygiene ------------------------------------------------
 
   def vectorHygiene(s: SparkSession, dir: String): DataFrame =
@@ -127,6 +151,7 @@ object SimQueries {
        |FROM c ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rp_embeddings" -> (randomProjection _),
     "vector_hygiene_embeddings" -> (vectorHygiene _),
     "quantize_embeddings" -> (quantize _),
     "centroid_embeddings" -> (centroidsByLabel _),
@@ -137,6 +162,7 @@ object SimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rp_embeddings" -> randomProjectionSql,
     "vector_hygiene_embeddings" -> vectorHygieneSql,
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,

@@ -411,6 +411,71 @@ object TextQueries {
        |  round(CAST(min_toks AS DOUBLE) / n_tokens, 4) AS keep_rate
        |FROM agg, tot ORDER BY source""".stripMargin
 
+  // ---- repetition signals (Gopher-style filters) --------------------------
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionSignals(docs(s, dir), "text", "doc_id")
+
+  val repetitionSql: String =
+    s"""$ToksCte,
+       |base AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+       |bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |  for i in range(1, len(w))]) AS g FROM base),
+       |bc AS (SELECT doc_id, g, count(*) AS ct FROM bi GROUP BY doc_id, g),
+       |bs AS (SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n_bigrams,
+       |  max(ct) AS top_ct, count(*) AS nd_bi FROM bc GROUP BY doc_id),
+       |tri AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |  for i in range(1, len(w)-1)]) AS g FROM base),
+       |tc AS (SELECT doc_id, g, count(*) AS ct FROM tri GROUP BY doc_id, g),
+       |ts AS (SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n_trigrams,
+       |  count(*) AS nd_tri FROM tc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round(CAST(top_ct AS DOUBLE)/n_bigrams, 4) AS top_bigram_frac,
+       |  round(CAST(n_bigrams - nd_bi AS DOUBLE)/n_bigrams, 4)
+       |    AS dup_bigram_frac,
+       |  round(CAST(n_trigrams - nd_tri AS DOUBLE)/n_trigrams, 4)
+       |    AS dup_trigram_frac
+       |FROM bs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 retrieval scoring ---------------------------------------------
+
+  /** Fixed query-term set + Robertson-standard constants. */
+  val Bm25Terms = Seq("spark", "join", "stream", "vector")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  def bm25Docs(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(docs(s, dir), "text", "doc_id", Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopK)
+
+  /** Mirrors TextOps.bm25's expression tree term by term — the
+    * parenthesization matches the Column operator grouping exactly, so
+    * every intermediate double is IEEE-identical before the 6-dp
+    * per-term round and the DECIMAL sum.
+    */
+  val bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""$ToksCte,
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+       |  WHERE word IN ($termList) GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY word),
+       |sc AS (SELECT doc_id, CAST(round(
+       |    ln((n - df + 0.5)/(df + 0.5) + 1.0) *
+       |      ((tf*($Bm25K1 + 1.0))/(tf + $Bm25K1*((1.0 - $Bm25B) +
+       |        $Bm25B*dl/(sdl/n)))), 6) AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id), tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(CAST(sum(s) AS DOUBLE), 4) AS bm25
+       |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   // ---- curation funnel, deterministic split, per-lang top quality ---------
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -619,6 +684,8 @@ object TextQueries {
     "lm_surprisal_documents" -> (lmSurprisal _),
     "importance_weights_documents" -> (importanceWeights _),
     "mixture_plan_documents" -> (mixturePlan _),
+    "repetition_documents" -> (repetition _),
+    "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
@@ -647,6 +714,8 @@ object TextQueries {
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,
+    "repetition_documents" -> repetitionSql,
+    "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "contamination_documents" -> contaminationSql,

@@ -63,6 +63,41 @@ object Similarity {
       .orderBy(idCol, "dim")
   }
 
+  /** Seeded dense random-projection matrix (Johnson–Lindenstrauss map):
+    * `outDim` rows of `inDim` integer coefficients in [-1000, 1000],
+    * applied as c/1000.0 — integers so the SAME matrix can be rendered
+    * into oracle SQL exactly (the double each c/1000.0 produces is the
+    * one correctly-rounded IEEE quotient in every engine).
+    */
+  def rpMatrix(outDim: Int, inDim: Int, seed: Long): Seq[Seq[Int]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(inDim)(rng.nextInt(2001) - 1000))
+  }
+
+  /** Dense random projection of an embedding column to `outDim`
+    * dimensions — the classic JL dimensionality reduction that precedes
+    * clustering / ANN indexing when the native dimension is too wide to
+    * score economically (at 100 TB, a 64→16 projection is a 4× cut in
+    * every downstream dot product and shuffle byte).
+    *
+    * Execution shape: the matrix is control-plane data embedded as plan
+    * literals; each output component is one [[dot]] against a literal
+    * row — the native codegen'd loop (an inlined 64-term add chain
+    * overflows Janino's method limit and falls back to interpreted; the
+    * loop does not). No shuffle, no UDF. Parity shape: float components
+    * widen exactly to double and [[dot]]'s left-to-right fold is
+    * IEEE-identical to DuckDB's list_inner_product (the knn precedent),
+    * so the 6-dp rounding hash-matches the SQL mirror.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       matrix: Seq[Seq[Int]]): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val outCols = matrix.zipWithIndex.map { case (row, j) =>
+      round(dot(v, lit(row.map(_ / 1000.0).toArray)), 6).as(f"r$j%02d")
+    }
+    df.select(col(idCol) +: outCols: _*).orderBy(idCol)
+  }
+
   /** Per-label centroid of a vector column, one row per (label, dim).
     * posexplode fans each vector into its components; the per-dimension
     * sums are exact DECIMAL(28,6) (addition-order-independent — the

@@ -264,6 +264,90 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Word n-gram repetition signals per document — the Gopher-style
+    * repetition filters (Rae et al. 2021 §A1.1: fraction of content in
+    * the most frequent n-gram, fraction in duplicated n-grams), adapted
+    * to the corpus's single-line word streams: top-bigram occupancy and
+    * duplicated bigram/trigram fractions over word n-gram OCCURRENCES.
+    * Looping boilerplate ("buy now buy now ...") saturates these long
+    * before the distinct-word dup_ratio in [[qualityMetrics]] moves.
+    *
+    * Scale shape: explode n-grams → count per (doc, gram) → per-doc
+    * aggregate — two partial-agg'd shuffles on the doc key, no windows,
+    * no joins wider than the doc id. Ratios divide exact integer counts
+    * (round 4), so results are cross-engine deterministic. Documents
+    * with fewer than 3 words carry no trigram and are excluded (both
+    * engines filter identically).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val base = df.select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramCounts(n: Int) = base
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> " +
+          (0 until n).map(j => s"w[i+$j]")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("ct"))
+    val bi = gramCounts(2).groupBy(col(idCol)).agg(
+      sum(col("ct")).as("n_bigrams"),
+      max(col("ct")).as("top_ct"),
+      count(lit(1)).as("nd_bi"))
+    val tri = gramCounts(3).groupBy(col(idCol)).agg(
+      sum(col("ct")).as("n_trigrams"),
+      count(lit(1)).as("nd_tri"))
+    bi.join(tri, idCol)
+      .select(col(idCol), col("n_bigrams"),
+        round(col("top_ct").cast(DoubleType) / col("n_bigrams"), 4)
+          .as("top_bigram_frac"),
+        round((col("n_bigrams") - col("nd_bi")).cast(DoubleType) /
+          col("n_bigrams"), 4).as("dup_bigram_frac"),
+        round((col("n_trigrams") - col("nd_tri")).cast(DoubleType) /
+          col("n_trigrams"), 4).as("dup_trigram_frac"))
+      .orderBy(idCol)
+  }
+
+  /** Okapi BM25 retrieval scoring of a fixed query-term set against the
+    * corpus — the standard lexical ranking next to [[tfidfTopTerms]]
+    * (Robertson/Spärck Jones probabilistic relevance framework):
+    * idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), summed over
+    * matched terms, idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Parity shape: per-term scores round to 6 dp and sum as
+    * DECIMAL(18,6) (partition-order-independent, the surprisal
+    * precedent); the top-k cut sorts the ROUNDED 4-dp score with doc-id
+    * ties, so the cut is engine-independent. Scale shape: the term
+    * filter prunes the exploded tokens to |query| terms before any
+    * shuffle; doc lengths ride a doc-key join; N/avgdl ride a broadcast
+    * one-row aggregate; the final top-k is a TakeOrdered, no global
+    * sort.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double, b: Double,
+           topK: Int): DataFrame = {
+    val toks = df.select(col(idCol), words(col(textCol)).as("w"))
+    val dl = toks.select(col(idCol), size(col("w")).cast(LongType).as("dl"))
+    val tot = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("dl")).cast(DoubleType).as("sdl"))
+    val tf = toks.select(col(idCol), explode(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / (col("sdl") / col("n"))))
+    tf.join(dfreq, "word").join(dl, idCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("s", round(idf * tfPart, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("s")).cast(DoubleType), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

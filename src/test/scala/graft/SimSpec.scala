@@ -203,4 +203,25 @@ class SimSpec extends AnyFunSuite {
     val frac = cand.toDouble / (n * (n - 1) / 2)
     assert(frac <= 0.15, s"candidate fraction = $frac")
   }
+
+  test("random projection applies the literal matrix row by row") {
+    // basis vector e_i picks out column i of each matrix row
+    val m = Similarity.rpMatrix(outDim = 2, inDim = 3, seed = 5L)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", m)
+    assert(out.columns.toSeq == Seq("vec_id", "r00", "r01"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rows(0L) == ((m(0)(0) / 1000.0, m(1)(0) / 1000.0)))
+    assert(rows(1L) == ((m(0)(2) / 1000.0, m(1)(2) / 1000.0)))
+    assert(rows(2L) ==
+      ((r6(m(0).map(_ / 1000.0).sum), r6(m(1).map(_ / 1000.0).sum))))
+    // seeded determinism: the same seed is the same matrix
+    assert(m == Similarity.rpMatrix(2, 3, 5L))
+  }
 }

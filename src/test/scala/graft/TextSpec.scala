@@ -368,4 +368,47 @@ class TextSpec extends AnyFunSuite {
     assert(out(10L) == ((3L, 2L, 0.6667)))
     assert(out(11L) == ((3L, 0L, 0.0)))
   }
+
+  test("repetition signals saturate on looping boilerplate") {
+    val df = Seq(
+      (1L, "buy now buy now buy now"),
+      (2L, "one two three four five six"),
+      (3L, "too short"), // < 3 words: excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("top_bigram_frac"),
+          r.getAs[Double]("dup_bigram_frac"),
+          r.getAs[Double]("dup_trigram_frac"))).toMap
+    // doc 1: bigrams = {buy now ×3, now buy ×2} → top 3/5, dup (5-2)/5;
+    // trigrams = {buy now buy ×2, now buy now ×2} → dup (4-2)/4
+    assert(out(1L) == ((5L, 0.6, 0.6, 0.5)))
+    // doc 2: all n-grams distinct → zero repetition
+    assert(out(2L) == ((5L, 0.2, 0.0, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("BM25 matches the closed form and ranks rare terms higher") {
+    val df = Seq(
+      (1L, "spark join spark"),
+      (2L, "spark alone here"),
+      (3L, "unrelated words entirely"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(df, "text", "doc_id",
+        Seq("spark", "join"), k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("bm25")))
+    // closed form: N=3, dl=3 for all (avgdl=3 → length factor = 1)
+    def idf(dfreq: Int) = math.log((3.0 - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    def tfp(tf: Int) = tf * 2.2 / (tf + 1.2)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val d1 = (r6(idf(2) * tfp(2)) + r6(idf(1) * tfp(1))).toDouble
+    val d2 = idf(2) * tfp(1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 matches nothing
+    assert(out(0)._2 == 2L && out(1)._2 == 1L)
+    assert(math.abs(out(0)._3 - d1) < 5e-5)
+    assert(math.abs(out(1)._3 - d2) < 5e-5)
+    assert(out(0)._3 > out(1)._3) // extra rare term outranks
+  }
 }
