@@ -133,6 +133,40 @@ object SimQueries {
        |FROM v ORDER BY vec_id""".stripMargin
   }
 
+  // ---- cell-balanced diversity sampling ------------------------------------
+
+  /** 2^5 = 32 sign-LSH cells, 8 keeps per cell. Same integer-literal
+    * hyperplane determinism as the JL projection, so the cell assignment
+    * (and therefore the whole selection) is oracle-checkable — the
+    * distinction from the xxhash-bucketed ANN tiers.
+    */
+  val DivPlanes = 5
+  val DivPerCell = 8
+  val DivSeed = 20260813L
+  private lazy val DivMat = Similarity.rpMatrix(DivPlanes, Dim, DivSeed)
+
+  def diversitySample(s: SparkSession, dir: String): DataFrame =
+    Similarity.diversitySample(emb(s, dir), "vec_id", "embedding", DivMat,
+      DivPerCell)
+
+  val diversitySampleSql: String = {
+    val bits = DivMat.zipWithIndex.map { case (row, j) =>
+      val arr = row.map(c => s"$c/1000.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(ve, $arr) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |c AS (SELECT vec_id,
+       |    CAST(${bits.mkString(" + ")} AS BIGINT) AS cell,
+       |    round(sqrt(list_inner_product(ve, ve)), 6) AS norm
+       |  FROM v),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY norm DESC, vec_id) AS BIGINT) AS rnk FROM c)
+       |SELECT vec_id, cell, norm, rnk FROM r WHERE rnk <= $DivPerCell
+       |ORDER BY cell, rnk""".stripMargin
+  }
+
   // ---- vector-store hygiene ------------------------------------------------
 
   def vectorHygiene(s: SparkSession, dir: String): DataFrame =
@@ -152,6 +186,7 @@ object SimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rp_embeddings" -> (randomProjection _),
+    "diversity_sample_embeddings" -> (diversitySample _),
     "vector_hygiene_embeddings" -> (vectorHygiene _),
     "quantize_embeddings" -> (quantize _),
     "centroid_embeddings" -> (centroidsByLabel _),
@@ -163,6 +198,7 @@ object SimQueries {
 
   val oracles: Map[String, String] = Map(
     "rp_embeddings" -> randomProjectionSql,
+    "diversity_sample_embeddings" -> diversitySampleSql,
     "vector_hygiene_embeddings" -> vectorHygieneSql,
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,

@@ -411,6 +411,34 @@ object TextQueries {
        |  round(CAST(min_toks AS DOUBLE) / n_tokens, 4) AS keep_rate
        |FROM agg, tot ORDER BY source""".stripMargin
 
+  // ---- mixture-plan execution (deterministic downsampling) ----------------
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(docs(s, dir))
+
+  /** Mirror: the plan CTEs feed a salted md5 bucket draw; round() on the
+    * 4-dp keep_rate × 10⁴ recovers the exact integer threshold in both
+    * engines (the product is ≥ 2.5e-5 away from any .5 boundary).
+    */
+  val mixtureSampleSql: String =
+    s"""WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT min(n_tokens) AS min_toks FROM agg),
+       |plan AS (SELECT source, CAST(round(round(CAST(min_toks AS DOUBLE)
+       |    / n_tokens, 4) * 10000, 0) AS BIGINT) AS keep_bps
+       |  FROM agg, tot),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks,
+       |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6))
+       |      ::BIGINT % 10000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, n_toks, bucket, keep_bps
+       |FROM d JOIN plan USING (source)
+       |WHERE bucket < keep_bps ORDER BY doc_id""".stripMargin
+
   // ---- repetition signals (Gopher-style filters) --------------------------
 
   def repetition(s: SparkSession, dir: String): DataFrame =
@@ -684,6 +712,7 @@ object TextQueries {
     "lm_surprisal_documents" -> (lmSurprisal _),
     "importance_weights_documents" -> (importanceWeights _),
     "mixture_plan_documents" -> (mixturePlan _),
+    "mixture_sample_documents" -> (mixtureSample _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -714,6 +743,7 @@ object TextQueries {
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,
+    "mixture_sample_documents" -> mixtureSampleSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,

@@ -98,6 +98,41 @@ object Similarity {
     df.select(col(idCol) +: outCols: _*).orderBy(idCol)
   }
 
+  /** Cell-balanced diversity sampling: bucket vectors into deterministic
+    * sign-LSH cells (one bit per integer hyperplane from [[rpMatrix]]) and
+    * keep the top `perCell` rows of each cell — the cluster-balanced
+    * selection step (the DeepMind/SemDeDup "diversify the keep-set"
+    * posture) that prevents a curated corpus from collapsing onto its
+    * densest embedding region. The ranking criterion is the rounded L2
+    * norm (a magnitude/energy proxy) with id tie-breaks, so the selection
+    * is engine-independent and hash-checkable — unlike KMeans cells, a
+    * sign-bit cell assignment has no float-iteration drift.
+    *
+    * Scale shape: cell bits are `nPlanes` codegen'd [[dot]]s against plan
+    * literals (no shuffle); the only shuffle is the per-cell top-k window
+    * on the cell key — 2^nPlanes cells, each a rank-limit window Spark
+    * executes as partial+final WindowGroupLimit, so the full corpus never
+    * sorts globally. Skew bound: cells are sign-bit halfspace
+    * intersections of a centered corpus — at 100× pick nPlanes so
+    * 2^nPlanes ≫ executor count and let AQE split any hot cell.
+    */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Seq[Seq[Int]], perCell: Int): DataFrame = {
+    require(planes.nonEmpty && perCell >= 1)
+    val v = asDouble(col(vecCol))
+    val cell = planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, lit(p.map(_ / 1000.0).toArray)) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("norm").desc, col(idCol))
+    df.select(col(idCol), cell.as("cell"),
+        round(norm(v), 6).as("norm"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= perCell)
+      .orderBy(col("cell"), col("rnk"))
+  }
+
   /** Per-label centroid of a vector column, one row per (label, dim).
     * posexplode fans each vector into its components; the per-dimension
     * sums are exact DECIMAL(28,6) (addition-order-independent — the

@@ -317,6 +317,33 @@ object Curation {
       .orderBy(domainCol)
   }
 
+  /** Execute a [[mixturePlan]]: deterministic per-domain downsampling to
+    * the plan's keep-rates. Each document draws a stable 0–9999 bucket
+    * from md5("mix:" + id) and survives iff bucket < keep_rate·10⁴ — the
+    * same hash-not-random posture as [[deterministicSplit]] (salted so
+    * the draw is independent of the split assignment), so a re-run, a
+    * different engine, or a repartitioned cluster selects the SAME
+    * documents. The plan joins back as a broadcast of |domains| rows;
+    * the survivor filter is a pure per-row expression, so the whole
+    * sampling pass is one corpus scan with no shuffle.
+    */
+  def mixtureSample(docs: DataFrame, domainCol: String = "source",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val rates = mixturePlan(docs, domainCol, textCol)
+      .select(col(domainCol),
+        round(col("keep_rate") * 10000).cast(LongType).as("keep_bps"))
+    val bucket = (conv(substring(md5(concat(lit("mix:"),
+      col(idCol).cast(StringType))), 1, 6), 16, 10).cast(LongType)
+      % 10000).as("bucket")
+    docs.join(broadcast(rates), domainCol)
+      .select(col(idCol), col(domainCol),
+        size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"),
+        bucket, col("keep_bps"))
+      .filter(col("bucket") < col("keep_bps"))
+      .orderBy(idCol)
+  }
+
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
     * each document becomes windows of `chunkSize` words starting every
     * `chunkSize - overlap` words (the last chunk may be short). One

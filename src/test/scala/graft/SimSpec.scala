@@ -224,4 +224,26 @@ class SimSpec extends AnyFunSuite {
     // seeded determinism: the same seed is the same matrix
     assert(m == Similarity.rpMatrix(2, 3, 5L))
   }
+
+  test("diversity sample keeps at most perCell per sign-LSH cell and " +
+    "ranks by norm") {
+    // one hyperplane = two cells: sign of the first component
+    val planes = Seq(Seq(1000, 0))
+    val df = Seq(
+      (0L, Array(3.0f, 0.0f)),   // cell 1, norm 3
+      (1L, Array(1.0f, 0.0f)),   // cell 1, norm 1
+      (2L, Array(2.0f, 0.0f)),   // cell 1, norm 2
+      (3L, Array(-1.0f, 2.0f)),  // cell 0
+      (4L, Array(-2.0f, 0.0f)),  // cell 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .diversitySample(df, "vec_id", "embedding", planes, perCell = 2)
+      .collect()
+    assert(out.length == 4) // 2 kept from each of the 2 cells
+    val kept = out.map(r => (r.getLong(1), r.getLong(0), r.getLong(3)))
+    // cell 1 keeps the two largest norms (ids 0, 2); id 1 is cut;
+    // cell 0 ranks |(-1,2)| = 2.236 above |(-2,0)| = 2
+    assert(kept.toSet ==
+      Set((1L, 0L, 1L), (1L, 2L, 2L), (0L, 3L, 1L), (0L, 4L, 2L)))
+  }
 }

@@ -252,6 +252,27 @@ class TextSpec extends AnyFunSuite {
     assert(out("web").getAs[Double]("target_share") == 0.3333)
   }
 
+  test("mixture sample hits each domain's keep-rate and is " +
+    "deterministic") {
+    // web has 4x the books tokens -> keep_bps 2500; books keeps all
+    val docs = (1L to 400L).map(i => (i, "a b c d", "web")) ++
+      (401L to 500L).map(i => (i, "a b c d", "books"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = graft.text.Curation.mixtureSample(df)
+    val byDomain = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("books") == 100) // keep_rate 1.0 keeps everything
+    // web: stable md5 draw at 2500 bps => ~25%, binomial 3-sigma bounds
+    assert(byDomain("web") > 60 && byDomain("web") < 140,
+      s"web kept ${byDomain("web")}")
+    // determinism: same input, same survivors (hash draw, not random)
+    val again = graft.text.Curation.mixtureSample(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // survivors respect the per-row threshold join
+    assert(out.filter(col("bucket") >= col("keep_bps")).count() == 0)
+  }
+
   test("unigram surprisal scores rare-word documents above boilerplate") {
     val docs = Seq(
       (1L, "the the the the"),             // most common token only
