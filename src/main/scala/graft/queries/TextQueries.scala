@@ -411,6 +411,88 @@ object TextQueries {
        |  round(CAST(min_toks AS DOUBLE) / n_tokens, 4) AS keep_rate
        |FROM agg, tot ORDER BY source""".stripMargin
 
+  // ---- BPE tokenizer-training prep -----------------------------------------
+
+  val BpeTopK = 50
+  val BpeNMerges = 12
+
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpePairStats(docs(s, dir), "text", BpeTopK)
+
+  val bpePairsSql: String =
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |    AS word FROM documents),
+       |p AS (SELECT unnest([substr(word, i, 2)
+       |    for i in range(1, len(word))]) AS pair
+       |  FROM w WHERE len(word) >= 2)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS ct
+       |FROM p GROUP BY pair ORDER BY ct DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  /** Iterative merge learning — rows-only (the driver loop is not one SQL
+    * statement); TextSpec pins the merge table to a plain-Scala reference
+    * BPE, and the first merge to [[bpePairsSql]]'s argmax.
+    */
+  def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges)
+
+  // ---- incremental ingest dedup --------------------------------------------
+
+  /** Batch = the split-hash test slice (bucket ≥ 90, the
+    * deterministicSplit draw); corpus = the rest. The registered query
+    * classifies each "incoming" doc against the standing corpus.
+    */
+  val IncrSplit = 90
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = docs(s, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100
+    Dedup.incremental(d.filter(bucket < IncrSplit),
+      d.filter(bucket >= IncrSplit), "text", "doc_id", ShingleN, MinJaccard)
+  }
+
+  val dedupIncrementalSql: String = {
+    def shingleCte(rel: String): String =
+      s"""(SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
+         |  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+         |    AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+         |    AS w FROM $rel)))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+       |      % 100 AS bucket
+       |  FROM documents),
+       |corpus AS (SELECT * FROM d WHERE bucket < $IncrSplit),
+       |batch AS (SELECT * FROM d WHERE bucket >= $IncrSplit),
+       |ch AS (SELECT DISTINCT md5($NormSql) AS h FROM corpus),
+       |bh AS (SELECT doc_id, md5($NormSql) AS h FROM batch),
+       |shc0 AS ${shingleCte("corpus")},
+       |hot AS (SELECT shingle FROM shc0 GROUP BY shingle
+       |  HAVING count(*) > ${Dedup.DefaultMaxDf}),
+       |shc AS (SELECT * FROM shc0
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |shb0 AS ${shingleCte("batch")},
+       |shb AS (SELECT * FROM shb0
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |szc AS (SELECT doc_id, count(*) AS nc FROM shc GROUP BY doc_id),
+       |szb AS (SELECT doc_id, count(*) AS nb FROM shb GROUP BY doc_id),
+       |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid,
+       |    count(*) AS i FROM shb b JOIN shc c ON b.shingle = c.shingle
+       |  GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT bid AS doc_id FROM inter
+       |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
+       |  WHERE CAST(i AS DOUBLE)/(nb + nc - i) >= $MinJaccard)
+       |SELECT bh.doc_id AS doc_id,
+       |  CASE WHEN ch.h IS NOT NULL THEN 'exact_dup'
+       |    WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+       |    ELSE 'new' END AS status
+       |FROM bh LEFT JOIN ch ON bh.h = ch.h
+       |LEFT JOIN near ON near.doc_id = bh.doc_id
+       |ORDER BY bh.doc_id""".stripMargin
+  }
+
   // ---- mixture-plan execution (deterministic downsampling) ----------------
 
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -713,6 +795,9 @@ object TextQueries {
     "importance_weights_documents" -> (importanceWeights _),
     "mixture_plan_documents" -> (mixturePlan _),
     "mixture_sample_documents" -> (mixtureSample _),
+    "bpe_pairs_documents" -> (bpePairs _),
+    "bpe_merges_documents" -> (bpeMergesQ _),
+    "dedup_incremental_documents" -> (dedupIncremental _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -744,6 +829,8 @@ object TextQueries {
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,
     "mixture_sample_documents" -> mixtureSampleSql,
+    "bpe_pairs_documents" -> bpePairsSql,
+    "dedup_incremental_documents" -> dedupIncrementalSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,

@@ -173,6 +173,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental ingest dedup — classify each NEW-batch document against
+    * an existing corpus as `exact_dup` (normalized content already
+    * present), `near_dup` (capped-shingle Jaccard ≥ `minJaccard` against
+    * some corpus doc), or `new`. This is the daily-ingest shape at
+    * 100 TB: the corpus side reduces to its content-hash index and its
+    * stop-capped shingle postings — artifacts a warehouse materializes
+    * once and reuses every batch — so per-batch cost scales with the
+    * BATCH (times posting df), never re-pairing the corpus with itself.
+    *
+    * Stop-shingles come from CORPUS document frequencies (df > maxDf,
+    * mirroring [[ngramJaccardPairs]]) and are removed from both sides;
+    * Jaccard denominators use the capped sets. Exact trumps near: an
+    * exact duplicate is not also reported lexically.
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame, textCol: String,
+                  idCol: String, n: Int, minJaccard: Double,
+                  maxDf: Int = DefaultMaxDf): DataFrame = {
+    val corpusHashes = corpus
+      .select(md5(normalize(col(textCol))).as("content_hash")).distinct()
+      .withColumn("is_exact", lit(true))
+    val batchHashes = batch.select(col(idCol),
+      md5(normalize(col(textCol))).as("content_hash"))
+
+    val shC = shingles(corpus, textCol, idCol, n).localCheckpoint(true)
+    val hot = shC.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("shingle")
+    val shCk = shC.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val shB = shingles(batch, textCol, idCol, n)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .localCheckpoint(true)
+    val szC = shCk.groupBy(col(idCol)).agg(count(lit(1)).as("nc"))
+    val szB = shB.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+    val j = col("i").cast(DoubleType) / (col("nb") + col("nc") - col("i"))
+    val near = shB.as("b").join(shCk.as("c"),
+        col("b.shingle") === col("c.shingle"))
+      .groupBy(col(s"b.$idCol").as("batch_id"),
+        col(s"c.$idCol").as("corpus_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(szB.select(col(idCol).as("batch_id"), col("nb")), "batch_id")
+      .join(szC.select(col(idCol).as("corpus_id"), col("nc")), "corpus_id")
+      .filter(j >= minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+      .withColumn("is_near", lit(true))
+
+    // hash-key joins, not broadcasts: the corpus-side index is |corpus|
+    // rows — at scale these are shuffle joins on pre-materialized tables
+    batchHashes
+      .join(corpusHashes, Seq("content_hash"), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy(idCol)
+  }
+
   /** Exact-Jaccard verification of candidate pairs. The shingle sets are
     * packed into one array per document, so each candidate pair is ONE row
     * and the intersection is a cheap in-row array_intersect — no join

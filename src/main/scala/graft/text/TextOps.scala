@@ -348,6 +348,84 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Corpus-wide adjacent character-pair frequencies — the statistic a
+    * byte-pair-encoding tokenizer's FIRST merge maximizes (Sennrich et
+    * al. 2016), and the per-iteration aggregate [[bpeMerges]] loops on.
+    * One explode → one partial-agg'd groupBy on the pair key → top-k via
+    * TakeOrdered (count desc, pair asc ties), no global sort.
+    */
+  def bpePairStats(df: DataFrame, textCol: String,
+                   topK: Int): DataFrame =
+    df.select(explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(word)-1), " +
+        "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("pair")).limit(topK)
+
+  /** Greedy left-to-right fuse of one (a, b) symbol pair inside a symbol
+    * array — the BPE merge rewrite as a pure fold expression (after a
+    * merge the scan resumes AFTER the fused token, so "a a a" under
+    * (a, a) becomes ["aa", "a"], the standard non-overlapping semantics).
+    */
+  def fusePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The first `nMerges` BPE merges learned from the corpus — the
+    * tokenizer-training core. Classic BPE trains on the WORD-FREQUENCY
+    * table, not the token stream, so the corpus first collapses to
+    * (distinct word → count): every iteration then aggregates |vocab|
+    * rows (pair counts weighted by word frequency), the argmax pair
+    * (ties broken lexicographically, so the merge sequence is
+    * deterministic) comes to the driver as ONE control-plane row — the
+    * KMeans-centroid pattern — and [[fusePair]] rewrites the vocabulary
+    * in place. State is localCheckpoint'ed per round to keep lineage
+    * flat; at 100 TB the vocab table is ~10⁷ rows, executor-trivial.
+    * Returns the merge table (rank, sym_a, sym_b, merged, pair_ct).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+      .select(expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))").as("syms"), col("ct"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // guard: sequence(1, 0) DESCENDS, so a fully-merged single-symbol
+      // word would index syms[-1] (an ANSI error), not produce no pairs
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("ct"), explode(expr("transform(sequence(1, " +
+          "size(syms)-1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("ct")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, a, b, a + b, n))
+        vocab = vocab
+          .select(fusePair(col("syms"), a, b).as("syms"), col("ct"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("rank", "sym_a", "sym_b", "merged", "pair_ct")
+      .select(col("rank").cast(LongType).as("rank"), col("sym_a"),
+        col("sym_b"), col("merged"), col("pair_ct"))
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

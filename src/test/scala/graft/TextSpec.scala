@@ -273,6 +273,81 @@ class TextSpec extends AnyFunSuite {
     assert(out.filter(col("bucket") >= col("keep_bps")).count() == 0)
   }
 
+  /** Plain-Scala reference BPE over a word multiset: pair counts weighted
+    * by word frequency, argmax with (count desc, a asc, b asc) ties,
+    * greedy left-to-right non-overlapping fuse.
+    */
+  private def refBpe(ws: Seq[String],
+                     nMerges: Int): Seq[(String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      ws.groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.size.toLong
+      }
+    val out = Seq.newBuilder[(String, String, String, Long)]
+    for (_ <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) += c
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((a, b, a + b, n))
+        vocab = vocab.map { case (syms, c) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              buf += a + b; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          buf.result() -> c
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("BPE merge learning matches the plain-Scala reference") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new low widest"),
+      (3L, "wide wider widest new newer"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    val want = refBpe(
+      docs.collect().flatMap(_.getString(1).split("\\s+")).toSeq, 8)
+    assert(got.toSeq == want)
+    // the first learned merge is exactly the corpus-wide argmax pair
+    val top = TextOps.bpePairStats(docs, "text", 1).collect()(0)
+    assert(want.head._3 == top.getString(0) && want.head._4 == top.getLong(1))
+  }
+
+  test("fusePair is greedy left-to-right and non-overlapping") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+    val fused = df.select(TextOps.fusePair(col("syms"), "a", "a"))
+      .collect()(0).getSeq[String](0)
+    assert(fused == Seq("aa", "a"))
+  }
+
+  test("incremental dedup classifies exact, near, and new batch docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  Alpha beta GAMMA   delta epsilon zeta "), // exact after norm
+      (11L, "one two three four five six nine"),         // near (J = 5/7)
+      (12L, "totally fresh content nothing shared here"),// new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, batch, "text", "doc_id",
+        n = 2, minJaccard = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+  }
+
   test("unigram surprisal scores rare-word documents above boilerplate") {
     val docs = Seq(
       (1L, "the the the the"),             // most common token only
