@@ -493,6 +493,29 @@ object TextQueries {
        |ORDER BY bh.doc_id""".stripMargin
   }
 
+  // ---- duplicated-span statistics ------------------------------------------
+
+  val SpanN = 8
+
+  def spanDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDupStats(docs(s, dir), "text", "doc_id", SpanN)
+
+  val spanDupSql: String =
+    s"""WITH occ AS (SELECT doc_id, md5(span) AS wh FROM (
+       |  SELECT doc_id, unnest(
+       |      [list_aggregate(w[i:i+${SpanN - 1}], 'string_agg', ' ')
+       |        for i in range(1, len(w) - ${SpanN - 2})]) AS span
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |      AS w FROM documents) WHERE len(w) >= $SpanN)),
+       |cts AS (SELECT wh, count(*) AS ct FROM occ GROUP BY wh)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(count(CASE WHEN ct > 1 THEN 1 END) AS BIGINT)
+       |    AS n_dup_spans,
+       |  round(CAST(count(CASE WHEN ct > 1 THEN 1 END) AS DOUBLE)
+       |    / count(*), 4) AS dup_frac
+       |FROM occ JOIN cts USING (wh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- mixture-plan execution (deterministic downsampling) ----------------
 
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -798,6 +821,7 @@ object TextQueries {
     "bpe_pairs_documents" -> (bpePairs _),
     "bpe_merges_documents" -> (bpeMergesQ _),
     "dedup_incremental_documents" -> (dedupIncremental _),
+    "span_dup_documents" -> (spanDup _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -831,6 +855,7 @@ object TextQueries {
     "mixture_sample_documents" -> mixtureSampleSql,
     "bpe_pairs_documents" -> bpePairsSql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
+    "span_dup_documents" -> spanDupSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,

@@ -230,6 +230,45 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Cross-document duplicated-span statistics — the substring-dedup
+    * posture of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), at word-window granularity: every rolling
+    * `n`-word window is an occurrence; a window whose TEXT occurs ≥ 2
+    * times corpus-wide (any document, including its own) is a duplicated
+    * span. Per document: occurrence count, duplicated-occurrence count,
+    * duplicated fraction — the signal that drives span-level cutting or
+    * doc-level down-weighting.
+    *
+    * Windows key on md5 of the window text (engine-neutral, unlike
+    * xxhash winnowing in [[fingerprints]]), so the whole statistic is
+    * oracle-checkable. Scale shape: explode (≈ one row per word) → one
+    * partial-agg'd count on the 16-byte hash key → one hash-key join
+    * back to occurrences → per-doc aggregate. No window functions, no
+    * pair explosion; the shuffle carries (id, hash) pairs only.
+    */
+  def spanDupStats(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1)
+    val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    val occ = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))")).as("span"))
+      .select(col(idCol), md5(col("span")).as("wh"))
+      .localCheckpoint(true)
+    val cts = occ.groupBy(col("wh")).agg(count(lit(1)).as("ct"))
+    occ.join(cts, "wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ct") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 4)
+          .as("dup_frac"))
+      .orderBy(idCol)
+  }
+
   /** Exact-Jaccard verification of candidate pairs. The shingle sets are
     * packed into one array per document, so each candidate pair is ONE row
     * and the intersection is a cheap in-row array_intersect — no join

@@ -348,6 +348,21 @@ class TextSpec extends AnyFunSuite {
     assert(out == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
   }
 
+  test("span-dup counts occurrences of repeated windows, " +
+    "including same-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // windows: "a b c", "b c d", "c d e"
+      (2L, "a b c x y"),     // shares "a b c" with doc 1
+      (3L, "p q p q p q p"), // self-repeating: "p q p" x3, "q p q" x2
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 0.3333))) // only "a b c" is shared
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((5L, 5L, 1.0)))    // every window repeats in-doc
+  }
+
   test("unigram surprisal scores rare-word documents above boilerplate") {
     val docs = Seq(
       (1L, "the the the the"),             // most common token only
