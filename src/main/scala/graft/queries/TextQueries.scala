@@ -435,6 +435,34 @@ object TextQueries {
   def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges)
 
+  /** Learn-then-apply: the merge table (12 control-plane rows) feeds the
+    * composed fold encoder. Rows-only (the loop is not one SQL
+    * statement); TextSpec pins encoding to the reference BPE.
+    */
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val m = TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeEncode(docs(s, dir), "text", "doc_id", m)
+  }
+
+  // ---- adaptive length-band filter -----------------------------------------
+
+  val LenPLo = 0.05
+  val LenPHi = 0.95
+
+  def lengthBand(s: SparkSession, dir: String): DataFrame =
+    Curation.lengthBandFilter(docs(s, dir), pLo = LenPLo, pHi = LenPHi)
+
+  val lengthBandSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks FROM documents),
+       |b AS (SELECT quantile_cont(n_toks, $LenPLo) AS lo,
+       |    quantile_cont(n_toks, $LenPHi) AS hi FROM t)
+       |SELECT doc_id, n_toks, round(lo, 4) AS lo, round(hi, 4) AS hi
+       |FROM t, b WHERE n_toks >= lo AND n_toks <= hi
+       |ORDER BY doc_id""".stripMargin
+
   // ---- incremental ingest dedup --------------------------------------------
 
   /** Batch = the split-hash test slice (bucket ≥ 90, the
@@ -820,6 +848,8 @@ object TextQueries {
     "mixture_sample_documents" -> (mixtureSample _),
     "bpe_pairs_documents" -> (bpePairs _),
     "bpe_merges_documents" -> (bpeMergesQ _),
+    "bpe_encode_documents" -> (bpeEncodeQ _),
+    "length_band_documents" -> (lengthBand _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
     "repetition_documents" -> (repetition _),
@@ -854,6 +884,7 @@ object TextQueries {
     "mixture_plan_documents" -> mixturePlanSql,
     "mixture_sample_documents" -> mixtureSampleSql,
     "bpe_pairs_documents" -> bpePairsSql,
+    "length_band_documents" -> lengthBandSql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
     "repetition_documents" -> repetitionSql,

@@ -344,6 +344,31 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Adaptive length-band filter: keep documents whose token count lies
+    * within the corpus's [pLo, pHi] percentile band — thresholds taken
+    * from the DATA, not constants (the C4/Gopher practice of cutting the
+    * length tails, made re-runnable as the corpus drifts). Exact
+    * interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the Profiler parity pair) under oracle parity;
+    * at 100 TB swap `approx_percentile` in, same plan shape. The bounds
+    * are a ONE-ROW aggregate broadcast back over the scan — two passes
+    * over one long column, no shuffle of the corpus itself.
+    */
+  def lengthBandFilter(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", pLo: Double = 0.05,
+                       pHi: Double = 0.95): DataFrame = {
+    val toks = docs.select(col(idCol),
+      size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"))
+    val bounds = toks.agg(
+      percentile(col("n_toks"), lit(pLo)).as("lo"),
+      percentile(col("n_toks"), lit(pHi)).as("hi"))
+    toks.crossJoin(broadcast(bounds))
+      .filter(col("n_toks") >= col("lo") && col("n_toks") <= col("hi"))
+      .select(col(idCol), col("n_toks"),
+        round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+      .orderBy(idCol)
+  }
+
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
     * each document becomes windows of `chunkSize` words starting every
     * `chunkSize - overlap` words (the last chunk may be short). One

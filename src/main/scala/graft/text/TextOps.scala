@@ -426,6 +426,33 @@ object TextOps {
         col("sym_b"), col("merged"), col("pair_ct"))
   }
 
+  /** Apply a learned merge table in rank order — the tokenizer-apply
+    * step that closes the [[bpeMerges]] loop. All merges compose into
+    * ONE column expression (k merges = k chained [[fusePair]] greedy
+    * folds), so encoding is a pure per-row map over words; the only
+    * shuffle is the per-doc count aggregate. Reports characters vs BPE
+    * tokens per document — the compression-ratio evaluation a
+    * tokenizer-training run is judged by.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val chars = expr("transform(sequence(1, length(word)), " +
+      "i -> substring(word, i, 1))")
+    val toks = merges.foldLeft(chars) {
+      case (c, (a, b)) => fusePair(c, a, b)
+    }
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .select(col(idCol), length(col("word")).cast(LongType).as("nc"),
+        size(toks).cast(LongType).as("nt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(idCol)
+  }
+
   /** Corpus statistics per (lang, source) — group-level profile of a
     * document collection.
     */

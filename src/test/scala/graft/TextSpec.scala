@@ -325,6 +325,45 @@ class TextSpec extends AnyFunSuite {
     assert(want.head._3 == top.getString(0) && want.head._4 == top.getLong(1))
   }
 
+  test("BPE encoding matches reference application of the learned merges") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new low widest"),
+    ).toDF("doc_id", "text")
+    val corpus = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val merges = refBpe(corpus.flatMap(_._2.split("\\s+")).toSeq, 6)
+      .map(m => (m._1, m._2))
+    // reference encoder: chars, then each merge greedily in rank order
+    def encode(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += a + b; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        buf.result()
+      }.size
+    val want = corpus.map { case (id, t) =>
+      val ws = t.split("\\s+")
+      id -> ((ws.map(_.length.toLong).sum, ws.map(encode(_).toLong).sum))
+    }.toMap
+    val got = TextOps.bpeEncode(docs, "text", "doc_id", merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
+  test("length-band filter cuts exactly the percentile tails") {
+    // 1..20 tokens; p[0.05, 0.95] of 1..20 interpolates to [1.95, 19.05]
+    val docs = (1L to 20L)
+      .map(i => (i, Seq.fill(i.toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.text.Curation.lengthBandFilter(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == (2L to 19L).toSet)
+    assert(out.head.getDouble(2) == 1.95 && out.head.getDouble(3) == 19.05)
+  }
+
   test("fusePair is greedy left-to-right and non-overlapping") {
     val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
     val fused = df.select(TextOps.fusePair(col("syms"), "a", "a"))
