@@ -445,6 +445,60 @@ object TextQueries {
     TextOps.bpeEncode(docs(s, dir), "text", "doc_id", m)
   }
 
+  // ---- filter-policy decision matrix ---------------------------------------
+
+  val PolicyMinScore = 0.49
+  val PolicyMaxTopBigram = 0.08
+  val PolicyMinSurprisal = 3.40
+
+  def filterPolicy(s: SparkSession, dir: String): DataFrame =
+    Curation.filterPolicy(docs(s, dir), minScore = PolicyMinScore,
+      maxTopBigram = PolicyMaxTopBigram, minSurprisal = PolicyMinSurprisal,
+      pLo = LenPLo, pHi = LenPHi)
+
+  /** Mirror: each signal fragment is the SAME expression tree as its
+    * standalone oracle (scoreSql, repetitionSql's bigram stats,
+    * lmSurprisalSql, quantile_cont bounds), so every rounded double the
+    * thresholds compare is bit-identical before the boolean. LAZY: it
+    * interpolates vals declared later in this file (scoreSql's stopword
+    * list, LenPLo/LenPHi) — a strict val would capture their
+    * pre-initialization zero/null defaults.
+    */
+  lazy val filterPolicySql: String =
+    s"""$ToksCte,
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+       |    ${scoreSql("w")} AS score FROM toks),
+       |b AS (SELECT quantile_cont(n_toks, $LenPLo) AS lo,
+       |    quantile_cont(n_toks, $LenPHi) AS hi FROM base),
+       |rbi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |    for i in range(1, len(w))]) AS g FROM toks
+       |  WHERE len(w) >= 3),
+       |rbc AS (SELECT doc_id, g, count(*) AS ct FROM rbi
+       |  GROUP BY doc_id, g),
+       |rep AS (SELECT doc_id, round(CAST(max(ct) AS DOUBLE)/sum(ct), 4)
+       |    AS top_bigram_frac FROM rbc GROUP BY doc_id),
+       |stoks AS (SELECT doc_id, unnest(w) AS word FROM toks),
+       |sfreq AS (SELECT word, count(*) AS ct FROM stoks GROUP BY word),
+       |stot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM stoks),
+       |sur AS (SELECT doc_id,
+       |    round(CAST(sum(CAST(round(-ln(CAST(ct AS DOUBLE) / total), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_surprisal
+       |  FROM stoks JOIN sfreq USING (word), stot GROUP BY doc_id)
+       |SELECT doc_id,
+       |  score >= $PolicyMinScore AS quality_ok,
+       |  coalesce(top_bigram_frac <= $PolicyMaxTopBigram, TRUE)
+       |    AS repetition_ok,
+       |  coalesce(avg_surprisal >= $PolicyMinSurprisal, TRUE)
+       |    AS surprisal_ok,
+       |  n_toks >= lo AND n_toks <= hi AS length_ok,
+       |  score >= $PolicyMinScore
+       |    AND coalesce(top_bigram_frac <= $PolicyMaxTopBigram, TRUE)
+       |    AND coalesce(avg_surprisal >= $PolicyMinSurprisal, TRUE)
+       |    AND n_toks >= lo AND n_toks <= hi AS keep
+       |FROM base LEFT JOIN rep USING (doc_id)
+       |LEFT JOIN sur USING (doc_id), b
+       |ORDER BY doc_id""".stripMargin
+
   // ---- adaptive length-band filter -----------------------------------------
 
   val LenPLo = 0.05
@@ -850,6 +904,7 @@ object TextQueries {
     "bpe_merges_documents" -> (bpeMergesQ _),
     "bpe_encode_documents" -> (bpeEncodeQ _),
     "length_band_documents" -> (lengthBand _),
+    "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
     "repetition_documents" -> (repetition _),
@@ -885,6 +940,7 @@ object TextQueries {
     "mixture_sample_documents" -> mixtureSampleSql,
     "bpe_pairs_documents" -> bpePairsSql,
     "length_band_documents" -> lengthBandSql,
+    "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
     "repetition_documents" -> repetitionSql,

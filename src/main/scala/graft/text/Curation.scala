@@ -369,6 +369,49 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Filter-policy matrix — the curation POLICY layer: every quality
+    * signal (heuristic score, Gopher-style repetition, unigram
+    * surprisal, adaptive length band) evaluated per document as an
+    * explicit boolean, plus the conjunctive keep verdict. Unlike
+    * [[curationFunnel]] (which reports survivors per stage), this emits
+    * the full decision matrix — the artifact a data team audits
+    * threshold-by-threshold before committing a corpus cut, and what a
+    * reviewer needs to answer "WHY was this document dropped?".
+    *
+    * Scale shape: the signal tables are per-doc aggregates joining back
+    * on the id key; the length bounds are a one-row broadcast. Documents
+    * too short for a trigram carry no repetition row — absent evidence
+    * is not a drop reason (coalesce true).
+    */
+  def filterPolicy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minScore: Double,
+                   maxTopBigram: Double, minSurprisal: Double,
+                   pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"),
+      TextOps.qualityScore(col(textCol)).as("score"))
+    val bounds = base.agg(
+      percentile(col("n_toks"), lit(pLo)).as("lo"),
+      percentile(col("n_toks"), lit(pHi)).as("hi"))
+    val rep = TextOps.repetitionSignals(docs, textCol, idCol)
+      .select(col(idCol), col("top_bigram_frac"))
+    val sur = TextOps.unigramSurprisal(docs, textCol, idCol)
+      .select(col(idCol), col("avg_surprisal"))
+    base.join(rep, Seq(idCol), "left").join(sur, Seq(idCol), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        (col("score") >= minScore).as("quality_ok"),
+        coalesce(col("top_bigram_frac") <= maxTopBigram, lit(true))
+          .as("repetition_ok"),
+        coalesce(col("avg_surprisal") >= minSurprisal, lit(true))
+          .as("surprisal_ok"),
+        (col("n_toks") >= col("lo") && col("n_toks") <= col("hi"))
+          .as("length_ok"))
+      .withColumn("keep", col("quality_ok") && col("repetition_ok") &&
+        col("surprisal_ok") && col("length_ok"))
+      .orderBy(idCol)
+  }
+
   /** Overlapping fixed-size chunking — the retrieval/embedding prep step:
     * each document becomes windows of `chunkSize` words starting every
     * `chunkSize - overlap` words (the last chunk may be short). One

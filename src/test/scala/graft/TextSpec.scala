@@ -364,6 +364,27 @@ class TextSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) == 1.95 && out.head.getDouble(3) == 19.05)
   }
 
+  test("filter policy attributes each drop to the failing signal") {
+    val good = "the data table holds a value for the column and a row " +
+      "with the key and the index for the scan"
+    val looping = ("buy now " * 12).trim // one bigram dominates
+    val docs = Seq(
+      (1L, good),
+      (2L, looping),
+      (3L, "the of and"), // too short: below the p05 length bound
+    ).toDF("doc_id", "text")
+    val out = graft.text.Curation.filterPolicy(docs,
+        minScore = 0.0, maxTopBigram = 0.5, minSurprisal = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    // doc 2 fails ONLY repetition ("buy now" dominates its bigrams);
+    // doc 3 fails ONLY length (3 toks < the p05 bound of 3-21-24)
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._2 == false && out(2L)._1 && out(2L)._3)
+    assert(out(3L)._4 == false && out(3L)._5 == false)
+  }
+
   test("fusePair is greedy left-to-right and non-overlapping") {
     val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
     val fused = df.select(TextOps.fusePair(col("syms"), "a", "a"))
