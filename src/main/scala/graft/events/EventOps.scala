@@ -131,6 +131,70 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Schedule-coverage anomaly — MISSED runs: expected slots NO run start
+    * was attributed to. Lateness detection ([[lateStartsCron]]) only sees
+    * runs that DID start; a pipeline that never fired that period is
+    * invisible to it — coverage needs the complement. A start covers the
+    * nearest slot ≤ it (the same as-of attribution the lateness operators
+    * use, so the two views never disagree about which slot governs a
+    * run); the frame is every active user × every slot inside the
+    * OBSERVED event range [min ts, max ts) — trailing slots after the
+    * last event can't read as missed.
+    *
+    * Scale shape: slots are driver-expanded control-plane rows; the
+    * user×slot frame is a broadcast cross of two small sides (users ×
+    * slots, both orders of magnitude below event count); covered pairs
+    * come from aggregated run starts; the finale is one anti join on the
+    * (user, slot) key.
+    */
+  def missedRuns(ev: DataFrame, cron: String, gapSeconds: Long,
+                 spark: org.apache.spark.sql.SparkSession,
+                 zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+      : DataFrame = {
+    import spark.implicits._
+    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    val slots = Cron.expand(cron, lo.toInstant, hi.toInstant, zone)
+      .map(java.sql.Timestamp.from)
+    val slotDf = slots.toDF("expected_start")
+    val covered = lateStartsCron(ev, cron, 0L, gapSeconds, spark, zone)
+      .select(col("user_id"), col("expected_start")).distinct()
+    ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(slotDf))
+      .join(covered, Seq("user_id", "expected_start"), "left_anti")
+      .orderBy("user_id", "expected_start")
+  }
+
+  /** Run-duration baseline outliers: each (user's) run compared to that
+    * user's own p95 duration — "this run is slow FOR THIS PIPELINE", the
+    * adaptive complement of [[lateEndsCron]]'s fixed allowed-duration
+    * SLA. Exact interpolated percentile under oracle parity
+    * (`percentile` ≡ DuckDB `quantile_cont`, the Profiler pair);
+    * `approx_percentile` swaps in at scale, same plan. Durations are one
+    * groupBy over sessionized events; baselines a per-user aggregate
+    * joined back on the user key.
+    */
+  def durationBaseline(ev: DataFrame, gapSeconds: Long,
+                       p: Double = 0.95): DataFrame = {
+    val durs = withSessionId(ev, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .as("dur_us"))
+      // 4-dp seconds via integer half-up in micros: round(us/1e6, 4)
+      // lands on an exact .00005 boundary whenever us ≡ 50 (mod 100),
+      // where double HALF_UP (Spark) and float multiply-round (DuckDB)
+      // disagree — integer arithmetic cannot
+      .withColumn("duration_secs",
+        floor((col("dur_us") + 50L) / 100L).cast(DoubleType) / 10000.0)
+    val base = durs.groupBy(col("user_id"))
+      .agg(percentile(col("dur_us") / lit(1000000.0), lit(p)).as("p_dur"))
+    durs.join(base, "user_id")
+      .select(col("user_id"), col("session_id"), col("duration_secs"),
+        round(col("p_dur"), 4).as("baseline_secs"),
+        (col("dur_us") / lit(1000000.0) > col("p_dur")).as("slow"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Expand a cron schedule over the event-time range and register each
     * slot under every UTC day its governance interval [slot, nextSlot)
     * touches — the broadcast-ready control-plane side of the day-keyed

@@ -159,6 +159,64 @@ object EventQueries {
        |  ON r.actual_start >= sl.expected_start
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- R2 complement: missed runs (schedule coverage) ----------------------
+
+  def missedRuns(s: SparkSession, dir: String): DataFrame =
+    EventOps.missedRuns(ev(s, dir), SubDailyCron, GapSeconds, s)
+
+  /** Mirror: same independent slot series bounded to [min ts, max ts),
+    * crossed with the active-user set, anti-joined against the
+    * ASOF-covered (user, slot) pairs.
+    */
+  val missedRunsSql: String =
+    s"""$SessCte,
+       |starts AS (SELECT user_id, session_id, min(ts) AS actual_start
+       |  FROM sess GROUP BY 1, 2),
+       |allslots AS (SELECT unnest(generate_series(
+       |    date_trunc('day', (SELECT min(ts) FROM ev)) - INTERVAL 2 DAY,
+       |    date_trunc('day', (SELECT max(ts) FROM ev)) + INTERVAL 1 DAY,
+       |    INTERVAL 4 HOUR)) AS expected_start),
+       |slots AS (SELECT expected_start FROM allslots
+       |  WHERE expected_start >= (SELECT min(ts) FROM ev)
+       |    AND expected_start < (SELECT max(ts) FROM ev)),
+       |covered AS (SELECT DISTINCT s.user_id, sl.expected_start
+       |  FROM starts s ASOF JOIN allslots sl
+       |    ON s.actual_start >= sl.expected_start),
+       |frame AS (SELECT u.user_id, sl.expected_start
+       |  FROM (SELECT DISTINCT user_id FROM ev) u, slots sl)
+       |SELECT f.user_id, f.expected_start FROM frame f
+       |LEFT JOIN covered c ON f.user_id = c.user_id
+       |  AND f.expected_start = c.expected_start
+       |WHERE c.user_id IS NULL
+       |ORDER BY f.user_id, f.expected_start""".stripMargin
+
+  // ---- run-duration baseline outliers ---------------------------------------
+
+  val BaselineP = 0.95
+
+  def durationBaseline(s: SparkSession, dir: String): DataFrame =
+    EventOps.durationBaseline(ev(s, dir), GapSeconds, BaselineP)
+
+  /** Duration rounds via integer half-up in micros (see
+    * EventOps.durationBaseline) — round(us/1e6, 4) sits ON a .00005
+    * boundary whenever us ≡ 50 (mod 100) and the engines' double
+    * rounding disagrees there.
+    */
+  val durationBaselineSql: String =
+    s"""$SessCte,
+       |durs AS (SELECT user_id, session_id,
+       |    date_diff('microsecond', min(ts), max(ts)) AS dur_us
+       |  FROM sess GROUP BY 1, 2),
+       |base AS (SELECT user_id,
+       |    quantile_cont(dur_us / 1000000.0, $BaselineP) AS p_dur
+       |  FROM durs GROUP BY user_id)
+       |SELECT user_id, session_id,
+       |  CAST((dur_us + 50) // 100 AS DOUBLE) / 10000.0 AS duration_secs,
+       |  round(p_dur, 4) AS baseline_secs,
+       |  dur_us / 1000000.0 > p_dur AS slow
+       |FROM durs JOIN base USING (user_id)
+       |ORDER BY user_id, session_id""".stripMargin
+
   /** Schedule timezone for the tz-aware lateness query: a non-UTC,
     * non-whole-hour offset (+05:30) so any UTC-only expansion is off by
     * a visibly fractional amount.
@@ -621,6 +679,8 @@ object EventQueries {
     "ev_late_starts_hourly" -> (lateStartsHourly _),
     "ev_late_starts_tz" -> (lateStartsTz _),
     "ev_late_ends" -> (lateEnds _),
+    "ev_missed_runs" -> (missedRuns _),
+    "ev_duration_baseline" -> (durationBaseline _),
     "ev_rule_templated" -> (ruleTemplated _),
     "stream_sessions_bounded" -> (streamSessionsBounded _),
     "ev_journeys" -> (journeys _),
@@ -646,6 +706,8 @@ object EventQueries {
     "ev_late_starts_hourly" -> lateStartsHourlySql,
     "ev_late_starts_tz" -> lateStartsTzSql,
     "ev_late_ends" -> lateEndsSql,
+    "ev_missed_runs" -> missedRunsSql,
+    "ev_duration_baseline" -> durationBaselineSql,
     "ev_rule_templated" -> ruleTemplatedSql,
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "ev_journeys" -> journeysSql,

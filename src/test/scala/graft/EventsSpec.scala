@@ -262,6 +262,28 @@ class EventsSpec extends AnyFunSuite {
     assert(out((2L, 1L)).getAs[Double]("minutes_over") == 20.0)
   }
 
+  test("missed runs are uncovered (user, slot) pairs inside the " +
+    "observed range") {
+    // events span 09:00..13:05 -> only the 12:00 slot is in range.
+    // user 1's second session starts 13:00 and covers 12:00; user 2
+    // never starts a run at/after 12:00 -> (2, 12:00) is missed.
+    val out = EventOps.missedRuns(fixture, "0 */4 * * *",
+        gapSeconds = 3600, spark).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(out.toSeq == Seq((2L, ts("2024-01-01 12:00:00"))))
+  }
+
+  test("duration baseline flags runs above the user's own p95") {
+    // user 1: 600 s and 300 s runs -> p95 = 585 s, only the 600 s run is
+    // slow; user 2's single run IS its own baseline -> never slow
+    val out = EventOps.durationBaseline(fixture, gapSeconds = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out((1L, 1L)) == ((600.0, 585.0, true)))
+    assert(out((1L, 2L)) == ((300.0, 585.0, false)))
+    assert(out((2L, 1L)) == ((1200.0, 1200.0, false)))
+  }
+
   test("tz-aware lateness expands the schedule on the zone's wall clock") {
     // 06:00 Asia/Kolkata = 00:30 UTC: a 09:00 UTC run start is 8.5 h late
     // vs the IST slot (a UTC-expanded 06:00 slot would say 3 h)
