@@ -27,7 +27,12 @@ object PlanAudit {
     Set("knn_embeddings", "neardup_cosine_embeddings",
       // candidate tier IS cosineNearDupPairs (same documented block-tiled
       // all-pairs scan; swap in the LSH tier at corpus scale)
-      "semantic_dedup_pairs")
+      "semantic_dedup_pairs",
+      // the user×slot coverage FRAME is the semantics, not an accident:
+      // a broadcast cross of two control-plane-sized sides (distinct
+      // pipelines × driver-expanded cron slots), both orders of
+      // magnitude below event count (EventOps.missedRuns)
+      "ev_missed_runs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
