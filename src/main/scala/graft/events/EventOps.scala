@@ -152,12 +152,20 @@ object EventOps {
                  zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
       : DataFrame = {
     import spark.implicits._
-    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    // ONE range scan feeds both the frame slots and the attribution
+    // slots — routing through lateStartsCron would re-aggregate the full
+    // event table a second time just to recompute the same range
+    val (lo, hi) = evRange(ev)
     val slots = Cron.expand(cron, lo.toInstant, hi.toInstant, zone)
       .map(java.sql.Timestamp.from)
     val slotDf = slots.toDF("expected_start")
-    val covered = lateStartsCron(ev, cron, 0L, gapSeconds, spark, zone)
+    val attribution = cronSlotsByDay(lo, hi, cron, spark, zone)
+    val starts = withSessionId(ev, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("ts"))
+      .withColumn("day", to_date(col("ts")))
+    val covered = asOfJoin(starts, attribution, "day", "ts",
+        "expected_start")
       .select(col("user_id"), col("expected_start")).distinct()
     ev.select(col("user_id")).distinct()
       .crossJoin(broadcast(slotDf))
@@ -186,12 +194,17 @@ object EventOps {
       // disagree — integer arithmetic cannot
       .withColumn("duration_secs",
         floor((col("dur_us") + 50L) / 100L).cast(DoubleType) / 10000.0)
+    // the percentile stays in MICROS so the single-run case (p = the
+    // run's own integer micros) rounds through the same floor
+    // arithmetic as duration_secs — round(p/1e6, 4) would re-open the
+    // .00005 boundary; floor on identical IEEE doubles cannot diverge
     val base = durs.groupBy(col("user_id"))
-      .agg(percentile(col("dur_us") / lit(1000000.0), lit(p)).as("p_dur"))
+      .agg(percentile(col("dur_us"), lit(p)).as("p_us"))
     durs.join(base, "user_id")
       .select(col("user_id"), col("session_id"), col("duration_secs"),
-        round(col("p_dur"), 4).as("baseline_secs"),
-        (col("dur_us") / lit(1000000.0) > col("p_dur")).as("slow"))
+        (floor((col("p_us") + 50.0) / 100.0).cast(DoubleType) / 10000.0)
+          .as("baseline_secs"),
+        (col("dur_us").cast(DoubleType) > col("p_us")).as("slow"))
       .orderBy("user_id", "session_id")
   }
 
@@ -204,12 +217,25 @@ object EventOps {
     * because it only keys the join and must match `to_date(ts)` in the
     * (UTC) Spark session.
     */
+  /** One-row control-plane range collect (min ts, max ts). */
+  private def evRange(ev: DataFrame)
+      : (java.sql.Timestamp, java.sql.Timestamp) = {
+    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    (range.getTimestamp(0), range.getTimestamp(1))
+  }
+
   private def cronSlotsByDay(ev: DataFrame, cron: String,
                              spark: org.apache.spark.sql.SparkSession,
                              zone: java.time.ZoneId): DataFrame = {
+    val (lo, hi) = evRange(ev)
+    cronSlotsByDay(lo, hi, cron, spark, zone)
+  }
+
+  private def cronSlotsByDay(lo: java.sql.Timestamp,
+                             hi: java.sql.Timestamp, cron: String,
+                             spark: org.apache.spark.sql.SparkSession,
+                             zone: java.time.ZoneId): DataFrame = {
     import spark.implicits._
-    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
     val horizon = hi.toInstant.plusSeconds(86400)
     val slots = Cron.expand(cron, lo.toInstant.minusSeconds(2 * 86400),
       horizon, zone)

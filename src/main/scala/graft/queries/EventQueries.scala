@@ -208,12 +208,12 @@ object EventQueries {
        |    date_diff('microsecond', min(ts), max(ts)) AS dur_us
        |  FROM sess GROUP BY 1, 2),
        |base AS (SELECT user_id,
-       |    quantile_cont(dur_us / 1000000.0, $BaselineP) AS p_dur
+       |    quantile_cont(dur_us, $BaselineP) AS p_us
        |  FROM durs GROUP BY user_id)
        |SELECT user_id, session_id,
        |  CAST((dur_us + 50) // 100 AS DOUBLE) / 10000.0 AS duration_secs,
-       |  round(p_dur, 4) AS baseline_secs,
-       |  dur_us / 1000000.0 > p_dur AS slow
+       |  floor((p_us + 50.0) / 100.0) / 10000.0 AS baseline_secs,
+       |  CAST(dur_us AS DOUBLE) > p_us AS slow
        |FROM durs JOIN base USING (user_id)
        |ORDER BY user_id, session_id""".stripMargin
 

@@ -389,7 +389,11 @@ object TextOps {
     */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
+    // empty words (whitespace-only docs split to [""]) must not reach
+    // the symbol decomposition: sequence(1, 0) DESCENDS, turning "" into
+    // two phantom "" symbols and a spurious ("", "") pair
     var vocab = df.select(explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("ct"))
       .select(expr("transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1))").as("syms"), col("ct"))
@@ -442,6 +446,7 @@ object TextOps {
       case (c, (a, b)) => fusePair(c, a, b)
     }
     df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1) // see bpeMerges: "" has no symbols
       .select(col(idCol), length(col("word")).cast(LongType).as("nc"),
         size(toks).cast(LongType).as("nt"))
       .groupBy(col(idCol))

@@ -385,6 +385,19 @@ class TextSpec extends AnyFunSuite {
     assert(out(3L)._4 == false && out(3L)._5 == false)
   }
 
+  test("whitespace-only documents contribute no BPE symbols or pairs") {
+    // split("", '\s+') yields [""], and sequence(1, 0) DESCENDS — without
+    // the length guard "" would decompose into two phantom "" symbols
+    val docs = Seq((1L, "ab ab"), (2L, "   ")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, "text", nMerges = 2).collect()
+    assert(merges.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      refBpe(Seq("ab", "ab"), 2).map(m => (m._1, m._2)))
+    val enc = TextOps.bpeEncode(docs, "text", "doc_id",
+      merges.map(r => (r.getString(1), r.getString(2))).toSeq)
+    // the empty doc has no encodable words and produces no row
+    assert(enc.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("fusePair is greedy left-to-right and non-overlapping") {
     val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
     val fused = df.select(TextOps.fusePair(col("syms"), "a", "a"))
