@@ -411,6 +411,64 @@ object TextQueries {
        |  round(CAST(min_toks AS DOUBLE) / n_tokens, 4) AS keep_rate
        |FROM agg, tot ORDER BY source""".stripMargin
 
+  // ---- bounded streaming curation ------------------------------------------
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** The streaming curation stage (StreamingOps.curateStream: stateless
+    * lang/quality filters + watermark-bounded exact dedup) run BOUNDED
+    * over the documents table as a file stream — the text-side twin of
+    * stream_sessions_bounded, putting the streaming ingest path under
+    * the driver's hash gate. Event time is synthetic (doc_id seconds
+    * from an epoch) and the watermark covers the whole corpus span, so
+    * the admitted CONTENT set equals the batch filters + exact dedup;
+    * the output is the sorted content-hash set because within one
+    * micro-batch dropDuplicates keeps an engine-ordered representative —
+    * the hash SET is deterministic, the keeper row is not.
+    */
+  def curatedStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val drop = Files.createTempDirectory("graft-docdrop")
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      drop.resolve("docs-000.parquet"))
+    val ckpt = Files.createTempDirectory("graft-docckpt")
+    val name = s"graft_stream_curate_${streamRuns.incrementAndGet()}"
+    val schema = Tables.load(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema).parquet(drop.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')"))
+    val q = graft.streaming.StreamingOps
+      .curateStream(stream, "text", "ts", Curation.DefaultMinScore,
+        watermarkDelay = "365 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).select("content_hash")
+      .orderBy("content_hash").localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    rmTree(drop); rmTree(ckpt)
+    out
+  }
+
+  /** Batch mirror of the stream's admitted content set: the funnel's s1
+    * (language) + s2 (quality) filters, exact-deduped to distinct
+    * normalized-content hashes. Lazy — interpolates vals declared later
+    * in this file.
+    */
+  lazy val curatedStreamSql: String =
+    s"""$ToksCte
+       |SELECT DISTINCT md5($NormSql) AS content_hash
+       |FROM documents JOIN toks USING (doc_id)
+       |WHERE $LangOkSql AND ${scoreSql("w")} >= ${Curation.DefaultMinScore}
+       |ORDER BY content_hash""".stripMargin
+
   // ---- BPE tokenizer-training prep -----------------------------------------
 
   val BpeTopK = 50
@@ -911,6 +969,7 @@ object TextQueries {
     "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
+    "stream_curate_bounded" -> (curatedStreamBounded _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -947,6 +1006,7 @@ object TextQueries {
     "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
+    "stream_curate_bounded" -> curatedStreamSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,
