@@ -134,6 +134,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fusePair matches an imperative greedy scan on random symbol " +
+    "arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // tiny alphabet + repeated symbols maximize overlap/chaining cases
+    // ("a a a" under (a,a), merged tokens re-matching as pair members)
+    val sym = Gen.oneOf("a", "b", "aa", "ab")
+    val arr = Gen.listOf(sym).map(_.toVector)
+    val pair = Gen.zip(sym, sym)
+    val cases = samples(Gen.zip(arr, pair), 120)
+    def ref(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length)
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += s(i); i += 1 }
+      out.result()
+    }
+    val df = cases.zipWithIndex
+      .map { case ((s, _), i) => (i.toLong, s) }.toDF("i", "syms")
+    // one job for all cases: fuse each row with ITS pair via a union of
+    // per-pair plans would be a plan per case — instead group cases by
+    // pair (4x4 = few distinct pairs) and fuse each group in one select
+    cases.map(_._2).distinct.foreach { case (a, b) =>
+      val idx = cases.zipWithIndex.collect {
+        case (((_, p), i)) if p == (a, b) => i.toLong
+      }.toSet
+      val got = df.filter(col("i").isin(idx.toSeq: _*))
+        .select(col("i"), graft.text.TextOps.fusePair(col("syms"), a, b))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      idx.foreach { i =>
+        val s = cases(i.toInt)._1
+        assert(got(i) == ref(s, a, b),
+          s"syms=$s pair=($a,$b) got=${got(i)}")
+      }
+    }
+  }
+
   test("dupClusters closes a 100-hop chain within the default rounds") {
     import spark.implicits._
     // the diameter stress case: pointer jumping must converge in
