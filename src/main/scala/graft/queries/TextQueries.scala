@@ -639,6 +639,33 @@ object TextQueries {
        |ORDER BY bh.doc_id""".stripMargin
   }
 
+  // ---- train -> eval split leakage -----------------------------------------
+
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    Curation.splitLeakage(docs(s, dir), n = SpanN)
+
+  lazy val splitLeakageSql: String = {
+    val bucket =
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100"
+    s"""$ToksCte,
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
+       |  unnest(${shingleListSql(SpanN)}) AS shingle FROM toks)),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |      WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |tr AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
+       |  WHERE split = 'train')
+       |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(count(tr.shingle) AS BIGINT) AS n_leaked,
+       |  round(CAST(count(tr.shingle) AS DOUBLE) / count(*), 4)
+       |    AS leak_frac
+       |FROM sh JOIN sp USING (doc_id)
+       |LEFT JOIN tr ON sh.shingle = tr.shingle
+       |WHERE sp.split <> 'train'
+       |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+  }
+
   // ---- duplicated-span statistics ------------------------------------------
 
   val SpanN = 8
@@ -969,6 +996,7 @@ object TextQueries {
     "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
+    "split_leakage_documents" -> (splitLeakage _),
     "stream_curate_bounded" -> (curatedStreamBounded _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
@@ -1006,6 +1034,7 @@ object TextQueries {
     "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
+    "split_leakage_documents" -> splitLeakageSql,
     "stream_curate_bounded" -> curatedStreamSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,

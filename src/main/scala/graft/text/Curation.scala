@@ -437,6 +437,39 @@ object Curation {
       .orderBy(col(idCol), col("chunk_id"))
   }
 
+  /** Train→eval split leakage: for every val/test document, the fraction
+    * of its distinct `n`-word spans that also occur in the TRAIN split —
+    * the pre-training hygiene check that [[deterministicSplit]] alone
+    * cannot give (hash-disjoint doc IDs do not make the CONTENT
+    * disjoint; near-identical docs land in different splits and leak
+    * evaluation signal). Same posture as benchmark decontamination, but
+    * the benchmark is your own held-out split.
+    *
+    * Scale shape: the train span set is a distinct-projected index a
+    * warehouse materializes per split snapshot; eval spans hash-join
+    * against it and aggregate per doc — no pairs, no windows. Documents
+    * shorter than one span carry no row (both engines drop identically).
+    */
+  def splitLeakage(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 8): DataFrame = {
+    val split = deterministicSplit(docs, idCol)
+      .select(col(idCol), col("split"))
+    val sh = Dedup.shingles(docs, textCol, idCol, n)
+      .join(split, idCol)
+    val trainSpans = sh.filter(col("split") === "train")
+      .select(col("shingle")).distinct()
+      .withColumn("leaked", lit(true))
+    sh.filter(col("split") =!= "train")
+      .join(trainSpans, Seq("shingle"), "left")
+      .groupBy(col(idCol), col("split"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+      .select(col(idCol), col("split"), col("n_spans"), col("n_leaked"),
+        round(col("n_leaked").cast(DoubleType) / col("n_spans"), 4)
+          .as("leak_frac"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the first
     * six hex digits of md5(id), split 80/10/10. Hash-based (not random)
     * so the assignment is stable across runs, engines, and re-partitions —

@@ -421,6 +421,28 @@ class TextSpec extends AnyFunSuite {
     assert(out == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
   }
 
+  test("split leakage measures eval spans that occur in the train split") {
+    import graft.text.Curation
+    // pick ids on each side of the hash split so the fixture is stable
+    val ids = (1L to 50L)
+    val splits = Curation
+      .deterministicSplit(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = ids.find(splits(_) == "train").get
+    val evalIds = ids.filter(splits(_) != "train").take(2)
+    val docs = Seq(
+      (trainId, "one two three four five"),
+      (evalIds(0), "one two three four nine"), // shares 2 of its 3 spans
+      (evalIds(1), "p q r s t"),               // shares nothing
+    ).toDF("doc_id", "text")
+    val out = Curation.splitLeakage(docs, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(evalIds(0)) == ((3L, 2L, 0.6667)))
+    assert(out(evalIds(1)) == ((3L, 0L, 0.0)))
+    assert(!out.contains(trainId)) // train docs are the index, not rows
+  }
+
   test("span-dup counts occurrences of repeated windows, " +
     "including same-doc repeats") {
     val docs = Seq(
