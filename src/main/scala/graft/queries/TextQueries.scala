@@ -29,6 +29,19 @@ object TextQueries {
   private val NormSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** The 0-99 doc_id hash bucket of Curation.deterministicSplit — ONE
+    * definition, because split_assign / split_leakage /
+    * dedup_incremental must all agree with the Scala side about which
+    * docs are train.
+    */
+  private val SplitBucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100"
+
+  /** The split label the bucket implies (80/10/10). */
+  private val SplitCaseSql =
+    s"CASE WHEN $SplitBucketSql < 80 THEN 'train' " +
+      s"WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END"
+
   private val ToksCte =
     "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') " +
       "AS w FROM documents)"
@@ -413,8 +426,6 @@ object TextQueries {
 
   // ---- bounded streaming curation ------------------------------------------
 
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger
-
   /** The streaming curation stage (StreamingOps.curateStream: stateless
     * lang/quality filters + watermark-bounded exact dedup) run BOUNDED
     * over the documents table as a file stream — the text-side twin of
@@ -427,34 +438,16 @@ object TextQueries {
     * the hash SET is deterministic, the keeper row is not.
     */
   def curatedStreamBounded(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val drop = Files.createTempDirectory("graft-docdrop")
-    Files.copy(Paths.get(s"$dir/documents.parquet"),
-      drop.resolve("docs-000.parquet"))
-    val ckpt = Files.createTempDirectory("graft-docckpt")
-    val name = s"graft_stream_curate_${streamRuns.incrementAndGet()}"
     val schema = Tables.load(s, dir, "documents").schema
-    val stream = s.readStream.schema(schema).parquet(drop.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')"))
-    val q = graft.streaming.StreamingOps
-      .curateStream(stream, "text", "ts", Curation.DefaultMinScore,
-        watermarkDelay = "365 days")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).select("content_hash")
-      .orderBy("content_hash").localCheckpoint(true)
-    s.catalog.dropTempView(name)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
-    rmTree(drop); rmTree(ckpt)
-    out
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => graft.streaming.StreamingOps.curateStream(
+        s.readStream.schema(schema).parquet(drop)
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')")),
+        "text", "ts", Curation.DefaultMinScore,
+        watermarkDelay = "365 days"),
+      sink => sink.select("content_hash").orderBy("content_hash"))
   }
 
   /** Batch mirror of the stream's admitted content set: the funnel's s1
@@ -606,9 +599,7 @@ object TextQueries {
          |  unnest(${shingleListSql(ShingleN)}) AS shingle
          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
          |    AS w FROM $rel)))""".stripMargin
-    s"""WITH d AS (SELECT doc_id, text,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-       |      % 100 AS bucket
+    s"""WITH d AS (SELECT doc_id, text, $SplitBucketSql AS bucket
        |  FROM documents),
        |corpus AS (SELECT * FROM d WHERE bucket < $IncrSplit),
        |batch AS (SELECT * FROM d WHERE bucket >= $IncrSplit),
@@ -645,15 +636,10 @@ object TextQueries {
     Curation.splitLeakage(docs(s, dir), n = SpanN)
 
   lazy val splitLeakageSql: String = {
-    val bucket =
-      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100"
     s"""$ToksCte,
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
        |  unnest(${shingleListSql(SpanN)}) AS shingle FROM toks)),
-       |sp AS (SELECT doc_id,
-       |    CASE WHEN $bucket < 80 THEN 'train'
-       |      WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM documents),
+       |sp AS (SELECT doc_id, $SplitCaseSql AS split FROM documents),
        |tr AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
        |  WHERE split = 'train')
        |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_spans,
@@ -956,12 +942,7 @@ object TextQueries {
        |SELECT doc_id, n_toks FROM s5 ORDER BY doc_id""".stripMargin
 
   val splitAssignSql: String =
-    s"""SELECT doc_id,
-       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
-       |    AS bucket,
-       |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
-       |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
-       |    ELSE 'test' END AS split
+    s"""SELECT doc_id, $SplitBucketSql AS bucket, $SplitCaseSql AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val topQualityPerLangSql: String =

@@ -280,6 +280,46 @@ object StreamingOps {
 
   private val boundedRuns = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Shared scaffold for the bounded driver-gated streaming queries
+    * (sessions, curation): stage one parquet file into a drop folder,
+    * run `build(dropDir)`'s stream into a uniquely-named memory sink,
+    * drain it, summarize the sink as a batch frame, and tear everything
+    * down — sink table, staging and checkpoint dirs — even when the run
+    * fails. The memory sink holds one row PER INPUT in driver memory and
+    * this executes once per Verify/Bench invocation, so the (small)
+    * summary is materialized eagerly before the sink is dropped.
+    */
+  def boundedStreamRun(spark: SparkSession, srcParquet: String,
+                       build: String => DataFrame,
+                       summarize: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val drop = Files.createTempDirectory("graft-drop")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    val name = s"graft_bounded_${boundedRuns.incrementAndGet()}"
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+    try {
+      Files.copy(Paths.get(srcParquet), drop.resolve("staged-000.parquet"))
+      val q = build(drop.toString)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      summarize(spark.table(name)).localCheckpoint(true)
+    } finally {
+      try spark.catalog.dropTempView(name)
+      catch { case _: Throwable => () }
+      rmTree(drop); rmTree(ckpt)
+    }
+  }
+
   /** Bounded END-TO-END run of the streaming sessionizer for the driver
     * contract: stage the events table into a drop folder, stream it
     * through the real file source and the stateful
@@ -295,37 +335,14 @@ object StreamingOps {
   def sessionSummariesBounded(spark: SparkSession, sfDir: String,
                               gapSeconds: Long): DataFrame = {
     import spark.implicits._
-    val drop = java.nio.file.Files.createTempDirectory("graft-evdrop")
-    val staged = drop.resolve("events-000.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    val name = s"graft_stream_sessions_${boundedRuns.incrementAndGet()}"
-    val events = eventStream(spark, drop.toString).as[SEvent]
-    val q = assignSessions(events, gapSeconds)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // The memory sink holds one row PER EVENT in driver memory, and this
-    // runs once per Verify/Bench invocation: materialize the (small)
-    // summary eagerly, then drop the sink table and the staged temp
-    // files so repeated runs don't accumulate driver state or disk.
-    val summary = spark.table(name)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"))
-      .orderBy("user_id", "session_id")
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-    rmTree(drop); rmTree(ckpt)
-    summary
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => assignSessions(eventStream(spark, drop).as[SEvent],
+        gapSeconds).toDF(),
+      sink => sink
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id"))
   }
 }

@@ -456,14 +456,17 @@ object Curation {
       .select(col(idCol), col("split"))
     val sh = Dedup.shingles(docs, textCol, idCol, n)
       .join(split, idCol)
+    // the left-join-and-count-hits idiom shared with TextOps
+    // .contamination: count(__hit) counts only matched (non-null) rows,
+    // mirroring the oracle's count(tr.shingle)
     val trainSpans = sh.filter(col("split") === "train")
       .select(col("shingle")).distinct()
-      .withColumn("leaked", lit(true))
+      .withColumn("__hit", lit(1))
     sh.filter(col("split") =!= "train")
       .join(trainSpans, Seq("shingle"), "left")
       .groupBy(col(idCol), col("split"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+        count(col("__hit")).as("n_leaked"))
       .select(col(idCol), col("split"), col("n_spans"), col("n_leaked"),
         round(col("n_leaked").cast(DoubleType) / col("n_spans"), 4)
           .as("leak_frac"))
