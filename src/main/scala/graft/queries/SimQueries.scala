@@ -167,6 +167,49 @@ object SimQueries {
        |ORDER BY cell, rnk""".stripMargin
   }
 
+  // ---- oracle-checked ANN (deterministic sign cells) ------------------------
+
+  /** 2^3 = 8 cells so each query's cell holds ~1/8 of the corpus —
+    * enough candidates that top-k fills while the scored fraction stays
+    * sub-linear. Reuses the diversity-sample hyperplane family.
+    */
+  val RpAnnPlanes = 3
+  val RpAnnSeed = 20260814L
+  private lazy val RpAnnMat =
+    Similarity.rpMatrix(RpAnnPlanes, Dim, RpAnnSeed)
+
+  def annRp(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnRp(e, e.filter(col("vec_id") < NQueries), "vec_id",
+      "embedding", K, RpAnnMat)
+  }
+
+  val annRpSql: String = {
+    val bits = RpAnnMat.zipWithIndex.map { case (row, j) =>
+      val arr = row.map(c => s"$c/1000.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(ve, $arr) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }
+    val cos = "list_inner_product(qv, cv) / " +
+      "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+    val flipList = (0L +: (0 until RpAnnPlanes).map(1L << _))
+      .mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+       |    CAST(${bits.mkString(" + ")} AS BIGINT) AS cell
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM v),
+       |q AS (SELECT query_id, qv, xor(home, f) AS cell FROM (
+       |  SELECT vec_id AS query_id, ve AS qv, cell AS home,
+       |    unnest($flipList) AS f FROM v WHERE vec_id < $NQueries)),
+       |scored AS (SELECT query_id, neighbor_id, round($cos, 4) AS cos_sim
+       |  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- vector-store hygiene ------------------------------------------------
 
   def vectorHygiene(s: SparkSession, dir: String): DataFrame =
@@ -193,6 +236,7 @@ object SimQueries {
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
+    "ann_rp_embeddings" -> (annRp _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
   )
 
@@ -203,6 +247,7 @@ object SimQueries {
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,
     "knn_embeddings" -> knnSql,
+    "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
   )
 }

@@ -133,6 +133,46 @@ object Similarity {
       .orderBy(col("cell"), col("rnk"))
   }
 
+  /** Hamming-1 multiprobe ANN top-k over DETERMINISTIC sign-LSH cells —
+    * the oracle-checkable member of the ANN ladder: [[knnLsh]]/[[knnIvf]]
+    * bucket by xxhash/KMeans (engine-specific, rows-only + recall
+    * specs), but integer-literal hyperplanes make this cell assignment,
+    * and therefore the whole result, reproducible in any engine. Each
+    * query probes its own cell plus every one-bit-flip neighbor (a
+    * near neighbor that crosses ONE hyperplane is still found) and
+    * scores candidates with the exact codegen'd cosine. The probe set
+    * rides an EXPLODE on the query side, so candidate generation stays
+    * a cell equi-join — never a theta join or cross product; recall < 1
+    * by design (neighbors ≥ 2 hyperplanes away are unseen); cells
+    * under k return fewer rows.
+    */
+  def knnRp(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+    def cellOf(vec: Column): Column = planes.zipWithIndex.map {
+      case (p, j) =>
+        when(dot(vec, lit(p.map(_ / 1000.0).toArray)) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+    val flips = array((lit(0L) +: planes.indices.map(j => lit(1L << j))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("home", cellOf(col("qv")))
+      .withColumn("flip", explode(flips))
+      .withColumn("cell", col("home").bitwiseXOR(col("flip")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid of a vector column, one row per (label, dim).
     * posexplode fans each vector into its components; the per-dimension
     * sums are exact DECIMAL(28,6) (addition-order-independent — the

