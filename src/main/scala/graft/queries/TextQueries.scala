@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.Tables
 import graft.text.{Curation, Dedup, TextOps}
 
@@ -311,10 +312,23 @@ object TextQueries {
   /** Cosine threshold for semantic candidates (matches SimQueries). */
   val SemanticTau = 0.4
 
+  /** The exact all-pairs tier is DEMOTED to an audit tool: the registered
+    * query runs on a deterministic half-corpus sample (vec_id % 2 = 0) —
+    * the role an O(n²) verifier has at 100 TB is spot-auditing the ANN
+    * tier's recall on a bounded slice, never scanning the full corpus.
+    * The full-corpus exact pass remains available as
+    * Curation.semanticDedupPairs and is what the SimSpec/TextSpec recall
+    * measurements call directly.
+    */
+  val AuditMod = 2
+
+  private def embSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(AuditMod)) === 0)
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    Curation.semanticDedupPairs(docs(s, dir),
-      Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
-      shingleN = ShingleN, minJaccard = MinJaccard)
+    Curation.semanticDedupPairs(docs(s, dir), embSample(s, dir),
+      minCos = SemanticTau, shingleN = ShingleN, minJaccard = MinJaccard)
 
   val semanticDedupSql: String = {
     val cos = "list_inner_product(a.ve, b.ve) / " +
@@ -324,7 +338,7 @@ object TextQueries {
     val jac = s"$inter/(len(sa.shs) + len(sb.shs) - $inter)"
     s"""$ShCte,
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-       |  FROM embeddings),
+       |  FROM embeddings WHERE vec_id % $AuditMod = 0),
        |cand AS (SELECT id_a, id_b, cos_sim FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round($cos, 4) AS cos_sim
@@ -339,15 +353,66 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** The scale tier of the same surface: banded-LSH candidates + the
-    * identical exact-cosine + lexical verification. Registered rows-only
-    * (the seeded hyperplane signatures are engine-specific); recall vs
-    * the oracle-green exact row is spec-gated in TextSpec.
+  /** The SCALE tier of the same surface — and since round 5 the
+    * oracle-checked one: banded-LSH candidates over the INTEGER-literal
+    * hyperplane family (Similarity.lshPlanes — the rpMatrix determinism
+    * pattern), then the identical exact-cosine + lexical verification.
+    * The full band matrix renders into the DuckDB mirror below, so the
+    * candidate set, the cosine filter, and the Jaccard confirmation are
+    * all engine-reproducible; recall vs the exact tier stays spec-gated
+    * in SimSpec/TextSpec.
     */
+  val AnnBands = 12
+  val AnnPlanesPerBand = 3
+  val AnnSeed = 7L
+
   def semanticDedupAnn(s: SparkSession, dir: String): DataFrame =
     Curation.semanticDedupPairsAnn(docs(s, dir),
       Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
-      shingleN = ShingleN, minJaccard = MinJaccard)
+      shingleN = ShingleN, minJaccard = MinJaccard,
+      dim = SimQueries.Dim, bands = AnnBands,
+      planesPerBand = AnnPlanesPerBand, seed = AnnSeed)
+
+  lazy val semanticDedupAnnSql: String = {
+    val planes = graft.sim.Similarity.lshPlanes(AnnBands, AnnPlanesPerBand,
+      SimQueries.Dim, AnnSeed)
+    // one struct per band; each bucket packs planesPerBand sign bits
+    // (>= 0 convention, c/1000.0 literals) exactly as intBucketExpr does
+    val bandStructs = (0 until AnnBands).map { b =>
+      val bits = (0 until AnnPlanesPerBand).map { j =>
+        val arr = planes(b * AnnPlanesPerBand + j)
+          .map(c => s"$c/1000.0").mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(ve, $arr) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }
+      s"{'band': $b, 'bucket': CAST(${bits.mkString(" + ")} AS BIGINT)}"
+    }.mkString("[", ", ", "]")
+    val cos = "list_inner_product(va.ve, vb.ve) / " +
+      "(sqrt(list_inner_product(va.ve, va.ve)) * " +
+      "sqrt(list_inner_product(vb.ve, vb.ve)))"
+    val inter = "CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)"
+    val jac = s"$inter/(len(sa.shs) + len(sb.shs) - $inter)"
+    s"""$ShCte,
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |kb AS (SELECT vec_id AS id, u.band AS band, u.bucket AS bucket
+       |  FROM (SELECT vec_id, unnest($bandStructs) AS u FROM v)),
+       |cand0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM kb a JOIN kb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |cand AS (SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT id_a, id_b, round($cos, 4) AS cos_sim
+       |  FROM cand0 JOIN v va ON va.vec_id = id_a
+       |  JOIN v vb ON vb.vec_id = id_b)
+       |  WHERE cos_sim >= $SemanticTau),
+       |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh
+       |  GROUP BY doc_id)
+       |SELECT id_a, id_b, cos_sim, round($jac, 4) AS jaccard,
+       |  ($jac >= $MinJaccard) AS agree
+       |FROM cand JOIN sets sa ON sa.doc_id = id_a
+       |JOIN sets sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- unigram LM surprisal (CCNet-style quality signal) ------------------
 
@@ -1006,6 +1071,7 @@ object TextQueries {
     "pack_sequences_documents" -> packSequencesSql,
     "chunk_documents" -> chunkDocsSql,
     "semantic_dedup_pairs" -> semanticDedupSql,
+    "semantic_dedup_ann_pairs" -> semanticDedupAnnSql,
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,

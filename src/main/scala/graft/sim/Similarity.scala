@@ -133,21 +133,33 @@ object Similarity {
       .orderBy(col("cell"), col("rnk"))
   }
 
-  /** Hamming-1 multiprobe ANN top-k over DETERMINISTIC sign-LSH cells —
-    * the oracle-checkable member of the ANN ladder: [[knnLsh]]/[[knnIvf]]
-    * bucket by xxhash/KMeans (engine-specific, rows-only + recall
-    * specs), but integer-literal hyperplanes make this cell assignment,
-    * and therefore the whole result, reproducible in any engine. Each
-    * query probes its own cell plus every one-bit-flip neighbor (a
-    * near neighbor that crosses ONE hyperplane is still found) and
-    * scores candidates with the exact codegen'd cosine. The probe set
-    * rides an EXPLODE on the query side, so candidate generation stays
-    * a cell equi-join — never a theta join or cross product; recall < 1
-    * by design (neighbors ≥ 2 hyperplanes away are unseen); cells
-    * under k return fewer rows.
+  /** Margin-ordered multiprobe ANN top-k over DETERMINISTIC sign-LSH
+    * cells — the oracle-checkable member of the ANN ladder:
+    * [[knnLsh]]/[[knnIvf]] bucket by xxhash/KMeans (engine-specific,
+    * rows-only + recall specs), but integer-literal hyperplanes make
+    * this cell assignment, and therefore the whole result, reproducible
+    * in any engine. Each query probes `probes` cells chosen ADAPTIVELY
+    * (Lv et al., multi-probe LSH): every flip mask is penalized by the
+    * summed |margin| of the planes it crosses — a neighbor most likely
+    * sits across the hyperplanes the query is closest to — and the
+    * `probes` cheapest masks win (ties broken by mask, so the order is
+    * total). At the same probe budget this beats fixed hamming-1
+    * probing because a 2-bit flip across two near-zero margins is more
+    * promising than a 1-bit flip across a confident plane. Candidates
+    * are scored with the exact codegen'd cosine; the probe set rides an
+    * EXPLODE + rank on the (small) query side, so candidate generation
+    * stays a cell equi-join — never a theta join or cross product.
+    * Recall < 1 by design; cells under k return fewer rows. Penalties
+    * are fixed-order sums of |dot| against plan literals, so the probe
+    * choice itself is IEEE-reproducible in the SQL oracle.
     */
   def knnRp(corpus: DataFrame, queries: DataFrame, idCol: String,
-            vecCol: String, k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+            vecCol: String, k: Int, planes: Seq[Seq[Int]],
+            probes: Int = 0): DataFrame = {
+    val nP = planes.size
+    require(nP >= 1 && nP <= 20)
+    val nCells = 1 << nP
+    val budget = if (probes > 0) probes else nP + 1
     def cellOf(vec: Column): Column = planes.zipWithIndex.map {
       case (p, j) =>
         when(dot(vec, lit(p.map(_ / 1000.0).toArray)) >= 0, lit(1L << j))
@@ -156,12 +168,29 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", cellOf(col("cv")))
-    val flips = array((lit(0L) +: planes.indices.map(j => lit(1L << j))): _*)
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+    // per-plane |margin| columns, then one struct{pen, f} per flip mask;
+    // the penalty sums set-bit margins in ascending plane order — the
+    // exact addition order the oracle SQL renders
+    val qm = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
       .withColumn("home", cellOf(col("qv")))
-      .withColumn("flip", explode(flips))
-      .withColumn("cell", col("home").bitwiseXOR(col("flip")))
+      .select(Seq(col("query_id"), col("qv"), col("home")) ++
+        planes.zipWithIndex.map { case (p, j) =>
+          abs(dot(col("qv"), lit(p.map(_ / 1000.0).toArray))).as(s"__m$j")
+        }: _*)
+    val masks = array((0 until nCells).map { f =>
+      val pen = (0 until nP).filter(j => (f & (1 << j)) != 0)
+        .map(j => col(s"__m$j"))
+        .reduceOption[Column](_ + _).getOrElse(lit(0.0))
+      struct(pen.as("pen"), lit(f.toLong).as("f"))
+    }: _*)
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pf.pen"), col("pf.f"))
+    val q = qm.withColumn("pf", explode(masks))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= budget)
+      .select(col("query_id"), col("qv"),
+        col("home").bitwiseXOR(col("pf.f")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     q.join(c, "cell")
@@ -285,10 +314,33 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** The integer-literal hyperplane family behind [[lshCandidatePairs]] —
+    * exposed so the SQL oracle can render the IDENTICAL matrix (the
+    * rpMatrix determinism pattern: each coefficient c applies as
+    * c/1000.0, the one correctly-rounded IEEE quotient in every engine).
+    */
+  def lshPlanes(bands: Int, planesPerBand: Int, dim: Int,
+                seed: Long): Seq[Seq[Int]] =
+    rpMatrix(bands * planesPerBand, dim, seed)
+
+  /** Sign-bit bucket id against INTEGER-literal planes (sign convention
+    * `>= 0`, matching every other rpMatrix user) — engine-reproducible,
+    * unlike the gaussian [[bucketExpr]].
+    */
+  def intBucketExpr(vec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, lit(p.map(_ / 1000.0).toArray)) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** The candidate tier of [[cosineNearDupPairsLsh]], exposed on its own:
     * distinct unordered id pairs whose banded sign-bit signatures collide
     * in at least one band. SimSpec measures its pruning factor directly
-    * (candidates / all pairs) next to the end-to-end recall.
+    * (candidates / all pairs) next to the end-to-end recall. Banding uses
+    * the [[lshPlanes]] integer-literal family so the whole candidate set
+    * (and therefore the registered semantic-dedup query built on it) is
+    * reproducible in the DuckDB oracle — the same determinism upgrade
+    * [[knnRp]] made over [[knnLsh]].
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, bands: Int, planesPerBand: Int,
@@ -296,13 +348,13 @@ object Similarity {
     // each band's bucket packs planesPerBand sign bits into one Long;
     // the number of bands is unconstrained
     require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
-    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val planes = lshPlanes(bands, planesPerBand, dim, seed)
     val keyed = df
       .select(col(idCol).cast(LongType).as("id"),
         asDouble(col(vecCol)).as("v"))
       .select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          bucketExpr(col("v"),
+          intBucketExpr(col("v"),
             planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
             .as("bucket"))
       }: _*)).as("bb"))

@@ -197,10 +197,11 @@ object Curation {
                             minCos: Double = 0.4, shingleN: Int = 2,
                             minJaccard: Double = 0.4, dim: Int = 64,
                             bands: Int = 12,
-                            planesPerBand: Int = 3): DataFrame =
+                            planesPerBand: Int = 3,
+                            seed: Long = 7L): DataFrame =
     confirmPairsLexically(
       graft.sim.Similarity.cosineNearDupPairsLsh(vecs, vecIdCol, vecCol,
-        minCos, dim, bands, planesPerBand),
+        minCos, dim, bands, planesPerBand, seed),
       docs, docIdCol, textCol, shingleN, minJaccard)
 
   /** The lexical verification tier shared by both semantic-dedup
