@@ -191,9 +191,12 @@ object EventOps {
       // 4-dp seconds via integer half-up in micros: round(us/1e6, 4)
       // lands on an exact .00005 boundary whenever us ≡ 50 (mod 100),
       // where double HALF_UP (Spark) and float multiply-round (DuckDB)
-      // disagree — integer arithmetic cannot
+      // disagree — integer arithmetic cannot. `div` is true integral
+      // division (the structural twin of the oracle's `//`), exact at
+      // any magnitude — `/` on longs would detour through double and
+      // only stay exact below 2^53 µs
       .withColumn("duration_secs",
-        floor((col("dur_us") + 50L) / 100L).cast(DoubleType) / 10000.0)
+        expr("(dur_us + 50) div 100").cast(DoubleType) / 10000.0)
     // the percentile stays in MICROS so the single-run case (p = the
     // run's own integer micros) rounds through the same floor
     // arithmetic as duration_secs — round(p/1e6, 4) would re-open the

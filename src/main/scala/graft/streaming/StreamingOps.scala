@@ -314,9 +314,15 @@ object StreamingOps {
       try q.processAllAvailable() finally q.stop()
       summarize(spark.table(name)).localCheckpoint(true)
     } finally {
+      // each teardown step is individually non-fatal-guarded: a cleanup
+      // failure (e.g. a file still held after a failed query) must not
+      // mask the primary error, and a fatal error (OOM, interrupt) must
+      // not be swallowed
+      import scala.util.control.NonFatal
       try spark.catalog.dropTempView(name)
-      catch { case _: Throwable => () }
-      rmTree(drop); rmTree(ckpt)
+      catch { case NonFatal(_) => () }
+      try rmTree(drop) catch { case NonFatal(_) => () }
+      try rmTree(ckpt) catch { case NonFatal(_) => () }
     }
   }
 
