@@ -530,7 +530,14 @@ object TextQueries {
   // ---- BPE tokenizer-training prep -----------------------------------------
 
   val BpeTopK = 50
-  val BpeNMerges = 12
+
+  /** 256 merges since round 5 — tokenizer-training scale, not audit
+    * scale. Learning runs through TextOps.bpeMergesScalable (one corpus
+    * pass + in-memory loop); the sequential Spark-loop bpeMerges stays
+    * as the distributed reference the spec pins against.
+    */
+  val BpeNMerges = 256
+  val BpeMaxVocab = 65536
 
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextOps.bpePairStats(docs(s, dir), "text", BpeTopK)
@@ -544,15 +551,20 @@ object TextQueries {
        |SELECT pair, CAST(count(*) AS BIGINT) AS ct
        |FROM p GROUP BY pair ORDER BY ct DESC, pair LIMIT $BpeTopK""".stripMargin
 
-  /** Iterative merge learning — rows-only (the driver loop is not one SQL
-    * statement); TextSpec pins the merge table to a plain-Scala reference
-    * BPE, and the first merge to [[bpePairsSql]]'s argmax.
+  /** Merge learning at vocabulary scale — rows-only (the merge loop is
+    * not one SQL statement); TextSpec pins the learner to the
+    * sequential Spark-loop bpeMerges AND to a plain-Scala reference
+    * BPE (at 256 merges on a rich synthetic vocabulary), and the first
+    * merge to [[bpePairsSql]]'s argmax. The harness corpus holds only
+    * 31 distinct words, so its merge sequence EXHAUSTS at 89 — the
+    * loop stops cleanly when no pairs remain.
     */
   def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
-    TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges)
+    TextOps.bpeMergesScalable(docs(s, dir), "text", BpeNMerges,
+      BpeMaxVocab)
 
-  /** Learn-then-apply: the merge table (12 control-plane rows) feeds the
-    * composed fold encoder. Rows-only (the loop is not one SQL
+  /** Learn-then-apply: the merge table (256 control-plane rows) feeds
+    * the codec-style encoder. Rows-only (the loop is not one SQL
     * statement); TextSpec pins encoding to the reference BPE. The learned
     * table is memoized per (data dir, table file mtime) — deterministic
     * in the corpus, and re-running the multi-round learning job on every
@@ -571,12 +583,13 @@ object TextQueries {
     val key = (dir, new java.io.File(s"$dir/documents.parquet")
       .lastModified())
     val m = Option(bpeMergeCache.get(key)).getOrElse {
-      val learned = TextOps.bpeMerges(docs(s, dir), "text", BpeNMerges)
+      val learned = TextOps.bpeMergesScalable(docs(s, dir), "text",
+          BpeNMerges, BpeMaxVocab)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeMergeCache.putIfAbsent(key, learned)
       learned
     }
-    TextOps.bpeEncode(docs(s, dir), "text", "doc_id", m)
+    TextOps.bpeEncodeScalable(docs(s, dir), "text", "doc_id", m)
   }
 
   // ---- filter-policy decision matrix ---------------------------------------

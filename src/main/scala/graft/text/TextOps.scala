@@ -430,13 +430,112 @@ object TextOps {
         col("sym_b"), col("merged"), col("pair_ct"))
   }
 
+  /** Code-point split of a word — matches Spark's
+    * `substring(word, i, 1)` decomposition (code points, NOT UTF-16
+    * units: a supplementary character is ONE symbol in both).
+    */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Strict less-than in UTF-8 byte order (== code-point order) — the
+    * tie-break order Spark's string sort uses; Java's compareTo is
+    * UTF-16 code-UNIT order and disagrees for supplementary characters.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.codePoints().toArray
+    val b = y.codePoints().toArray
+    var i = 0
+    while (i < a.length && i < b.length) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy left-to-right non-overlapping fuse of (a, b) — the in-JVM
+    * twin of [[fusePair]] (after a merge the scan resumes AFTER the
+    * fused token).
+    */
+  private def fuseInPlace(syms: Array[String], a: String,
+                          b: String): Array[String] = {
+    val buf = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        buf += a + b; i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.result()
+  }
+
+  /** [[bpeMerges]] at tokenizer-training scale: ONE corpus pass, then
+    * the merge loop in memory. The per-merge Spark round-trip of
+    * [[bpeMerges]] is the right shape for auditing a dozen merges but
+    * infeasible for a real 10³–10⁴-merge vocabulary (one cluster job
+    * per merge); the scale shape is the one every production tokenizer
+    * trainer uses — collapse the corpus to its word-frequency table
+    * (the ONLY pass that touches 100 TB; classic BPE trains on exactly
+    * this table), bring the top `maxVocab` rows to the driver by
+    * (ct desc, word asc) — a deterministic, bounded, control-plane
+    * collect: the merge table being learned is itself a driver-sized
+    * model artifact — and run the sequential merge loop in the JVM.
+    * Semantics are pinned to [[bpeMerges]] (same pair weighting, same
+    * (count desc, a, b) argmax in UTF-8 order, same greedy fuse) by a
+    * TextSpec property test; when `maxVocab` caps a larger vocabulary
+    * the result is BPE trained on the dominant words — the standard
+    * sampled-training posture, stated in the returned table's contract.
+    */
+  def bpeMergesScalable(df: DataFrame, textCol: String, nMerges: Int,
+                        maxVocab: Int = 65536): DataFrame = {
+    val spark = df.sparkSession
+    val wf = df.select(explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("word")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] =
+      wf.map { case (w, c) => (codePointSyms(w), c) }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, n) =>
+          if (best == null || n > best._2 ||
+            (n == best._2 && (utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, n)
+        }
+        val ((a, b), n) = best
+        merges += ((rank.toLong, a, b, a + b, n))
+        vocab = vocab.map { case (syms, c) => (fuseInPlace(syms, a, b), c) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "sym_a", "sym_b", "merged", "pair_ct")
+  }
+
   /** Apply a learned merge table in rank order — the tokenizer-apply
     * step that closes the [[bpeMerges]] loop. All merges compose into
     * ONE column expression (k merges = k chained [[fusePair]] greedy
     * folds), so encoding is a pure per-row map over words; the only
     * shuffle is the per-doc count aggregate. Reports characters vs BPE
     * tokens per document — the compression-ratio evaluation a
-    * tokenizer-training run is judged by.
+    * tokenizer-training run is judged by. The right tool up to a few
+    * dozen merges; a production-size table makes the plan expression
+    * itself the bottleneck — [[bpeEncodeScalable]] is the codec-style
+    * sibling for that regime.
     */
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
@@ -453,6 +552,51 @@ object TextOps {
       .agg(sum(col("nc")).as("n_chars"),
         sum(col("nt")).as("n_bpe_tokens"))
       .select(col(idCol), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(idCol)
+  }
+
+  /** [[bpeEncode]] for production-size merge tables: a tokenizer with
+    * hundreds-to-thousands of merges is a CODEC, not a SQL expression —
+    * composing 256 nested `aggregate` folds makes the plan itself the
+    * bottleneck (analysis + interpreted lambdas per element), exactly
+    * the regime where mapPartitions is the honest tool (the media-codec
+    * precedent). The merge table rides the closure (control-plane
+    * kilobytes), each partition encodes independently with the same
+    * greedy rank-order fuse ([[fuseInPlace]] — the in-JVM twin of
+    * [[fusePair]], property-pinned in TextSpec), and the aggregate
+    * stays per-row, so the operator is embarrassingly parallel with no
+    * shuffle at all. Same output contract as [[bpeEncode]]: one row per
+    * document that has at least one word.
+    */
+  def bpeEncodeScalable(df: DataFrame, textCol: String, idCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
+      .as[(Long, String)]
+    val enc = ds.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val ws = Option(text).getOrElse("").trim.split("\\s+")
+          .filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else {
+          var nc = 0L
+          var nt = 0L
+          ws.foreach { w =>
+            nc += w.codePointCount(0, w.length)
+            var syms = codePointSyms(w)
+            merges.foreach { case (a, b) =>
+              syms = fuseInPlace(syms, a, b)
+            }
+            nt += syms.length
+          }
+          Some((id, nc, nt))
+        }
+      }
+    }.toDF(idCol, "n_chars", "n_bpe_tokens")
+    enc.select(col(idCol), col("n_chars"), col("n_bpe_tokens"),
         round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)
           .as("chars_per_token"))
       .orderBy(idCol)

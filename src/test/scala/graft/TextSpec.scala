@@ -325,6 +325,85 @@ class TextSpec extends AnyFunSuite {
     assert(want.head._3 == top.getString(0) && want.head._4 == top.getLong(1))
   }
 
+  test("scalable BPE learner matches the sequential Spark loop and the " +
+    "plain-Scala reference") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new low widest"),
+      (3L, "wide wider widest new newer"),
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val slow = rows(TextOps.bpeMerges(docs, "text", nMerges = 8))
+    val fast = rows(TextOps.bpeMergesScalable(docs, "text", nMerges = 8))
+    assert(fast == slow)
+    val want = refBpe(
+      docs.collect().flatMap(_.getString(1).split("\\s+")).toSeq, 8)
+    assert(fast.map(m => (m._2, m._3, m._4, m._5)) == want)
+    // and on the real harness table, deep into the merge sequence (the
+    // regime the sequential Spark loop cannot reach economically)
+    val real = Tables.load(spark, SparkTestSession.sf, "documents")
+    val deep = rows(TextOps.bpeMergesScalable(real, "text", nMerges = 64))
+    val wantDeep = refBpe(real.select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
+      .toSeq, 64)
+    assert(deep.map(m => (m._2, m._3, m._4, m._5)) == wantDeep)
+  }
+
+  test("scalable BPE learner sustains 256+ merges on a rich vocabulary") {
+    // the harness documents table holds only 31 distinct words, which
+    // BPE exhausts after 89 merges — so the deep-merge regime is proven
+    // on a synthetic corpus with enough lexical material. 400 distinct
+    // seeded words, 256 merges, pinned to the plain-Scala reference.
+    val rnd = new scala.util.Random(7L)
+    val wordsPool = Seq.fill(400)(
+      (3 + rnd.nextInt(8)).to(1, -1).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = wordsPool.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextOps.bpeMergesScalable(docs, "text", nMerges = 256)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got.size == 256)
+    val want = refBpe(wordsPool, 256)
+    assert(got == want)
+  }
+
+  test("scalable BPE learner caps the vocabulary deterministically") {
+    // maxVocab = 1 keeps only the most frequent word ("aa bb" ties break
+    // by word asc → "aa"), so the learned merge comes from "aa" alone
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "aa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeMergesScalable(docs, "text", nMerges = 1,
+        maxVocab = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "a", 3L)))
+  }
+
+  test("codec-style BPE encoder matches the composed-fold encoder") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new low widest"),
+      (3L, "   "), // no words → no row, same as the fold encoder
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, "text", nMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows(TextOps.bpeEncodeScalable(docs, "text", "doc_id", merges))
+      == rows(TextOps.bpeEncode(docs, "text", "doc_id", merges)))
+    // and on the harness table with a deep merge table
+    val real = Tables.load(spark, SparkTestSession.sf, "documents")
+      .limit(50)
+    val deepM = TextOps.bpeMergesScalable(real, "text", nMerges = 64)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rows(TextOps.bpeEncodeScalable(real, "text", "doc_id", deepM))
+      == rows(TextOps.bpeEncode(real, "text", "doc_id", deepM)))
+  }
+
   test("BPE encoding matches reference application of the learned merges") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
