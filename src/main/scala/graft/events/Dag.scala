@@ -62,4 +62,33 @@ object Dag {
     */
   val FunnelEdges: Seq[(String, String)] =
     Seq(("signup", "view"), ("view", "click"), ("click", "purchase"))
+
+  /** A journey-DAG edge exactly as the reference accepts it
+    * (`PUT /journeys/{id}/dag`, demo_helper.py:252-276): both sides
+    * present → an ordering constraint left ≺ right; a SINGLE side
+    * present (`{left}`-only or `{right}`-only, demo_helper.py:264-271)
+    * → the component is a journey MEMBER with no ordering constraint.
+    */
+  final case class Edge(left: Option[String], right: Option[String])
+
+  /** Every component the journey contains — both sides of ordered edges
+    * plus half-open members. Distinct, sorted (deterministic broadcast).
+    */
+  def members(edges: Seq[Edge]): Seq[String] =
+    edges.flatMap(e => e.left ++ e.right).distinct.sorted
+
+  /** Only the fully-specified edges order anything; half-open edges
+    * contribute membership, never precedence.
+    */
+  def orderedPairs(edges: Seq[Edge]): Seq[(String, String)] =
+    edges.collect { case Edge(Some(a), Some(b)) => (a, b) }
+
+  /** Demo journey WITH a half-open member: view → click → purchase
+    * ordered; `error` registered via a `{left}`-only edge — inside the
+    * journey but unordered; `signup` not a member at all.
+    */
+  val HalfOpenJourney: Seq[Edge] = Seq(
+    Edge(Some("view"), Some("click")),
+    Edge(Some("click"), Some("purchase")),
+    Edge(Some("error"), None))
 }

@@ -401,6 +401,37 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** R4 for journeys with HALF-OPEN edges (reference accepts
+    * `{left}`-only / `{right}`-only DAG writes, demo_helper.py:264-271:
+    * membership WITHOUT an ordering constraint): the instance stream is
+    * first scoped to the journey's member components — events outside
+    * the journey are invisible to it, so two ordered components
+    * separated only by non-members are still ADJACENT — and then
+    * transitions are flagged against the ordered-pair closure exactly
+    * as [[outOfSequence]] does. An unordered member participates in
+    * the scoped adjacency (it can legitimately sit between two ordered
+    * components, breaking their adjacency) but can never raise
+    * OUT_OF_SEQUENCE itself: no closure row mentions it. Same
+    * execution shape: one session window, broadcast closure join.
+    */
+  def outOfSequenceScoped(ev: DataFrame, gapSeconds: Long,
+                          closureDf: DataFrame,
+                          memberTypes: Seq[String]): DataFrame = {
+    val sess = withSessionId(ev, gapSeconds)
+      .filter(col("event_type").isin(memberTypes: _*))
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val seq = sess.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    seq.join(broadcast(closureDf),
+        seq("event_type") === closureDf("src") &&
+          seq("prev_type") === closureDf("dst"))
+      .select(col("user_id"), col("session_id"), col("event_id"), col("ts"),
+        col("prev_type"), col("event_type"),
+        lit("OUT_OF_SEQUENCE").as("alert_type"))
+      .orderBy("event_id")
+  }
+
   /** R5 — metric rule: `metric_log.key == k && value > v` → alert
     * (reference demo_helper.py:1917-1937).
     */

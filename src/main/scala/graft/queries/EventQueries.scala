@@ -352,6 +352,39 @@ object EventQueries {
        |WHERE prev_type IS NOT NULL
        |ORDER BY event_id""".stripMargin
 
+  // ---- R4 variant: half-open journey edges --------------------------------
+
+  /** The half-open journey (Dag.HalfOpenJourney): view → click →
+    * purchase ordered, `error` a member via a `{left}`-only edge,
+    * `signup` outside the journey. Scoping to members makes ordered
+    * components adjacent across non-member events; the unordered member
+    * bridges adjacency but never flags.
+    */
+  def outOfSequenceHalfOpen(s: SparkSession, dir: String): DataFrame = {
+    val j = Dag.HalfOpenJourney
+    val closure = Dag.edgeDf(s, Dag.closureLocal(Dag.orderedPairs(j)))
+    EventOps.outOfSequenceScoped(ev(s, dir), GapSeconds, closure,
+      Dag.members(j))
+  }
+
+  val outOfSequenceHalfOpenSql: String = {
+    val members = Dag.members(Dag.HalfOpenJourney)
+      .map(m => s"'$m'").mkString(", ")
+    val closure = Dag.closureLocal(Dag.orderedPairs(Dag.HalfOpenJourney))
+      .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+    s"""$SessCte,
+       |scoped AS (SELECT * FROM sess WHERE event_type IN ($members)),
+       |seq AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id,
+       |    session_id ORDER BY ts, event_id) AS prev_type FROM scoped),
+       |closure(src, dst) AS (VALUES $closure)
+       |SELECT user_id, session_id, event_id, ts, prev_type, event_type,
+       |  'OUT_OF_SEQUENCE' AS alert_type
+       |FROM seq JOIN closure ON seq.event_type = closure.src
+       |  AND seq.prev_type = closure.dst
+       |WHERE prev_type IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+  }
+
   // ---- R5 metric rule ------------------------------------------------------
 
   def metricAlerts(s: SparkSession, dir: String): DataFrame =
@@ -687,6 +720,7 @@ object EventQueries {
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
     "ev_out_of_sequence" -> (outOfSequence _),
+    "ev_out_of_sequence_halfopen" -> (outOfSequenceHalfOpen _),
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
     "ev_salted_rollup" -> (saltedRollup _),
@@ -714,6 +748,7 @@ object EventQueries {
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,
     "ev_out_of_sequence" -> outOfSequenceSql,
+    "ev_out_of_sequence_halfopen" -> outOfSequenceHalfOpenSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,
     "ev_salted_rollup" -> saltedRollupSql,

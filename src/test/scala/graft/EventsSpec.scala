@@ -67,6 +67,39 @@ class EventsSpec extends AnyFunSuite {
     assert(oos.head.getAs[String]("event_type") == "view")
   }
 
+  test("half-open journey edges grant membership without ordering") {
+    // journey: view → click ordered; error a {left}-only member;
+    // signup NOT a member (reference demo_helper.py:264-271)
+    val j = Seq(Dag.Edge(Some("view"), Some("click")),
+      Dag.Edge(Some("error"), None))
+    assert(Dag.members(j) == Seq("click", "error", "view"))
+    assert(Dag.orderedPairs(j) == Seq(("view", "click")))
+    val closure = Dag.edgeDf(spark, Dag.closureLocal(Dag.orderedPairs(j)))
+    def evs(rows: (Long, String)*) = {
+      import org.apache.spark.sql.functions.expr
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong + 1, u, t, 0.0, "{}",
+          java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+        .withColumn("ts", expr("ts"))
+    }
+    def flagged(df: org.apache.spark.sql.DataFrame) =
+      EventOps.outOfSequenceScoped(df, 3600, closure, Dag.members(j))
+        .collect().map(_.getAs[Long]("event_id")).toSeq
+    // (a) non-member signup between click and view is INVISIBLE to the
+    //     journey: click → view is still adjacent and flags
+    assert(flagged(evs((1L, "click"), (1L, "signup"), (1L, "view")))
+      == Seq(3L))
+    // (b) the unordered member error IS part of the journey stream: it
+    //     breaks click/view adjacency, so nothing flags...
+    assert(flagged(evs((1L, "click"), (1L, "error"), (1L, "view")))
+      == Seq.empty)
+    // (c) ...and an unordered member itself NEVER raises the alert,
+    //     wherever it sits relative to ordered components
+    assert(flagged(evs((1L, "view"), (1L, "click"), (1L, "error")))
+      == Seq.empty)
+  }
+
   test("schedule lateness flags starts beyond cron + margin") {
     val late = EventOps.lateStarts(fixture, "0 6 * * *", 600, spark)
       .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
