@@ -154,6 +154,87 @@ object Profiler {
     }: _*)
   }
 
+  /** The profile fields an incremental merge can reproduce EXACTLY from
+    * two disjoint partial profiles: meta, additive counts and decimal
+    * sums, extrema, and the stats re-derivable from those (avg from the
+    * merged sum, range/span/recency from the merged extrema). Excluded —
+    * by mathematics, not implementation: distinct counts (need HLL
+    * sketches), avg_len/avg_words (the length sums aren't retained),
+    * stddev/skew/kurt/cv (need higher-moment sums), and percentiles
+    * (need KLL sketches). Shared by [[mergeProfiles]] and the oracle of
+    * the registered equality query.
+    */
+  val MergeableFields: Seq[String] = Seq(
+    "table_name", "column_name", "ordinal", "data_type",
+    "record_ct", "value_ct", "null_ct", "min_len", "max_len", "blank_ct",
+    "min_str", "max_str", "min_num", "max_num", "avg_num", "sum_num",
+    "frac_sum", "zero_ct", "neg_ct", "min_ts", "max_ts",
+    "embedded_space_ct", "upper_ct", "lower_ct", "numeric_str_ct",
+    "date_str_ct", "pos_ct", "frac_value_ct", "future_ct", "weekend_ct",
+    "lead_space_ct", "quote_ct", "non_ascii_ct", "alpha_ct", "boolean_ct",
+    "email_ct", "zip_ct", "dummy_ct", "range_num", "round_num_ct",
+    "midnight_ct", "work_hours_ct", "span_days", "recency_days")
+
+  /** Merge two profiles of the SAME table over DISJOINT row sets into
+    * the profile of their union, restricted to [[MergeableFields]] —
+    * the incremental-profiling law that lets a 100 TB lake re-profile
+    * only its new partitions: profile(old ∪ delta) ==
+    * merge(profile(old), profile(delta)). A profile is one row per
+    * column, so this is a control-plane-sized join however large the
+    * profiled data was; every statistic stays an engine-side expression
+    * (sums of the exact DECIMAL-backed sums, least/greatest extrema,
+    * avg re-derived from the merged sum with the same round(,4), range/
+    * span/recency re-derived from the merged extrema with the same
+    * formulas), so the merged frame hash-matches the full-table oracle.
+    * The driver-side record twin is [[ColProfile.merge]].
+    */
+  def mergeProfiles(a: DataFrame, b: DataFrame): DataFrame = {
+    val bj = b.select(b.columns.toSeq.map(c => col(c).as(s"__b_$c")): _*)
+    def A(c: String) = col(c)
+    def B(c: String) = col(s"__b_$c")
+    def addC(c: String) = (A(c) + B(c)).as(c)
+    // the profile emits sums as the double image of an exact DECIMAL:
+    // adding the doubles directly drifts an ulp from the full-table sum
+    // (0.01 is not a binary fraction), but each double round-trips to
+    // its source decimal exactly (≤ 6 dp, |x| ≪ 2^53/10⁶), so summing
+    // IN DECIMAL reproduces the one-pass sum bit-for-bit
+    def decSum(c: String): Column = A(c).cast(SumDec) + B(c).cast(SumDec)
+    def addDec(c: String) = decSum(c).cast(DoubleType).as(c)
+    def minC(c: String) = least(A(c), B(c)).as(c)
+    def maxC(c: String) = greatest(A(c), B(c)).as(c)
+    a.join(bj, A("table_name") === B("table_name") &&
+        A("column_name") === B("column_name"))
+      .select(
+        A("table_name").as("table_name"),
+        A("column_name").as("column_name"),
+        A("ordinal").as("ordinal"), A("data_type").as("data_type"),
+        addC("record_ct"), addC("value_ct"), addC("null_ct"),
+        minC("min_len"), maxC("max_len"), addC("blank_ct"),
+        minC("min_str"), maxC("max_str"),
+        minC("min_num"), maxC("max_num"),
+        round(decSum("sum_num").cast(DoubleType) /
+          (A("value_ct") + B("value_ct")), 4).as("avg_num"),
+        addDec("sum_num"), addDec("frac_sum"), addC("zero_ct"),
+        addC("neg_ct"),
+        minC("min_ts"), maxC("max_ts"),
+        addC("embedded_space_ct"), addC("upper_ct"), addC("lower_ct"),
+        addC("numeric_str_ct"), addC("date_str_ct"), addC("pos_ct"),
+        addC("frac_value_ct"), addC("future_ct"), addC("weekend_ct"),
+        addC("lead_space_ct"), addC("quote_ct"), addC("non_ascii_ct"),
+        addC("alpha_ct"), addC("boolean_ct"), addC("email_ct"),
+        addC("zip_ct"), addC("dummy_ct"),
+        (greatest(A("max_num"), B("max_num")) -
+          least(A("min_num"), B("min_num"))).as("range_num"),
+        addC("round_num_ct"), addC("midnight_ct"), addC("work_hours_ct"),
+        datediff(to_date(greatest(A("max_ts"), B("max_ts"))),
+          to_date(least(A("min_ts"), B("min_ts"))))
+          .cast(LongType).as("span_days"),
+        datediff(to_date(lit(graft.quality.TestEvaluator.AsOfTs)),
+          to_date(greatest(A("max_ts"), B("max_ts"))))
+          .cast(LongType).as("recency_days"))
+      .orderBy("column_name")
+  }
+
   /** Output field order around the two distinct-count slots. */
   private val BaseFieldsHead = Seq("table_name", "column_name", "ordinal",
     "data_type", "record_ct", "value_ct", "null_ct")

@@ -33,6 +33,30 @@ object ProfileQueries {
     DriftPsi.psi(Tables.load(s, dir, "lineitem"), "lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal, s)
 
+  /** Incremental re-profile equality, driver-gated: split lineitem on a
+    * deterministic key predicate into "standing corpus" and "new
+    * partitions", profile each half independently, merge with
+    * Profiler.mergeProfiles — and let the DuckDB oracle compute the
+    * FULL-table profile. A hash match IS the incremental law
+    * profile(old ∪ delta) == merge(profile(old), profile(delta)) on the
+    * mergeable statistics, verified against an independent engine — the
+    * "never re-profile the whole lake" contract at 100 TB.
+    */
+  private def profileMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val li = Tables.load(s, dir, "lineitem")
+    Profiler.mergeProfiles(
+      Profiler.profile(li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0),
+        "lineitem"),
+      Profiler.profile(li.filter(pmod(col("l_orderkey"), lit(4)) === 0),
+        "lineitem"))
+  }
+
+  private val profileMergeSql: String =
+    s"""SELECT ${Profiler.MergeableFields.mkString(", ")}
+       |FROM (${ProfileOracle.sql("lineitem")})
+       |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_customer" -> prof("customer") _,
     "profile_orders" -> prof("orders") _,
@@ -59,6 +83,7 @@ object ProfileQueries {
     "schema_drift_events" -> ((s: SparkSession, dir: String) =>
       SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
     "drift_psi_lineitem" -> (driftPsi _),
+    "profile_merge_lineitem" -> (profileMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,6 +98,7 @@ object ProfileQueries {
     "profile_compare_lineitem" ->
       ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
     "schema_drift_events" -> SchemaDrift.oracleSql("events"),
+    "profile_merge_lineitem" -> profileMergeSql,
     "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),
   )

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.quality.{Hygiene, PinnedBaselines, Suites, TestEvaluator}
+import graft.quality.{Hygiene, OutcomeExport, PinnedBaselines, Suites,
+  TestEvaluator}
 
 /** Data-quality test surface wired into the driver contract. The three
   * static suites carry sf0.001-profiled baselines as literals and cover all
@@ -30,6 +31,44 @@ object QualityQueries {
                                      dir: String): DataFrame =
     Hygiene.report(Tables.load(s, dir, table), table)
 
+  /** The component-integration config the export round-trip query packs:
+    * reference demo constants with the harness tables in the include
+    * list, so `include_listed` exercises the array membership both ways.
+    */
+  val ExportComponent: OutcomeExport.TestgenComponent =
+    OutcomeExport.TestgenComponent(
+      includeList = Seq("customer", "lineitem", "orders"))
+
+  /** Ingest → pack (full 4-level component_integrations + outcome
+    * integration structs) → rollup, end to end: the customer suite's
+    * outcomes are packed into API-shaped events carrying the
+    * dataset-level testgen component block, and the rollup re-derives
+    * per-(config, table, status) outcome counts by traversing BOTH
+    * nested paths. The oracle computes the same counts from the flat
+    * compiled-suite SQL with the config rendered as literals — any
+    * misplaced field or broken struct round-trip breaks the hash.
+    */
+  private def exportRollup(s: SparkSession, dir: String): DataFrame =
+    OutcomeExport.statusRollup(OutcomeExport.pack(
+      TestEvaluator.run(Tables.load(s, dir, "customer"), Suites.customer),
+      "default-suite-1", component = ExportComponent))
+
+  private val exportRollupSql: String = {
+    val c = ExportComponent
+    val inList = c.includeList.map(t => s"'$t'").mkString(", ")
+    s"""SELECT '${c.databaseName}' AS database_name,
+       |  '${c.schemaName}' AS schema_name,
+       |  '${c.connectionName}' AS connection_name,
+       |  CAST(${c.version} AS BIGINT) AS cfg_version,
+       |  '${c.groupId}' AS group_id,
+       |  '${c.projectCode}' AS project_code,
+       |  ${c.usesSampling} AS uses_sampling,
+       |  table_name, table_name IN ($inList) AS include_listed,
+       |  status, CAST(count(*) AS BIGINT) AS n_outcomes
+       |FROM (${TestEvaluator.oracleSql("customer", Suites.customer)})
+       |GROUP BY table_name, status ORDER BY table_name, status""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_lineitem" -> suite("lineitem") _,
     "dq_orders" -> suite("orders") _,
@@ -46,6 +85,7 @@ object QualityQueries {
     "hygiene_customer" -> hygiene("customer") _,
     "hygiene_orders" -> hygiene("orders") _,
     "hygiene_documents" -> hygiene("documents") _,
+    "dq_export_rollup_customer" -> (exportRollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,5 +100,6 @@ object QualityQueries {
     "hygiene_customer" -> Hygiene.oracleSql("customer"),
     "hygiene_orders" -> Hygiene.oracleSql("orders"),
     "hygiene_documents" -> Hygiene.oracleSql("documents"),
+    "dq_export_rollup_customer" -> exportRollupSql,
   )
 }

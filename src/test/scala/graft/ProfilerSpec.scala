@@ -208,6 +208,31 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("frame-level profile merge is EXACT and composes across splits") {
+    // mergeProfiles is the engine-side twin of ColProfile.merge: on the
+    // mergeable fields the merged frame must equal the full-table
+    // profile bit-for-bit (decimal-recovered sums, re-derived avg/range/
+    // span) — not approximately
+    val df = Tables.load(spark, SparkTestSession.sf, "events")
+    val k = org.apache.spark.sql.functions.col("event_id")
+    def p(d: org.apache.spark.sql.DataFrame) = Profiler.profile(d, "events")
+    val full = p(df)
+      .select(Profiler.MergeableFields.map(
+        org.apache.spark.sql.functions.col): _*)
+      .orderBy("column_name")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().toSeq
+    val twoWay = Profiler.mergeProfiles(p(df.filter(k % 2 === 0)),
+      p(df.filter(k % 2 === 1)))
+    assert(rows(twoWay) == rows(full))
+    // three disjoint deltas folded pairwise — the standing-baseline +
+    // nightly-delta usage pattern
+    val threeWay = Profiler.mergeProfiles(
+      Profiler.mergeProfiles(p(df.filter(k % 3 === 0)),
+        p(df.filter(k % 3 === 1))),
+      p(df.filter(k % 3 === 2)))
+    assert(rows(threeWay) == rows(full))
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()

@@ -231,6 +231,55 @@ class QualitySpec extends AnyFunSuite {
       f"${r.getAs[Double]("max_threshold")}%.4f"))
   }
 
+  test("packed events carry the 4-level component-integration block and " +
+    "the reference's last-outcome parameter lifts") {
+    import graft.quality.OutcomeExport
+    val df = Tables.load(spark, SparkTestSession.sf, "customer")
+    val results = TestEvaluator.run(df, Suites.customer)
+    val comp = OutcomeExport.TestgenComponent(
+      includeList = Seq("customer", "nope"))
+    val events = OutcomeExport.pack(results, "s1", chunkSize = 7,
+      component = comp)
+    val ev = events.collect()
+    // dataset-level block: every 4-level field survives verbatim
+    ev.foreach { r =>
+      val tg = r.getAs[org.apache.spark.sql.Row]("component_integrations")
+        .getAs[org.apache.spark.sql.Row]("integrations")
+        .getAs[org.apache.spark.sql.Row]("testgen")
+      assert(tg.getAs[String]("database_name") == comp.databaseName)
+      assert(tg.getAs[String]("schema") == comp.schemaName)
+      assert(tg.getAs[org.apache.spark.sql.Row]("tables")
+        .getSeq[String](tg.getAs[org.apache.spark.sql.Row]("tables")
+          .fieldIndex("include_list")).toSeq == comp.includeList)
+      val cfg = tg.getAs[org.apache.spark.sql.Row](
+        "table_group_configuration")
+      assert(cfg.getAs[String]("group_id") == comp.groupId)
+      assert(cfg.getAs[String]("project_code") == comp.projectCode)
+      assert(!cfg.getAs[Boolean]("uses_sampling"))
+    }
+    // event-level lift: max_threshold/metric_value come from the LAST
+    // outcome of the chunk in the deterministic packing order
+    // (demo_helper.py:880-886 keeps overwriting while iterating)
+    val ordered = results.orderBy("table_name", "column_name", "test_type")
+      .collect()
+    ev.foreach { r =>
+      val chunk = r.getAs[Long]("chunk").toInt
+      val last = ordered(math.min((chunk + 1) * 7, ordered.length) - 1)
+      assert(r.getAs[Double]("max_threshold") ==
+        last.getAs[Double]("threshold"))
+      assert(r.getAs[Double]("metric_value") ==
+        last.getAs[Double]("measure"))
+    }
+    // the rollup traverses both nested paths and lands on the flat truth
+    val roll = OutcomeExport.statusRollup(events).collect()
+    val want = results.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll.map(r => r.getAs[String]("status") ->
+      r.getAs[Long]("n_outcomes")).toMap == want)
+    assert(roll.forall(_.getAs[Boolean]("include_listed")))
+    assert(roll.forall(_.getAs[String]("group_id") == comp.groupId))
+  }
+
   test("count-family tri-state: pass, warn band, fail") {
     val df = Seq.tabulate(1000)(i => (i.toLong,
       if (i < 3) null else "x")).toDF("id", "s")
