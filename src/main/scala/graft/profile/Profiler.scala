@@ -188,7 +188,16 @@ object Profiler {
     * formulas), so the merged frame hash-matches the full-table oracle.
     * The driver-side record twin is [[ColProfile.merge]].
     */
-  def mergeProfiles(a: DataFrame, b: DataFrame): DataFrame = {
+  def mergeProfiles(a0: DataFrame, b0: DataFrame): DataFrame = {
+    // materialize both inputs first: a profile is one row per column —
+    // control-plane data — but its PLAN is a tree of full-table
+    // aggregates, and joining two such trees re-evaluates the heavy
+    // subtrees (measured 33 s vs 0.3 s on sf0.1 lineitem). In the
+    // incremental posture the standing baseline is a stored artifact
+    // anyway; eager checkpoint makes the merge cost independent of the
+    // profiled data size.
+    val a = a0.localCheckpoint(true)
+    val b = b0.localCheckpoint(true)
     val bj = b.select(b.columns.toSeq.map(c => col(c).as(s"__b_$c")): _*)
     def A(c: String) = col(c)
     def B(c: String) = col(s"__b_$c")

@@ -342,14 +342,27 @@ object Similarity {
     * reproducible in the DuckDB oracle — the same determinism upgrade
     * [[knnRp]] made over [[knnLsh]].
     */
+  /** `maxBucket`: the hot-bucket guard rail for the self-join. Candidate
+    * volume is Σ bucket² per band — a bucket holding b ids emits b²/2
+    * pairs, so ONE hot bucket (a dense embedding region, or simply a
+    * too-coarse `planesPerBand` at a large corpus) can dominate the
+    * whole stage; the sf1 scale gate measured exactly this shape
+    * (candidates ∝ n²/2^planes in the shallow 12×3 config). Buckets
+    * over the cap are skipped entirely — the standard production
+    * posture: a bucket that collides thousands of vectors carries no
+    * discriminating signal for its members (they still meet in their
+    * OTHER bands with probability 1 − (1 − p^r)^(b−1)), and the recall
+    * cost is measured in SimSpec on a planted-skew corpus. 0 = off
+    * (the oracle-checked registered query runs uncapped).
+    */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, bands: Int, planesPerBand: Int,
-                        seed: Long = 7L): DataFrame = {
+                        seed: Long = 7L, maxBucket: Int = 0): DataFrame = {
     // each band's bucket packs planesPerBand sign bits into one Long;
     // the number of bands is unconstrained
     require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
     val planes = lshPlanes(bands, planesPerBand, dim, seed)
-    val keyed = df
+    val keyed0 = df
       .select(col(idCol).cast(LongType).as("id"),
         asDouble(col(vecCol)).as("v"))
       .select(col("id"), explode(array((0 until bands).map { b =>
@@ -360,6 +373,17 @@ object Similarity {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+    val keyed =
+      if (maxBucket <= 0) keyed0
+      else {
+        // one partial-agg'd count on the join key, broadcast back as an
+        // anti-filter — cheap next to the b² join it prevents
+        val hot = keyed0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") > maxBucket)
+          .select(col("band"), col("bucket"))
+        keyed0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     // a pair colliding in several bands appears once per collision —
     // distinct happens here, while rows are only ids
     keyed.select(col("band"), col("bucket"), col("id").as("id_a"))

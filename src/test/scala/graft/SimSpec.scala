@@ -264,6 +264,45 @@ class SimSpec extends AnyFunSuite {
     assert(frac <= 0.15, s"candidate fraction = $frac")
   }
 
+  test("hot-bucket guard caps candidate volume without losing planted " +
+    "pairs") {
+    // skewed corpus: 200 background vectors concentrated in one
+    // halfspace (they pile into few sign buckets → hot buckets) plus 20
+    // well-separated duplicate pairs. With the cap on, the hot
+    // background buckets are skipped — candidate count drops hard —
+    // while each planted pair still collides in some small bucket of
+    // one of its OTHER bands.
+    val rnd = new java.util.Random(5L)
+    def base() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    // background: shared dominant direction + small noise → bucket pileup
+    val dom = base()
+    val bg = Seq.tabulate(200) { i =>
+      (i.toLong, dom.zip(base()).map { case (d, n) => d + 0.15f * n })
+    }
+    val planted = Seq.tabulate(20) { i =>
+      val v = base()
+      Seq(((500 + i).toLong, v),
+        ((900 + i).toLong, v.map(x => x + 0.005f * rnd.nextGaussian()
+          .toFloat)))
+    }.flatten
+    val df = (bg ++ planted).toDF("vec_id", "embedding")
+    def cand(cap: Int) = Similarity.lshCandidatePairs(df, "vec_id",
+      "embedding", 32, 8, 8, maxBucket = cap)
+    val uncapped = cand(0).count()
+    val capped = cand(30)
+    val cappedN = capped.count()
+    info(s"candidates: uncapped $uncapped, capped $cappedN")
+    assert(cappedN < uncapped / 2,
+      s"cap did not bite: $cappedN vs $uncapped")
+    // every planted pair survives the guard
+    val pairs = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains(((500 + i).toLong, (900 + i).toLong)),
+        s"planted pair $i lost")
+    }
+  }
+
   test("random projection applies the literal matrix row by row") {
     // basis vector e_i picks out column i of each matrix row
     val m = Similarity.rpMatrix(outDim = 2, inDim = 3, seed = 5L)
