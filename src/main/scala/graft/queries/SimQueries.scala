@@ -8,8 +8,11 @@ import graft.sim.Similarity
 /** Embedding-similarity surface over the `embeddings` table (vec_id,
   * embedding array<float>, label). Brute-force cosine top-k carries a DuckDB
   * oracle (list_inner_product over CAST(... AS DOUBLE[]) composed exactly
-  * like the Spark fold); the LSH ANN variant is registered rows-only with
-  * recall measured against brute force in SimSpec.
+  * like the Spark fold); both sign-cell ANN variants (fixed hamming-1
+  * [[annLsh]], margin-ordered [[annRp]]) ride integer-literal planes and
+  * carry full oracles too — only the KMeans-quantized [[annIvf]] stays
+  * rows-only (float-iteration centroids have no exact SQL rendering),
+  * with recall measured against brute force in SimSpec.
   */
 object SimQueries {
 
@@ -43,10 +46,47 @@ object SimQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Fixed hamming-1 probing over the SAME integer-literal plane family
+    * as [[annRp]] — oracle-checked since round 5 (previously gaussian
+    * planes, rows-only). A distinct seed keeps its cells independent of
+    * the adaptive variant's.
+    */
+  val LshSeed = 20260815L
+  lazy val LshMat: Seq[Seq[Int]] = Similarity.rpMatrix(NPlanes, Dim, LshSeed)
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.knnLsh(e, e.filter(col("vec_id") < NQueries),
-      "vec_id", "embedding", K, NPlanes, Dim)
+      "vec_id", "embedding", K, LshMat)
+  }
+
+  val annLshSql: String = {
+    val bits = LshMat.zipWithIndex.map { case (row, j) =>
+      val arr = row.map(c => s"$c/1000.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(ve, $arr) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }
+    // home bucket + the NPlanes single-bit flips
+    val flips = (0L +: (0 until NPlanes).map(i => 1L << i))
+      .mkString("[", ", ", "]")
+    val cos = "list_inner_product(qv, cv) / " +
+      "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |cells AS (SELECT vec_id, ve,
+       |    CAST(${bits.mkString(" + ")} AS BIGINT) AS bucket FROM v),
+       |c AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM cells),
+       |q AS (SELECT DISTINCT query_id, qv, xor(home, f) AS bucket
+       |  FROM (SELECT vec_id AS query_id, ve AS qv, bucket AS home,
+       |    unnest($flips) AS f FROM cells WHERE vec_id < $NQueries)),
+       |scored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    round($cos, 4) AS cos_sim
+       |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   /** IVF cell count / probe width (see Similarity.knnIvf). */
@@ -279,6 +319,7 @@ object SimQueries {
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,
     "knn_embeddings" -> knnSql,
+    "ann_lsh_embeddings" -> annLshSql,
     "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
   )

@@ -325,7 +325,8 @@ object Similarity {
 
   /** Sign-bit bucket id against INTEGER-literal planes (sign convention
     * `>= 0`, matching every other rpMatrix user) — engine-reproducible,
-    * unlike the gaussian [[bucketExpr]].
+    * unlike a seeded-gaussian plane family whose doubles have no exact
+    * SQL rendering.
     */
   def intBucketExpr(vec: Column, planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
@@ -499,34 +500,25 @@ object Similarity {
       .orderBy(idCol)
   }
 
-  /** Deterministic random hyperplanes: `planes` × `dim` gaussians from a
-    * fixed seed. Tiny control-plane data, embedded as plan literals.
-    */
-  def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit bucket id of a vector against the hyperplanes. */
-  def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** ANN via multiprobe LSH: corpus bucketed once; each query probes its
-    * own bucket and every bucket at hamming distance 1 (planes+1 probes),
-    * then exact cosine ranks the candidates. Join key = bucket id.
+  /** ANN via fixed hamming-1 multiprobe LSH: corpus bucketed once; each
+    * query probes its own bucket and every bucket at hamming distance 1
+    * (planes+1 probes), then exact cosine ranks the candidates. Join key
+    * = bucket id. The planes are the INTEGER-literal [[rpMatrix]] family
+    * (c/1000.0, ≥0 sign convention — the same determinism [[knnRp]] and
+    * [[lshCandidatePairs]] use), so the bucket assignment and therefore
+    * the whole result renders into the DuckDB oracle; [[knnRp]] remains
+    * the adaptive margin-ordered sibling at the same surface.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+             vecCol: String, k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+    val nPlanes = planes.size
+    require(nPlanes >= 1 && nPlanes <= 20)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", bucketExpr(col("cv"), planes))
+      .withColumn("bucket", intBucketExpr(col("cv"), planes))
     val q0 = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket0", bucketExpr(col("qv"), planes))
+      .withColumn("bucket0", intBucketExpr(col("qv"), planes))
     val probes = array((lit(0L) +:
       (0 until nPlanes).map(i => lit(1L << i))): _*)
     val q = q0.select(col("query_id"), col("qv"), col("bucket0"),

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sim.Similarity
+import graft.queries.SimQueries
 
 class SimSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -89,7 +90,8 @@ class SimSpec extends AnyFunSuite {
     val exact = Similarity.knnBruteForce(e, q, "vec_id", "embedding", 10)
       .collect().map(r => (r.getAs[Long]("query_id"),
         r.getAs[Long]("neighbor_id"))).toSet
-    val ann = Similarity.knnLsh(e, q, "vec_id", "embedding", 10, 4, 64)
+    val ann = Similarity.knnLsh(e, q, "vec_id", "embedding", 10,
+      SimQueries.LshMat)
       .collect().map(r => (r.getAs[Long]("query_id"),
         r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
@@ -200,8 +202,10 @@ class SimSpec extends AnyFunSuite {
       out(5L).getAs[Long]("n_zero") == 1)
   }
 
-  test("hyperplanes are deterministic across invocations") {
-    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  test("plane families are deterministic across invocations") {
+    assert(Similarity.rpMatrix(4, 8, 7L) == Similarity.rpMatrix(4, 8, 7L))
+    assert(Similarity.lshPlanes(2, 3, 8, 7L) ==
+      Similarity.lshPlanes(2, 3, 8, 7L))
   }
 
   test("banded-LSH near-dup pairs recall >= 0.9 against the exact tier") {
