@@ -8,10 +8,11 @@ import graft.text.{Curation, Dedup, TextOps}
 /** LLM-data-pipeline text surface over the `documents` table: dedup (exact,
   * exact n-gram Jaccard, MinHash+LSH, SimHash, winnowing fingerprints) and
   * text analysis (language ID, quality scoring, token counting, corpus
-  * stats). Queries whose semantics are ANSI-expressible carry a DuckDB
-  * oracle; the hash-based ops (MinHash/SimHash/fingerprints — xxhash64 is
-  * Spark-specific) are registered rows-only and verified in TextSpec
-  * against exact computations.
+  * stats). Every query carries a DuckDB oracle: the hash-keyed ops
+  * (MinHash/SimHash/fingerprints) register in crossEngine mode — the
+  * Dedup.md5Hash60 family instead of Spark-specific xxhash64, identical
+  * plan shape — with the xxhash64 default remaining the production hot
+  * path, and TextSpec still checking the hash-agnostic properties.
   */
 object TextQueries {
 
@@ -169,17 +170,85 @@ object TextQueries {
        |FROM customer ORDER BY c_custkey""".stripMargin
   }
 
-  // ---- MinHash+LSH / SimHash / fingerprints (rows-only) -------------------
+  // ---- MinHash+LSH / SimHash / fingerprints -------------------------------
+  // Registered in crossEngine mode (md5-prefix 60-bit hashes — the ONLY
+  // change vs the xxhash64 production default; identical plan shape), so
+  // each carries a full DuckDB oracle instead of a rows-only check.
 
   def neardupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), "text", "doc_id", ShingleN,
-      MinhashK, LshBands, MinJaccard)
+      MinhashK, LshBands, MinJaccard, crossEngine = true)
+
+  /** Mirror: k=128 min-hash slots via range(k), 32 bands of 4 slots keyed
+    * by the ":"-joined decimal rendering, candidate pairs from band-key
+    * collisions, then the same count-based Jaccard verification the
+    * n-gram oracle uses.
+    */
+  lazy val neardupMinhashSql: String = {
+    val r = MinhashK / LshBands
+    s"""$ShCte,
+       |sig AS (SELECT doc_id, i,
+       |    min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle),
+       |      1, 15))::BIGINT) AS m
+       |  FROM sh, range($MinhashK) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // $r AS band,
+       |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
+       |  FROM sig GROUP BY doc_id, i // $r),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS c
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def simhashDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(s, dir), "text", "doc_id")
+    Dedup.simhash(docs(s, dir), "text", "doc_id", crossEngine = true)
+
+  /** Mirror: 60 md5-prefix bits per normalized word, ±1 bit-sums via
+    * range(60), sign bits repacked into the fingerprint.
+    */
+  lazy val simhashSql: String =
+    s"""WITH words AS (SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+       |    FROM documents)),
+       |bs AS (SELECT doc_id, i,
+       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM words, range(60) t(i) GROUP BY doc_id, i)
+       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+       |  ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def fingerprintDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.fingerprints(docs(s, dir), "text", "doc_id", n = 3, window = 4)
+    Dedup.fingerprints(docs(s, dir), "text", "doc_id", n = 3, window = 4,
+      crossEngine = true)
+
+  /** Mirror: md5-prefix hashes of NORMALIZED 3-gram shingles (the
+    * fingerprint op lowercases; the Jaccard shingle CTE does not), then
+    * the same clipped 4-wide window-min and dedup. DuckDB's ROWS BETWEEN
+    * clips at the partition end exactly like Spark's rowsBetween.
+    */
+  lazy val fingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS w
+       |  FROM documents),
+       |x AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+       |p AS (SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |      1, 15))::BIGINT AS h
+       |  FROM x),
+       |f AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM p)
+       |SELECT DISTINCT doc_id, fp FROM f
+       |ORDER BY doc_id, fp""".stripMargin
 
   // ---- language ID ---------------------------------------------------------
 
@@ -1111,6 +1180,9 @@ object TextQueries {
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
+    "neardup_minhash_documents" -> neardupMinhashSql,
+    "simhash_documents" -> simhashSql,
+    "fingerprint_documents" -> fingerprintSql,
     "contamination_documents" -> contaminationSql,
     "dedup_clusters_documents" -> dedupClustersSql,
     "pii_redact_customer" -> piiRedactSql,

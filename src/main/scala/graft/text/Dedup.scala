@@ -293,14 +293,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of xxhash64(seed=i,
-    * shingle). One groupBy over the exploded shingles — k min-aggregates,
-    * map-side partial aggregation, no Expand.
+  /** 60-bit cross-engine hash: the numeric value of the first 15 hex
+    * chars of md5(prefix || s) — renders identically in DuckDB as
+    * `('0x' || substr(md5(...), 1, 15))::BIGINT` (the md5-prefix trick
+    * the split/mixture draws use, widened from 24 to 60 bits for
+    * signature work). xxhash64 stays the production default on every
+    * hash-keyed operator — md5 is a crypto hash, several times the
+    * cycles per byte; this exists so those operators can ALSO run under
+    * the DuckDB oracle with the identical plan shape.
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+  def md5Hash60(prefix: Column, c: Column): Column =
+    conv(substring(md5(concat(prefix, c)), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
+    * One groupBy over the exploded shingles — k min-aggregates, map-side
+    * partial aggregation, no Expand. `crossEngine` swaps the per-slot
+    * xxhash64(seed=i, ·) for the [[md5Hash60]] family ("i:" prefix) so
+    * the signatures — and everything keyed on them — are
+    * oracle-reproducible; same plan, slower hash.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int,
+                        crossEngine: Boolean = false): DataFrame = {
+    def slot(i: Int): Column =
+      if (crossEngine) md5Hash60(lit(s"$i:"), col("shingle"))
+      else xxhash64(lit(i), col("shingle"))
     sh.groupBy(col(idCol))
-      .agg(array((0 until k).map(i =>
-        min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+      .agg(array((0 until k).map(i => min(slot(i))): _*).as("sig"))
+  }
 
   /** Same signatures through the single-buffer [[MinHashAgg]] Aggregator —
     * one Array[Long] buffer per group instead of k separate min-aggregate
@@ -317,13 +336,19 @@ object Dedup {
     * bucket, so the plan is explode → shuffle on bucket → per-bucket join.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
-                    bands: Int): DataFrame = {
+                    bands: Int, crossEngine: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
+    // band key: one xxhash64 over the band's slots (production), or the
+    // ":"-joined decimal rendering (cross-engine — DuckDB string_agg
+    // over the same slots produces the identical key)
+    def bandKey(j: Int): Column = {
+      val slots = (j * r until (j + 1) * r).map(i => col("sig")(i))
+      if (crossEngine) concat_ws(":", slots.map(_.cast(StringType)): _*)
+      else xxhash64(slots: _*)
+    }
     val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((j * r until (j + 1) * r).map(i => col("sig")(i)): _*)
-          .as("bh"))
+      struct(lit(j).as("band"), bandKey(j).as("bh"))
     }
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
@@ -340,25 +365,33 @@ object Dedup {
     * the candidate set — candidates are a tiny fraction of all pairs).
     */
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                     n: Int, k: Int, bands: Int,
-                     minJaccard: Double): DataFrame = {
+                     n: Int, k: Int, bands: Int, minJaccard: Double,
+                     crossEngine: Boolean = false): DataFrame = {
     val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
-    val cand = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
+    val cand = lshCandidates(minhashSignatures(sh, idCol, k, crossEngine),
+      idCol, k, bands, crossEngine)
     verifyPairs(cand, sh, idCol, minJaccard)
   }
 
-  /** 64-bit SimHash over word unigrams: per bit, sum ±1 weighted by whether
-    * the word hash has that bit set; the fingerprint packs the sign bits.
-    * One explode + one groupBy with 64 small sums — partial-agg friendly.
+  /** SimHash over word unigrams: per bit, sum ±1 weighted by whether the
+    * word hash has that bit set; the fingerprint packs the sign bits.
+    * One explode + one groupBy with `bits` small sums — partial-agg
+    * friendly. Production default: 64 bits of xxhash64; `crossEngine`
+    * drops to the 60 [[md5Hash60]] bits so the fingerprint is
+    * oracle-reproducible (hamming semantics are width-agnostic).
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              crossEngine: Boolean = false): DataFrame = {
+    val bits = if (crossEngine) 60 else 64
+    val wordHash =
+      if (crossEngine) md5Hash60(lit(""), col("w")) else xxhash64(col("w"))
     val words = df.select(col(idCol),
         explode(split(normalize(col(textCol)), " ")).as("w"))
-      .select(col(idCol), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col(idCol), wordHash.as("h"))
+    val bitSums = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i"))
-    val packed = (0 until 64).map(i =>
+    val packed = (0 until bits).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     words.groupBy(col(idCol))
@@ -376,15 +409,19 @@ object Dedup {
     * The window partitions by document — no global ordering.
     */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
-                   n: Int, window: Int): DataFrame = {
+                   n: Int, window: Int,
+                   crossEngine: Boolean = false): DataFrame = {
     val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    val shingleHash =
+      if (crossEngine) md5Hash60(lit(""), col("shingle"))
+      else xxhash64(col("shingle"))
     val positioned = df.select(col(idCol),
         split(normalize(col(textCol)), " ").as("words"))
       .filter(size(col("words")) >= n)
       .select(col(idCol), posexplode(expr(
         s"transform(slice(words, 1, size(words) - ${n - 1}), " +
           s"(w, i) -> concat_ws(' ', $joined))")).as(Seq("pos", "shingle")))
-      .select(col(idCol), col("pos"), xxhash64(col("shingle")).as("h"))
+      .select(col(idCol), col("pos"), shingleHash.as("h"))
     val w = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(0, window - 1)
     positioned.withColumn("fp", min(col("h")).over(w))
