@@ -26,9 +26,11 @@ object ProfileOracle {
     Set("string", "json", "int", "long", "double", "timestamp", "tsns",
       "floatarr")(kind)
 
-  /** SQL for one column's profile row. */
+  /** SQL for one column's profile row; `rel` is the scanned relation
+    * (the table itself, or a sampled subquery labeled as the table).
+    */
   private def colSql(table: String, c: String, kind: String,
-                     ordinal: Int): String = {
+                     ordinal: Int, rel: String): String = {
     val isStr = kind == "string" || kind == "json"
     val isNum = Set("int", "long", "double")(kind)
     val isTs = kind == "timestamp" || kind == "tsns"
@@ -182,16 +184,41 @@ object ProfileOracle {
         isTs) + " AS recency_days",
       bigintOrNull(s"count(DISTINCT CAST($c AS DATE))", isTs) +
         " AS distinct_date_ct",
-    ).mkString("SELECT ", ", ", s" FROM $table")
+    ).mkString("SELECT ", ", ", s" FROM $rel")
   }
 
-  /** Full-table profile oracle, mirroring `Profiler.profile(df, table)`. */
-  def sql(table: String): String = {
+  /** Full-table profile oracle, mirroring `Profiler.profile(df, table)`.
+    * `from` overrides the scanned relation (e.g. a sampled subquery)
+    * while `table` still labels the rows.
+    */
+  def sql(table: String, from: String = ""): String = {
+    val rel = if (from.isEmpty) table else from
     val cols = Tables.meta(table).zipWithIndex
       .filter { case ((_, kind), _) => profilable(kind) }
-    val union = cols.map { case ((c, kind), i) => colSql(table, c, kind, i) }
-      .mkString("\nUNION ALL\n")
+    val union = cols.map { case ((c, kind), i) =>
+      colSql(table, c, kind, i, rel)
+    }.mkString("\nUNION ALL\n")
     s"SELECT * FROM (\n$union\n) ORDER BY column_name"
+  }
+
+  /** Oracle for `Profiler.profileSampled(hashKey = Some(k))`: the profile
+    * of the md5-drawn subset with the identical outer scaling —
+    * extensive counts round(x/fraction), extensive sums x/fraction,
+    * distinct_ct nulled. `drawSql` must render the SAME key expression
+    * the Spark side hashes; `fraction` must be a value whose bps
+    * (fraction·10⁴) is exact.
+    */
+  def sampledSql(table: String, fraction: Double, drawSql: String): String = {
+    val bps = math.round(fraction * 10000).toInt
+    val sub = s"(SELECT * FROM $table WHERE ('0x' || substr(md5('ps:' || " +
+      s"$drawSql), 1, 6))::BIGINT % 10000 < $bps)"
+    val replaces =
+      Profiler.ExtensiveCounts.toSeq.sorted.map(c =>
+        s"CAST(round($c/$fraction) AS BIGINT) AS $c") ++
+      Profiler.ExtensiveSums.toSeq.sorted.map(c => s"$c/$fraction AS $c") :+
+      "CAST(NULL AS BIGINT) AS distinct_ct"
+    s"""SELECT * REPLACE (${replaces.mkString(", ")})
+       |FROM (${sql(table, sub)}) ORDER BY column_name""".stripMargin
   }
 
   /** Oracle for `Profiler.topK` (string columns only — casting numerics to

@@ -110,13 +110,13 @@ object Profiler {
   }
 
   /** Count/sum characteristics that scale linearly with sampled rows. */
-  private val ExtensiveCounts = Set("record_ct", "value_ct", "null_ct",
-    "blank_ct", "zero_ct", "neg_ct", "embedded_space_ct", "upper_ct",
-    "lower_ct", "numeric_str_ct", "date_str_ct", "pos_ct", "frac_value_ct",
-    "future_ct", "weekend_ct", "lead_space_ct", "quote_ct", "non_ascii_ct",
-    "alpha_ct", "boolean_ct", "email_ct", "zip_ct", "dummy_ct",
-    "round_num_ct", "midnight_ct", "work_hours_ct")
-  private val ExtensiveSums = Set("sum_num", "frac_sum")
+  private[profile] val ExtensiveCounts = Set("record_ct", "value_ct",
+    "null_ct", "blank_ct", "zero_ct", "neg_ct", "embedded_space_ct",
+    "upper_ct", "lower_ct", "numeric_str_ct", "date_str_ct", "pos_ct",
+    "frac_value_ct", "future_ct", "weekend_ct", "lead_space_ct", "quote_ct",
+    "non_ascii_ct", "alpha_ct", "boolean_ct", "email_ct", "zip_ct",
+    "dummy_ct", "round_num_ct", "midnight_ct", "work_hours_ct")
+  private[profile] val ExtensiveSums = Set("sum_num", "frac_sum")
 
   /** Sampled profiling mode (reference table groups declare
     * `uses_sampling` / `sample_percentage`, demo/demo/demo_helper.py:971-989):
@@ -140,11 +140,24 @@ object Profiler {
     * stays ONE scan.
     */
   def profileSampled(df: DataFrame, tableName: String, fraction: Double,
-                     seed: Long = 42L,
-                     exactDistinct: Boolean = false): DataFrame = {
+                     seed: Long = 42L, exactDistinct: Boolean = false,
+                     hashKey: Option[Column] = None): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"bad fraction: $fraction")
-    val p = profile(df.sample(withReplacement = false, fraction, seed),
-      tableName, exactDistinct)
+    // hashKey: deterministic md5-bucket draw on a row key instead of the
+    // Bernoulli sample — same one-scan shape (the filter fuses into the
+    // scan), but the selected subset is engine- and partitioning-
+    // independent, so the scaled profile carries a full DuckDB oracle.
+    // Bernoulli (hashKey=None) stays the default: at 100 TB a keyless
+    // draw is cheaper than hashing a composite key per row.
+    val sample = hashKey match {
+      case Some(k) =>
+        val bps = math.round(fraction * 10000).toInt
+        df.filter(conv(substring(md5(concat(lit("ps:"),
+          k.cast(StringType))), 1, 6), 16, 10).cast(LongType)
+          % 10000 < bps)
+      case None => df.sample(withReplacement = false, fraction, seed)
+    }
+    val p = profile(sample, tableName, exactDistinct)
     p.select(p.columns.toSeq.map {
       case c if ExtensiveCounts(c) =>
         round(col(c) / fraction).cast(LongType).as(c)

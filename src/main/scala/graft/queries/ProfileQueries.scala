@@ -71,15 +71,25 @@ object ProfileQueries {
       Profiler.topK(Tables.load(s, dir, "events"), "events",
         "event_type", 10)),
     "profile_compare_lineitem" -> (compareLineitem _),
-    // the two 100 TB profile shapes, exercised by the driver (rows-only:
-    // HLL estimates and sample scaling are engine-specific by design;
-    // ProfilerSpec property-checks both against the exact profile)
+    // the two 100 TB profile shapes, exercised by the driver. The HLL
+    // one-scan mode stays rows-only (sketch estimates are engine-specific
+    // by design; ProfilerSpec property-checks it against the exact
+    // profile); the sampled mode registers on a deterministic md5 draw
+    // and carries a full oracle.
     "profile_approx_lineitem" -> ((s: SparkSession, dir: String) =>
       Profiler.profile(Tables.load(s, dir, "lineitem"), "lineitem",
         exactDistinct = false)),
-    "profile_sampled_lineitem" -> ((s: SparkSession, dir: String) =>
+    "profile_sampled_lineitem" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      // md5-drawn 10% subset on the (l_orderkey, l_linenumber) row key +
+      // exact distincts, so the scaled profile carries a full oracle;
+      // the Bernoulli+HLL mode (hashKey=None) remains the cheap keyless
+      // default and stays property-gated in ProfilerSpec
       Profiler.profileSampled(Tables.load(s, dir, "lineitem"), "lineitem",
-        fraction = 0.1, seed = 42L)),
+        fraction = 0.1, exactDistinct = true,
+        hashKey = Some(concat(col("l_orderkey"), lit(":"),
+          col("l_linenumber"))))
+    }),
     "schema_drift_events" -> ((s: SparkSession, dir: String) =>
       SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
     "drift_psi_lineitem" -> (driftPsi _),
@@ -98,6 +108,8 @@ object ProfileQueries {
     "profile_compare_lineitem" ->
       ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
     "schema_drift_events" -> SchemaDrift.oracleSql("events"),
+    "profile_sampled_lineitem" -> ProfileOracle.sampledSql("lineitem", 0.1,
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
     "profile_merge_lineitem" -> profileMergeSql,
     "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),

@@ -967,16 +967,38 @@ object TextQueries {
        |SELECT source, doc_id, n_toks, off, off // $PackBudget AS bin
        |FROM o ORDER BY source, doc_id""".stripMargin
 
-  /** Per-language stratified sample — seeded, reproducible within Spark;
-    * registered rows-only (Bernoulli draws are engine-specific) and
-    * property-gated in TextSpec.
+  /** Per-language stratified sample on a deterministic md5 draw — the
+    * same hash-not-random posture as Curation.mixtureSample (salted so
+    * the draw is independent of every other selection), so the sample is
+    * stable across runs, engines, and re-partitions AND oracle-checkable.
+    * The per-stratum rates are the point of the operator; the draw
+    * mechanism is stateless per-row — exactly what a 100 TB stratified
+    * read wants (no sampleBy's per-partition RNG state).
     */
+  val StratifiedRates: Seq[(String, Int)] = Seq("en" -> 2000, "es" -> 5000,
+    "de" -> 5000, "fr" -> 5000, "zh" -> 5000) // keep-rate in bps
+
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.2, "es" -> 0.5, "de" -> 0.5,
-      "fr" -> 0.5, "zh" -> 0.5)
-    docs(s, dir).stat.sampleBy("lang", fractions, seed = 42L)
+    import org.apache.spark.sql.functions.{concat, conv, md5, substring, when}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val bucket = conv(substring(md5(concat(lit("strat:"),
+      col("doc_id").cast(StringType))), 1, 6), 16, 10).cast(LongType) % 10000
+    val bps = StratifiedRates.foldRight(lit(0)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(s, dir).filter(bucket < bps)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  lazy val sampleStratifiedSql: String = {
+    val cases = StratifiedRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+       |    1, 6))::BIGINT % 10000
+       |  < CASE lang $cases ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Chunking window: 64 words, 16 overlap (step 48). */
@@ -1183,6 +1205,7 @@ object TextQueries {
     "neardup_minhash_documents" -> neardupMinhashSql,
     "simhash_documents" -> simhashSql,
     "fingerprint_documents" -> fingerprintSql,
+    "sample_stratified_documents" -> sampleStratifiedSql,
     "contamination_documents" -> contaminationSql,
     "dedup_clusters_documents" -> dedupClustersSql,
     "pii_redact_customer" -> piiRedactSql,

@@ -600,11 +600,11 @@ class TextSpec extends AnyFunSuite {
     assert(out(4L) == (0L, 0L) && out(5L) == (600L, 1L))
   }
 
-  test("stratified sample is seeded-deterministic and respects strata") {
+  test("stratified sample is hash-deterministic and respects strata") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.queries.TextQueries.sampleStratified(spark, dir).collect()
     val b = graft.queries.TextQueries.sampleStratified(spark, dir).collect()
-    assert(a.sameElements(b)) // same seed → same sample
+    assert(a.sameElements(b)) // same md5 draw → same sample
     val full = graft.Tables.load(spark, dir, "documents")
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
