@@ -179,18 +179,25 @@ object TextQueries {
     Dedup.nearDuplicates(docs(s, dir), "text", "doc_id", ShingleN,
       MinhashK, LshBands, MinJaccard, crossEngine = true)
 
-  /** Mirror: k=128 min-hash slots via range(k), 32 bands of 4 slots keyed
-    * by the ":"-joined decimal rendering, candidate pairs from band-key
-    * collisions, then the same count-based Jaccard verification the
-    * n-gram oracle uses.
+  /** Mirror: one 32-bit md5-prefix base per shingle, k=128 universal-hash
+    * slots (the literal A/B coefficient lists are the SAME
+    * Dedup.minhashCoeffs values the Spark plan embeds), 32 bands of 4
+    * slots keyed by the ":"-joined decimal rendering, candidate pairs
+    * from band-key collisions, then the same count-based Jaccard
+    * verification the n-gram oracle uses.
     */
   lazy val neardupMinhashSql: String = {
     val r = MinhashK / LshBands
+    val (as, bs) = Dedup.minhashCoeffs(MinhashK)
     s"""$ShCte,
+       |hb AS (SELECT doc_id,
+       |    ('0x' || substr(md5('mh:' || shingle), 1, 8))::BIGINT AS h
+       |  FROM sh),
+       |co AS (SELECT ${as.mkString("[", ", ", "]")} AS al,
+       |    ${bs.mkString("[", ", ", "]")} AS bl),
        |sig AS (SELECT doc_id, i,
-       |    min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle),
-       |      1, 15))::BIGINT) AS m
-       |  FROM sh, range($MinhashK) t(i) GROUP BY doc_id, i),
+       |    min((al[i+1]*h + bl[i+1]) % ${Dedup.MinhashP}) AS m
+       |  FROM hb, co, range($MinhashK) t(i) GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, i // $r AS band,
        |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
        |  FROM sig GROUP BY doc_id, i // $r),

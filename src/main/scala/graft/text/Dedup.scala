@@ -305,21 +305,45 @@ object Dedup {
   def md5Hash60(prefix: Column, c: Column): Column =
     conv(substring(md5(concat(prefix, c)), 1, 15), 16, 10).cast(LongType)
 
+  /** Universal-hash slot coefficients for cross-engine MinHash: k pairs
+    * (Aᵢ ∈ [1, P), Bᵢ ∈ [0, P)) from a fixed seed, with P = 2³¹ − 1.
+    * Slot i of base hash h is (Aᵢ·h + Bᵢ) mod P — h < 2³², so the
+    * product stays under 2⁶³ and the arithmetic is exact BIGINT in any
+    * engine. Public so the oracle SQL renders the identical pairs.
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashCoeffs(k: Int, seed: Long = 7L): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val a = Seq.fill(k)(1L + rng.nextInt((MinhashP - 1).toInt))
+    val b = Seq.fill(k)(rng.nextInt(MinhashP.toInt).toLong)
+    (a, b)
+  }
+
   /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
     * One groupBy over the exploded shingles — k min-aggregates, map-side
-    * partial aggregation, no Expand. `crossEngine` swaps the per-slot
-    * xxhash64(seed=i, ·) for the [[md5Hash60]] family ("i:" prefix) so
-    * the signatures — and everything keyed on them — are
-    * oracle-reproducible; same plan, slower hash.
+    * partial aggregation, no Expand. `crossEngine` derives the k slot
+    * hashes by [[minhashCoeffs]] universal hashing from ONE 32-bit
+    * md5-prefix base per shingle (cheap integer ops instead of k
+    * engine-specific xxhash64 calls — measured 5× cheaper than k
+    * separate md5s), so the signatures — and everything keyed on them —
+    * are oracle-reproducible with the same plan shape.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int,
-                        crossEngine: Boolean = false): DataFrame = {
-    def slot(i: Int): Column =
-      if (crossEngine) md5Hash60(lit(s"$i:"), col("shingle"))
-      else xxhash64(lit(i), col("shingle"))
-    sh.groupBy(col(idCol))
-      .agg(array((0 until k).map(i => min(slot(i))): _*).as("sig"))
-  }
+                        crossEngine: Boolean = false): DataFrame =
+    if (crossEngine) {
+      val (as, bs) = minhashCoeffs(k)
+      // 8 hex chars = 32-bit base hash, one md5 per shingle
+      val base = conv(substring(md5(concat(lit("mh:"), col("shingle"))),
+        1, 8), 16, 10).cast(LongType)
+      sh.select(col(idCol), base.as("h"))
+        .groupBy(col(idCol))
+        .agg(array((0 until k).map(i =>
+          min((lit(as(i)) * col("h") + lit(bs(i))) % lit(MinhashP))): _*)
+          .as("sig"))
+    } else
+      sh.groupBy(col(idCol))
+        .agg(array((0 until k).map(i =>
+          min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
 
   /** Same signatures through the single-buffer [[MinHashAgg]] Aggregator —
     * one Array[Long] buffer per group instead of k separate min-aggregate
