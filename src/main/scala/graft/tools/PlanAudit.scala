@@ -34,6 +34,14 @@ object PlanAudit {
       // magnitude below event count (EventOps.missedRuns)
       "ev_missed_runs")
 
+  /** Queries whose global (unpartitioned) window runs over CONTROL-PLANE
+    * rows, where a global sequence IS the operator's contract:
+    * OutcomeExport.pack numbers test outcomes (one row per test
+    * definition, 10²–10⁴ at any corpus size — never per data row) in the
+    * reference's deterministic walk order to chunk them 100-per-post.
+    */
+  val GlobalOrderByDesign: Set[String] = Set("dq_export_rollup_customer")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.Sessions.local("4", "4")
@@ -91,6 +99,8 @@ object PlanAudit {
         ).collect { case (h, true) => h }
         if (hazards == Seq("NestedLoopJoin") && BruteForceByDesign(name))
           println(s"noted  $name: all-pairs tier by design")
+        else if (hazards == Seq("GlobalWindow") && GlobalOrderByDesign(name))
+          println(s"noted  $name: control-plane global sequence by design")
         else if (hazards.nonEmpty) { bad += 1
           println(s"HAZARD $name: ${hazards.mkString(", ")}")
         } else println(s"clean  $name")
