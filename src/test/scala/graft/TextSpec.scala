@@ -41,6 +41,32 @@ class TextSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
     // at threshold 0.5 with the s-curve at ~0.42, recall should be total
     assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+    // the registered crossEngine mode (md5-base universal-hash slots)
+    // changes the hash family, not the s-curve: same total recall
+    val ce = Dedup.nearDuplicates(docs, "text", "doc_id", 2, 128, 32, 0.5,
+      crossEngine = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ce == exact, s"missed: ${exact -- ce}, extra: ${ce -- exact}")
+  }
+
+  test("universal-hash minhash coefficients stay inside the overflow-safe " +
+    "envelope") {
+    // slot arithmetic is (a*h + b) with h < 2^32: a < P and b < P keep
+    // the product under 2^63, so the BIGINT math is exact in any engine
+    val (as, bs) = Dedup.minhashCoeffs(128)
+    assert(as.size == 128 && bs.size == 128)
+    assert(as.forall(a => a >= 1L && a < Dedup.MinhashP))
+    assert(bs.forall(b => b >= 0L && b < Dedup.MinhashP))
+    // deterministic across invocations (they are plan/oracle literals)
+    assert(Dedup.minhashCoeffs(128) == ((as, bs)))
+    // the 8-hex-char md5 base is < 2^32
+    val h = Seq("a", "xyzzy", "", "the quick brown fox").toDF("s")
+      .select(org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("s")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    assert(h.forall(x => x >= 0L && x < (1L << 32)))
   }
 
   test("aggregator-based minhash equals the expression-based signatures") {
