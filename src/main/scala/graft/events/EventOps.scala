@@ -417,8 +417,12 @@ object EventOps {
   def outOfSequenceScoped(ev: DataFrame, gapSeconds: Long,
                           closureDf: DataFrame,
                           memberTypes: Seq[String]): DataFrame = {
-    val sess = withSessionId(ev, gapSeconds)
-      .filter(col("event_type").isin(memberTypes: _*))
+    // scope BEFORE sessionizing: non-members must be invisible to the
+    // journey's instance boundaries too, or unrelated chatter bridges a
+    // member gap and fabricates adjacency across what are two separate
+    // instances under the documented semantics
+    val sess = withSessionId(
+      ev.filter(col("event_type").isin(memberTypes: _*)), gapSeconds)
     val w = Window.partitionBy("user_id", "session_id")
       .orderBy("ts", "event_id")
     val seq = sess.withColumn("prev_type", lag(col("event_type"), 1).over(w))

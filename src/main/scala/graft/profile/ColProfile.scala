@@ -49,10 +49,13 @@ object ColProfile {
   def merge(a: ColProfile, b: ColProfile): ColProfile = {
     require(a.table == b.table && a.column == b.column,
       s"cannot merge ${a.table}.${a.column} with ${b.table}.${b.column}")
+    // one-sided None passes the other side through (an empty/all-null
+    // slice contributes nothing to the union's sum); only both-None —
+    // no values anywhere — stays None
     def addL(x: Option[Long], y: Option[Long]) =
-      for (i <- x; j <- y) yield i + j
+      (x ++ y).reduceOption(_ + _)
     def addD(x: Option[Double], y: Option[Double]) =
-      for (i <- x; j <- y) yield i + j
+      (x ++ y).reduceOption(_ + _)
     def minD(x: Option[Double], y: Option[Double]) =
       (x ++ y).reduceOption((p: Double, q: Double) => math.min(p, q))
     def maxD(x: Option[Double], y: Option[Double]) =

@@ -151,7 +151,13 @@ object Profiler {
     // draw is cheaper than hashing a composite key per row.
     val sample = hashKey match {
       case Some(k) =>
+        // the draw quantizes to basis points while the scale-back divides
+        // by the raw fraction — they must agree exactly or every
+        // extensive stat is biased by bps/10⁴ ÷ fraction
         val bps = math.round(fraction * 10000).toInt
+        require(bps >= 1 && bps / 10000.0 == fraction,
+          s"hashKey mode needs fraction in exact basis points " +
+            s"(n/10000, n >= 1); got $fraction")
         df.filter(conv(substring(md5(concat(lit("ps:"),
           k.cast(StringType))), 1, 6), 16, 10).cast(LongType)
           % 10000 < bps)
@@ -220,7 +226,14 @@ object Profiler {
     // (0.01 is not a binary fraction), but each double round-trips to
     // its source decimal exactly (≤ 6 dp, |x| ≪ 2^53/10⁶), so summing
     // IN DECIMAL reproduces the one-pass sum bit-for-bit
-    def decSum(c: String): Column = A(c).cast(SumDec) + B(c).cast(SumDec)
+    // null-safe: a profile's sum over zero non-null values is NULL, and
+    // an incremental delta legitimately profiles empty or all-null
+    // slices — a one-sided NULL must pass the other side through (that
+    // IS the union's one-pass sum); only a two-sided NULL stays NULL
+    def decSum(c: String): Column = {
+      val (x, y) = (A(c).cast(SumDec), B(c).cast(SumDec))
+      when(x.isNull, y).when(y.isNull, x).otherwise(x + y)
+    }
     def addDec(c: String) = decSum(c).cast(DoubleType).as(c)
     def minC(c: String) = least(A(c), B(c)).as(c)
     def maxC(c: String) = greatest(A(c), B(c)).as(c)

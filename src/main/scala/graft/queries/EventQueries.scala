@@ -372,10 +372,21 @@ object EventQueries {
       .map(m => s"'$m'").mkString(", ")
     val closure = Dag.closureLocal(Dag.orderedPairs(Dag.HalfOpenJourney))
       .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
-    s"""$SessCte,
-       |scoped AS (SELECT * FROM sess WHERE event_type IN ($members)),
+    // sessionize the MEMBER-scoped stream (not: sessionize then filter)
+    // — instance boundaries are themselves blind to non-members
+    s"""$EvCte,
+       |mev AS (SELECT * FROM ev WHERE event_type IN ($members)),
+       |sflag AS (SELECT *, CASE WHEN prev IS NULL OR
+       |    date_diff('microsecond', prev, ts) > ${GapSeconds}000000 THEN 1
+       |    ELSE 0 END AS nw
+       |  FROM (SELECT *, lag(ts) OVER
+       |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM mev)),
+       |sess AS (SELECT event_id, ts, user_id, event_type, value, props,
+       |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM sflag),
        |seq AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id,
-       |    session_id ORDER BY ts, event_id) AS prev_type FROM scoped),
+       |    session_id ORDER BY ts, event_id) AS prev_type FROM sess),
        |closure(src, dst) AS (VALUES $closure)
        |SELECT user_id, session_id, event_id, ts, prev_type, event_type,
        |  'OUT_OF_SEQUENCE' AS alert_type

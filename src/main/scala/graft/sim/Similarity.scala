@@ -157,7 +157,12 @@ object Similarity {
             vecCol: String, k: Int, planes: Seq[Seq[Int]],
             probes: Int = 0): DataFrame = {
     val nP = planes.size
-    require(nP >= 1 && nP <= 20)
+    // the adaptive probe ranking enumerates ALL 2^nP flip masks as one
+    // plan-literal array per query row — 12 planes = 4096 structs is the
+    // ceiling before the explode and codegen cost dwarf what probing
+    // saves; beyond that, bucket on bands (lshCandidatePairs) instead
+    require(nP >= 1 && nP <= 12,
+      s"knnRp enumerates 2^nP probe masks; nP=$nP exceeds the 12-plane cap")
     val nCells = 1 << nP
     val budget = if (probes > 0) probes else nP + 1
     def cellOf(vec: Column): Column = planes.zipWithIndex.map {
@@ -377,13 +382,18 @@ object Similarity {
     val keyed =
       if (maxBucket <= 0) keyed0
       else {
+        // materialize the banding once: the guard consumes keyed0 twice
+        // (count + anti-join) on top of the pair self-join below, and the
+        // subtree is bands × planesPerBand dot products over the corpus —
+        // without this it re-executes per consumer
+        val keyedM = keyed0.localCheckpoint(true)
         // one partial-agg'd count on the join key, broadcast back as an
         // anti-filter — cheap next to the b² join it prevents
-        val hot = keyed0.groupBy(col("band"), col("bucket"))
+        val hot = keyedM.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("__bs"))
           .filter(col("__bs") > maxBucket)
           .select(col("band"), col("bucket"))
-        keyed0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        keyedM.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
     // a pair colliding in several bands appears once per collision —
     // distinct happens here, while rows are only ids

@@ -566,37 +566,43 @@ object TextOps {
     * kilobytes), each partition encodes independently with the same
     * greedy rank-order fuse ([[fuseInPlace]] — the in-JVM twin of
     * [[fusePair]], property-pinned in TextSpec), and the aggregate
-    * stays per-row, so the operator is embarrassingly parallel with no
-    * shuffle at all. Same output contract as [[bpeEncode]]: one row per
-    * document that has at least one word.
+    * stays per-row, so the encode pass is embarrassingly parallel; the
+    * only shuffle is the same per-doc count aggregate [[bpeEncode]]
+    * runs. Same output contract as [[bpeEncode]]: one row per document
+    * id that has at least one word, id column type preserved.
     */
   def bpeEncodeScalable(df: DataFrame, textCol: String, idCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds = df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
-      .as[(Long, String)]
-    val enc = ds.mapPartitions { it =>
-      it.flatMap { case (id, text) =>
-        val ws = Option(text).getOrElse("").trim.split("\\s+")
-          .filter(_.nonEmpty)
-        if (ws.isEmpty) None
-        else {
-          var nc = 0L
-          var nt = 0L
-          ws.foreach { w =>
-            nc += w.codePointCount(0, w.length)
-            var syms = codePointSyms(w)
-            merges.foreach { case (a, b) =>
-              syms = fuseInPlace(syms, a, b)
+    // Row-based map with an explicit encoder: the id passes through
+    // untouched (a Long cast would null string/UUID ids and collapse
+    // documents), and duplicate ids aggregate exactly like bpeEncode
+    val outSchema = StructType(Seq(df.schema(idCol).copy(name = idCol),
+      StructField("nc", LongType, nullable = false),
+      StructField("nt", LongType, nullable = false)))
+    val enc = df.select(col(idCol), col(textCol).cast(StringType))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val ws = Option(r.getString(1)).getOrElse("").trim.split("\\s+")
+            .filter(_.nonEmpty)
+          if (ws.isEmpty) None
+          else {
+            var nc = 0L
+            var nt = 0L
+            ws.foreach { w =>
+              nc += w.codePointCount(0, w.length)
+              var syms = codePointSyms(w)
+              merges.foreach { case (a, b) =>
+                syms = fuseInPlace(syms, a, b)
+              }
+              nt += syms.length
             }
-            nt += syms.length
+            Some(org.apache.spark.sql.Row(r.get(0), nc, nt))
           }
-          Some((id, nc, nt))
         }
-      }
-    }.toDF(idCol, "n_chars", "n_bpe_tokens")
-    enc.select(col(idCol), col("n_chars"), col("n_bpe_tokens"),
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    enc.groupBy(col(idCol))
+      .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_chars"), col("n_bpe_tokens"),
         round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)
           .as("chars_per_token"))
       .orderBy(idCol)

@@ -98,6 +98,19 @@ class EventsSpec extends AnyFunSuite {
     //     wherever it sits relative to ordered components
     assert(flagged(evs((1L, "view"), (1L, "click"), (1L, "error")))
       == Seq.empty)
+    // (d) non-members are invisible to INSTANCE BOUNDARIES too: click
+    //     then view 90 min later are separate sessions (gap 3600 s) even
+    //     though non-member signups tick every 30 min in between — the
+    //     backwards transition must NOT flag across the boundary
+    val chatter = Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00"),
+      (2L, 1L, "signup", "2024-01-01 10:30:00"),
+      (3L, 1L, "signup", "2024-01-01 11:00:00"),
+      (4L, 1L, "view", "2024-01-01 11:30:00"))
+      .map { case (e, u, t, s) =>
+        (e, u, t, 0.0, "{}", java.sql.Timestamp.valueOf(s))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    assert(flagged(chatter) == Seq.empty)
   }
 
   test("schedule lateness flags starts beyond cron + margin") {

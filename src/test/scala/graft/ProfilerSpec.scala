@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.profile.Profiler
+import graft.profile.{ColProfile, Profiler}
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
@@ -231,6 +231,36 @@ class ProfilerSpec extends AnyFunSuite {
         p(df.filter(k % 3 === 1))),
       p(df.filter(k % 3 === 2)))
     assert(rows(threeWay) == rows(full))
+  }
+
+  test("merging an empty delta is the identity (sums are not " +
+    "null-poisoned)") {
+    // an incremental delta can legitimately be empty (no new partitions)
+    // or all-null in a column: the merge law must still hold — sum over
+    // zero values is NULL on that side and the other side passes through
+    val df = Tables.load(spark, SparkTestSession.sf, "events")
+    val k = org.apache.spark.sql.functions.col("event_id")
+    def p(d: org.apache.spark.sql.DataFrame) = Profiler.profile(d, "events")
+    val full = p(df)
+      .select(Profiler.MergeableFields.map(
+        org.apache.spark.sql.functions.col): _*)
+      .orderBy("column_name")
+    val withEmpty = Profiler.mergeProfiles(p(df), p(df.filter(k < 0)))
+    assert(withEmpty.collect().toSeq == full.collect().toSeq)
+    // the driver-side record twin obeys the same law
+    def rec(n: Long, sum: Option[Double], mn: Option[Double],
+            mx: Option[Double]) = ColProfile("t", "c", 0, "double",
+      recordCt = n, valueCt = n, nullCt = 0, distinctCt = None,
+      minLen = None, maxLen = None, avgLen = None, blankCt = None,
+      minStr = None, maxStr = None, minNum = mn, maxNum = mx,
+      avgNum = None, stdevNum = None, sumNum = sum, fracSum = None,
+      zeroCt = None, negCt = None, minTs = None, maxTs = None,
+      distinctDateCt = None)
+    val cp = ColProfile.merge(
+      rec(3, Some(6.5), Some(1.0), Some(3.5)),
+      rec(0, None, None, None))
+    assert(cp.sumNum.contains(6.5) && cp.minNum.contains(1.0) &&
+      cp.maxNum.contains(3.5))
   }
 
   test("topK returns most frequent first") {
