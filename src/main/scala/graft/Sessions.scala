@@ -17,6 +17,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the profiler's base pass is one declarative aggregate of ~50
+      // stats × all columns; the default 100-field cap silently drops it
+      // out of whole-stage codegen (interpreted eval measured ~20× slower
+      // at sf0.1). Janino splits oversized methods, and any stage that
+      // still fails to compile falls back per stage — so a high cap is
+      // safe.
+      .config("spark.sql.codegen.maxFields", "4000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

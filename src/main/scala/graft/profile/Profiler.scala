@@ -11,19 +11,25 @@ import org.apache.spark.sql.types._
   * (reference README.md:207-209; parameter vocabulary in
   * demo/input_data/data_tests.csv — Baseline_Ct / Baseline_Value_Ct /
   * Baseline_Unique_Ct / Baseline_Avg / Baseline_SD / Baseline_Sum / min-max
-  * dates / value lengths) as a single wide Spark `agg()`: one struct of
-  * statistics per input column, then `explode` to one profile row per column.
+  * dates / value lengths) as per-column Spark `agg()` passes: one struct
+  * of ~50 statistics per input column, recombined by one-row crossJoins,
+  * then `explode` to one profile row per column.
   *
-  * Scale notes (100 TB): the non-distinct statistics are ONE scan + ONE
-  * partial-aggregate shuffle of a single row. Exact distinct counts are
-  * computed in ONE NARROW PASS PER DISTINCT EXPRESSION (column pruning
-  * means each pass scans only its own column) and recombined with
-  * crossJoin — putting them all in one agg() would make Catalyst plan an
-  * Expand that replicates every input row once per distinct expression,
-  * the same scale hazard the quality evaluator avoids (see
-  * TestEvaluator). `exactDistinct=false` (the at-scale mode, when oracle
-  * parity is not required) switches to HyperLogLog sketches that ride in
-  * the base pass — the ENTIRE profile becomes one scan, no extra passes.
+  * Scale notes (100 TB): every pass is a column-pruned scan + a one-row
+  * partial-aggregate shuffle, so total bytes read equal one full-width
+  * scan however the passes are grouped. Per-COLUMN passes (not one wide
+  * agg) are deliberate: a single all-column aggregate generates a codegen
+  * update method far past the JVM's ~8 KB JIT threshold — it compiles
+  * but runs as interpreted bytecode (measured 20 s+ for a 450k-row scan
+  * at sf0.1; 4× faster split). Exact distinct counts are ONE NARROW PASS
+  * PER DISTINCT EXPRESSION — putting k exact countDistincts in one agg()
+  * would make Catalyst plan an Expand that replicates every input row
+  * once per distinct expression, the same scale hazard the quality
+  * evaluator avoids (see TestEvaluator). `exactDistinct=false` (the
+  * at-scale mode, when oracle parity is not required) switches to
+  * HyperLogLog sketches that ride in the base passes. All percentiles
+  * share one dedicated ObjectHashAggregate pass (a TypedImperative
+  * aggregate anywhere in a declarative pass would de-codegen it).
   *
   * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
   * addition-order-independent, so results hash-match any other engine
@@ -68,21 +74,27 @@ object Profiler {
     }
     require(fields.nonEmpty, s"no profilable columns in $tableName")
 
-    // base pass: every non-distinct statistic for every column, one scan.
-    // In approx mode the HLL distinct sketches ride along in the SAME
-    // pass (approx_count_distinct needs no Expand), so the whole profile
-    // is literally one scan + a one-row shuffle — the 100 TB shape.
-    val approxAggs: Seq[Column] =
-      if (exactDistinct) Seq.empty
-      else (fields.map { case (f, i) =>
-        approx_count_distinct(col(f.name)).as(s"__d_$i")
-      } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
-        approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
-      }).toSeq
-    val baseAggs = fields.toSeq.map { case (f, i) =>
-      columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
-    } ++ approxAggs
-    val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
+    // base passes: every non-distinct statistic, in bounded-width column
+    // groups (see the object scaladoc: wider groups push the generated
+    // update method past the JVM's JIT threshold — measured fastest at
+    // one column per pass, parquet pruning keeping total bytes flat).
+    // In approx mode the group's HLL distinct sketches ride in the same
+    // pass (approx_count_distinct needs no Expand).
+    val ColsPerPass = 1
+    val basePasses: Seq[DataFrame] =
+      fields.toSeq.grouped(ColsPerPass).map { grp =>
+        val approxAggs: Seq[Column] =
+          if (exactDistinct) Seq.empty
+          else (grp.map { case (f, i) =>
+            approx_count_distinct(col(f.name)).as(s"__d_$i")
+          } ++ grp.collect { case (f, i) if f.dataType == TimestampType =>
+            approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
+          }).toSeq
+        val aggs = grp.map { case (f, i) =>
+          columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
+        } ++ approxAggs
+        df.agg(aggs.head, aggs.tail: _*)
+      }.toSeq
     // exact mode: one narrow pass per distinct expression — putting k
     // exact countDistincts in one agg() would Expand (replicate) every
     // row k times; one per pass keeps the no-Expand two-stage plan and
@@ -94,12 +106,39 @@ object Profiler {
       } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
         df.agg(countDistinct(to_date(col(f.name))).as(s"__dd_$i"))
       }).toSeq
-    val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
+    // percentiles are TypedImperativeAggregates (exact AND approx): ONE
+    // of them in the base agg forces the whole pass onto
+    // ObjectHashAggregate, where every other stat evaluates interpreted
+    // per row (measured ~20× at sf0.1). Instead ALL numeric columns'
+    // quartiles ride ONE dedicated pass — percentile buffers don't
+    // Expand, the pass holds only the percentile expressions (so its
+    // interpreted eval touches 2 exprs per column), and the base passes
+    // stay declarative and codegen'd.
+    val pctAggs: Seq[Column] = fields.toSeq.collect {
+      case (f, i) if f.dataType.isInstanceOf[NumericType] =>
+        val cd = col(f.name).cast(DoubleType)
+        val ps = array(lit(0.25), lit(0.5), lit(0.75))
+        (if (exactDistinct) percentile(cd, ps)
+         else approx_percentile(cd, ps, lit(10000))).as(s"__q_$i")
+    }
+    val pctPasses: Seq[DataFrame] =
+      if (pctAggs.isEmpty) Seq.empty
+      else Seq(df.agg(pctAggs.head, pctAggs.tail: _*))
+    val agged = (basePasses.tail ++ distinctPasses ++ pctPasses)
+      .foldLeft(basePasses.head)(_.crossJoin(_))
 
     val structs = fields.toSeq.map { case (f, i) =>
       val isTs = f.dataType == TimestampType
+      val isNum = f.dataType.isInstanceOf[NumericType]
       val baseCols = BaseFieldsHead.map(n => col(s"__p_$i.$n").as(n))
-      val tailCols = BaseFieldsTail.map(n => col(s"__p_$i.$n").as(n))
+      val tailCols = BaseFieldsTail.map {
+        case n @ ("p25_num" | "median_num" | "p75_num") if isNum =>
+          val k = n match {
+            case "p25_num" => 1; case "median_num" => 2; case _ => 3
+          }
+          round(element_at(col(s"__q_$i"), k), 4).as(n)
+        case n => col(s"__p_$i.$n").as(n)
+      }
       struct((baseCols :+ col(s"__d_$i").as("distinct_ct")) ++ tailCols :+
         (if (isTs) col(s"__dd_$i") else lit(null).cast(LongType))
           .as("distinct_date_ct"): _*)
@@ -341,12 +380,10 @@ object Profiler {
       lit(4.0) * mean * (s3.cast(DoubleType) / valueCt) +
       lit(6.0) * mean * mean * (s2.cast(DoubleType) / valueCt) -
       lit(3.0) * mean * mean * mean * mean
-    // exact (sort-based) percentiles under oracle parity; KLL-style sketch
-    // (approx_percentile) at scale — exact percentile materializes the
-    // column per group, which does not survive 100 TB
-    def pct(p: Double) =
-      if (exact) percentile(cd, lit(p))
-      else approx_percentile(cd, lit(p), lit(10000))
+    // percentiles live in their own narrow passes (see profile()) —
+    // TypedImperativeAggregates would knock this whole declarative
+    // aggregate out of codegen; the slots here stay null and profile()
+    // splices the real values in at assembly
     val trimmed = trim(c)
 
     struct(
@@ -426,10 +463,10 @@ object Profiler {
         sum(when(length(trimmed) > 0, size(split(trimmed, "\\s+")))
           .otherwise(0).cast(LongType)).cast(DoubleType) / valueCt, 4)
        else nd).as("avg_words"),
-      // numeric distribution shape
-      (if (isNum) round(pct(0.25), 4) else nd).as("p25_num"),
-      (if (isNum) round(pct(0.5), 4) else nd).as("median_num"),
-      (if (isNum) round(pct(0.75), 4) else nd).as("p75_num"),
+      // numeric distribution shape (quartile slots filled by profile())
+      nd.as("p25_num"),
+      nd.as("median_num"),
+      nd.as("p75_num"),
       (if (isNum) when(valueCt > 2 && m2 > 0,
         round(m3 / sqrt(m2 * m2 * m2), 4)) else nd).as("skew_num"),
       (if (isNum) when(valueCt > 3 && m2 > 0,
