@@ -128,6 +128,44 @@ object SimQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Snapshot split for the drift detector: the standing store vs the
+    * newly landed slice (vec_id mod 3 — mirrored in the oracle).
+    */
+  val DriftMod = 3
+
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.embeddingDrift(
+      e.filter(pmod(col("vec_id"), lit(DriftMod)) =!= 0),
+      e.filter(pmod(col("vec_id"), lit(DriftMod)) === 0), "embedding")
+  }
+
+  val embeddingDriftSql: String = {
+    def side(tag: String, pred: String) =
+      s"""m$tag AS (SELECT s.d AS dim, count(*) AS n_$tag,
+         |    sum(CAST(s.v AS DECIMAL(28,6))) AS s1$tag,
+         |    sum(CAST(s.v*s.v AS DECIMAL(28,6))) AS s2$tag
+         |  FROM (SELECT unnest([{'d': i-1, 'v': ve[i]}
+         |      for i in range(1, len(ve)+1)]) AS s
+         |    FROM v WHERE $pred) GROUP BY s.d)""".stripMargin
+    def mean(t: String) = s"CAST(s1$t AS DOUBLE)/n_$t"
+    def vr(t: String) =
+      s"(CAST(s2$t AS DOUBLE) - CAST(s1$t AS DOUBLE)*CAST(s1$t AS DOUBLE)" +
+        s"/n_$t)/(n_$t - 1)"
+    val se = s"sqrt(${vr("a")}/n_a + ${vr("b")}/n_b)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |${side("a", s"vec_id % $DriftMod <> 0")},
+       |${side("b", s"vec_id % $DriftMod = 0")}
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  round(${mean("a")}, 6) AS mean_a, round(${mean("b")}, 6) AS mean_b,
+       |  round(${mean("b")} - ${mean("a")}, 6) AS shift,
+       |  CASE WHEN $se > 0 THEN
+       |    round((${mean("b")} - ${mean("a")})/$se, 4) END AS z
+       |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin
+  }
+
   def centroidsByLabel(s: SparkSession, dir: String): DataFrame =
     Similarity.centroids(emb(s, dir), "label", "embedding")
 
@@ -305,6 +343,7 @@ object SimQueries {
     "vector_hygiene_embeddings" -> (vectorHygiene _),
     "quantize_embeddings" -> (quantize _),
     "centroid_embeddings" -> (centroidsByLabel _),
+    "embedding_drift_embeddings" -> (embeddingDrift _),
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
@@ -318,6 +357,7 @@ object SimQueries {
     "vector_hygiene_embeddings" -> vectorHygieneSql,
     "quantize_embeddings" -> quantizeSql,
     "centroid_embeddings" -> centroidsSql,
+    "embedding_drift_embeddings" -> embeddingDriftSql,
     "knn_embeddings" -> knnSql,
     "ann_lsh_embeddings" -> annLshSql,
     "ann_rp_embeddings" -> annRpSql,

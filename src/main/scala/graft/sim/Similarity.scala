@@ -227,6 +227,52 @@ object Similarity {
         round(col("s1").cast(DoubleType) / col("n_vecs"), 4).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Per-dimension embedding drift between two corpus snapshots — the
+    * vector-store twin of the tabular PSI/schema-drift detectors: when a
+    * new embedding model version, a pipeline change, or a shifted data
+    * mix lands in the store, the per-dimension means move long before
+    * downstream retrieval quality visibly degrades. For each dimension,
+    * exact DECIMAL first/second-moment sums per side feed a two-sample
+    * z statistic (the engine's B2/B8 heritage): shift = mean_b − mean_a,
+    * z = shift / sqrt(var_a/n_a + var_b/n_b). Output is one hash-stable
+    * row per dimension.
+    *
+    * Scale shape: posexplode → ONE groupBy(dim) partial-aggregated
+    * shuffle per side (dims × 3 decimal buffers — tiny), then a
+    * dims-sized join; no per-vector state ever crosses the shuffle.
+    * Parity: decimal sums are addition-order independent; the variance
+    * and z formulas are the same double trees the profiler/test
+    * evaluator use, so the oracle hash-matches.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     vecCol: String): DataFrame = {
+    def moments(df: DataFrame): DataFrame =
+      df.select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(graft.profile.Profiler.SumDec)).as("s1"),
+          sum((col("v") * col("v"))
+            .cast(graft.profile.Profiler.SumDec)).as("s2"))
+    def mean(s1: Column, n: Column) = s1.cast(DoubleType) / n
+    def variance(s1: Column, s2: Column, n: Column) =
+      (s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) / n) /
+        (n - lit(1))
+    val ma = moments(a).select(col("dim"), col("n").as("n_a"),
+      col("s1").as("s1a"), col("s2").as("s2a"))
+    val mb = moments(b).select(col("dim"), col("n").as("n_b"),
+      col("s1").as("s1b"), col("s2").as("s2b"))
+    val meanA = mean(col("s1a"), col("n_a"))
+    val meanB = mean(col("s1b"), col("n_b"))
+    val se = sqrt(variance(col("s1a"), col("s2a"), col("n_a")) / col("n_a") +
+      variance(col("s1b"), col("s2b"), col("n_b")) / col("n_b"))
+    ma.join(mb, "dim")
+      .select(col("dim").cast(LongType).as("dim"), col("n_a"), col("n_b"),
+        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+        round(meanB - meanA, 6).as("shift"),
+        when(se > 0, round((meanB - meanA) / se, 4)).as("z"))
+      .orderBy("dim")
+  }
+
   /** Embedding-cosine near-duplicate pairs — the exact tier of the vector
     * dedup ladder (SURVEY.md M6): every unordered pair with cosine ≥ tau.
     * The verification baseline the oracle can replicate, same role as

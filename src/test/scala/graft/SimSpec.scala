@@ -307,6 +307,30 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding drift surfaces a planted per-dimension mean shift") {
+    val rnd = new java.util.Random(3L)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat * 0.1f)
+    val a = Seq.tabulate(300)(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    // snapshot b: dimension 2 shifted by +0.5, everything else unchanged
+    val b = Seq.tabulate(300) { i =>
+      val v = vec(); v(2) = v(2) + 0.5f; (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(a, b, "embedding").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 8)
+    val shifted = out(2L)
+    assert(shifted.getAs[Double]("shift") > 0.4 &&
+      shifted.getAs[Double]("z") > 10.0)
+    out.filterNot(_._1 == 2L).values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) < 5.0,
+        s"dim ${r.getLong(0)} z=${r.getAs[Double]("z")}")
+    }
+    // drift of a snapshot against itself is identically zero
+    val self = Similarity.embeddingDrift(a, a, "embedding").collect()
+    assert(self.forall(r => r.getAs[Double]("shift") == 0.0))
+  }
+
   test("random projection applies the literal matrix row by row") {
     // basis vector e_i picks out column i of each matrix row
     val m = Similarity.rpMatrix(outDim = 2, inDim = 3, seed = 5L)
