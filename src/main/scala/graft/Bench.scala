@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * before it, and one GC pause cannot shift a timing. `spread` (max −
   * min across reps) is emitted per query so run-to-run variance is
   * visible in the artifact instead of needing a re-run to detect.
+  *
+  * Each query drains into the `noop` sink, NOT `.count()`: counting
+  * lets Catalyst prune computed payloads above the final aggregates
+  * (the profile queries benched 2 s by count but cost 20 s+ fully
+  * evaluated — the pruning hid a JIT pathology for four rounds), while
+  * the noop write evaluates every output column with zero sink cost.
+  * Totals are therefore honest but NOT comparable with the r1–r4
+  * artifacts' count-mode numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,7 +38,8 @@ object Bench {
       val order = new scala.util.Random(rep).shuffle(names)
       order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
