@@ -34,12 +34,21 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // a query that throws must not book its elapsed time as a normal
+    // median — the artifact marks it so a crashed/empty query can never
+    // masquerade as a fast one (review: the sf1 stream queries ran on
+    // zero rows for four rounds and nothing in the JSON said so)
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (rep <- 1 to reps) {
       val order = new scala.util.Random(rep).shuffle(names)
       order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1)
+              .mkString.take(120)
+        }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
@@ -53,7 +62,11 @@ object Bench {
       s"\"" + n + "\":" + (times(n).max - times(n).min)
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    val errs = errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,12 +17,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // the profiler's base pass is one declarative aggregate of ~50
-      // stats × all columns; the default 100-field cap silently drops it
-      // out of whole-stage codegen (interpreted eval measured ~20× slower
-      // at sf0.1). Janino splits oversized methods, and any stage that
-      // still fails to compile falls back per stage — so a high cap is
-      // safe.
+      // several stages sit near or above the default 100-field codegen
+      // cap, which silently drops a stage out of whole-stage codegen:
+      // the quality evaluator's ~100-aggregate approx pass, the
+      // profiler's recombination projection (~50 stats × all columns),
+      // and any future wide declarative aggregate. The cap is only an
+      // eligibility gate — Janino splits oversized methods and a stage
+      // whose generated code still fails to compile falls back
+      // per-stage — so a high cap is safe. (The profiler's SCAN passes
+      // are deliberately narrow regardless: see Profiler's scaladoc on
+      // the ~8 KB JIT method threshold, which no conf can raise.)
       .config("spark.sql.codegen.maxFields", "4000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)

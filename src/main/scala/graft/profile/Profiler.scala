@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * then `explode` to one profile row per column.
   *
   * Scale notes (100 TB): every pass is a column-pruned scan + a one-row
-  * partial-aggregate shuffle, so total bytes read equal one full-width
-  * scan however the passes are grouped. Per-COLUMN passes (not one wide
+  * partial-aggregate shuffle, so for an unfiltered table total bytes
+  * read equal one full-width scan however the passes are grouped (a
+  * filtered/sampled input additionally re-reads its predicate columns
+  * in each pass). Per-COLUMN passes (not one wide
   * agg) are deliberate: a single all-column aggregate generates a codegen
   * update method far past the JVM's ~8 KB JIT threshold — it compiles
   * but runs as interpreted bytecode (measured 20 s+ for a 450k-row scan
@@ -172,11 +174,12 @@ object Profiler {
     * cardinality matters. `distinct_date_ct` survives as a lower bound —
     * its generated tests are floor-compared, so an undercount stays safe.
     *
-    * This is the cheap first pass at 100 TB: `sample` is a narrow
-    * stateless operator fused into the scan (no shuffle, no extra pass),
-    * so a 1% sampled profile reads the data once and aggregates ~1% of
-    * the rows. Defaults to HLL distincts so the whole sampled profile
-    * stays ONE scan.
+    * This is the cheap first pass at 100 TB: the sample predicate
+    * (Bernoulli or hash-draw) is a narrow stateless operator fused into
+    * every per-column pass, so each pass aggregates ~fraction of the
+    * rows; in hashKey mode each pass also reads the key columns the
+    * draw hashes. Defaults to HLL distincts so no extra distinct passes
+    * are added on top of the per-column base passes.
     */
   def profileSampled(df: DataFrame, tableName: String, fraction: Double,
                      seed: Long = 42L, exactDistinct: Boolean = false,

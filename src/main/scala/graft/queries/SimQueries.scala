@@ -150,8 +150,8 @@ object SimQueries {
          |    FROM v WHERE $pred) GROUP BY s.d)""".stripMargin
     def mean(t: String) = s"CAST(s1$t AS DOUBLE)/n_$t"
     def vr(t: String) =
-      s"(CAST(s2$t AS DOUBLE) - CAST(s1$t AS DOUBLE)*CAST(s1$t AS DOUBLE)" +
-        s"/n_$t)/(n_$t - 1)"
+      s"greatest(CAST(s2$t AS DOUBLE) - CAST(s1$t AS DOUBLE)*" +
+        s"CAST(s1$t AS DOUBLE)/n_$t, 0.0)/(n_$t - 1)"
     val se = s"sqrt(${vr("a")}/n_a + ${vr("b")}/n_b)"
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
        |  FROM embeddings),

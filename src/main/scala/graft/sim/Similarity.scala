@@ -254,8 +254,13 @@ object Similarity {
           sum((col("v") * col("v"))
             .cast(graft.profile.Profiler.SumDec)).as("s2"))
     def mean(s1: Column, n: Column) = s1.cast(DoubleType) / n
+    // clamped like Profiler.derivedStd: a constant dimension's numerator
+    // is a tiny NEGATIVE in float math, and while Spark's sqrt(neg) is
+    // NaN, DuckDB's hard-errors — the clamp keeps both engines on z=NULL
+    // via the se>0 guard
     def variance(s1: Column, s2: Column, n: Column) =
-      (s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) / n) /
+      greatest(s2.cast(DoubleType) -
+        s1.cast(DoubleType) * s1.cast(DoubleType) / n, lit(0.0)) /
         (n - lit(1))
     val ma = moments(a).select(col("dim"), col("n").as("n_a"),
       col("s1").as("s1a"), col("s2").as("s2a"))

@@ -305,7 +305,26 @@ object StreamingOps {
       } finally walk.close()
     }
     try {
-      Files.copy(Paths.get(srcParquet), drop.resolve("staged-000.parquet"))
+      // srcParquet may be one file (the driver's testdata layout) or a
+      // Spark-written DIRECTORY of part-files (e.g. the sf1 scale-gate
+      // tables): Files.copy of a directory creates an empty directory —
+      // the stream then silently runs on ZERO rows (caught by review:
+      // BENCH_sf1 recorded 0.2 s 'runs' for four rounds). Stage every
+      // part-file, preserving name order (one file per micro-batch risk
+      // only matters for multi-file drops; names sort identically).
+      val src = Paths.get(srcParquet)
+      if (Files.isDirectory(src)) {
+        val walk = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .zipWithIndex.foreach { case (f, i) =>
+              Files.copy(f, drop.resolve(f"staged-$i%05d.parquet"))
+            }
+        } finally walk.close()
+      } else Files.copy(src, drop.resolve("staged-00000.parquet"))
       val q = build(drop.toString)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append)

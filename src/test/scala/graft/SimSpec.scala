@@ -329,6 +329,13 @@ class SimSpec extends AnyFunSuite {
     // drift of a snapshot against itself is identically zero
     val self = Similarity.embeddingDrift(a, a, "embedding").collect()
     assert(self.forall(r => r.getAs[Double]("shift") == 0.0))
+    // constant dimensions: variance clamps to 0 (float math can drive
+    // the numerator slightly negative — DuckDB's sqrt would hard-error)
+    // and z is NULL via the se > 0 guard, not NaN
+    val const = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(4)(0.0005f))).toDF("vec_id", "embedding")
+    val cz = Similarity.embeddingDrift(const, const, "embedding").collect()
+    assert(cz.length == 4 && cz.forall(r => r.isNullAt(r.fieldIndex("z"))))
   }
 
   test("random projection applies the literal matrix row by row") {
