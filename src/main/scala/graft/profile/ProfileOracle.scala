@@ -47,8 +47,14 @@ object ProfileOracle {
     // decimal sums and double formula trees term-for-term (IEEE doubles are
     // deterministic given identical expression trees)
     val cD = s"CAST($c AS DOUBLE)"
-    val s3 = s"sum(CAST($cD*$cD*$cD AS DECIMAL(38,6)))"
-    val s4 = s"sum(CAST($cD*$cD*$cD*$cD AS DECIMAL(38,6)))"
+    // magnitude-guarded like the Spark side (Profiler.MomentSafeAbs):
+    // any row past the bound nulls the whole moment sum
+    val momGuard =
+      s"count(CASE WHEN NOT (abs($cD) < 30000000.0) THEN 1 END) = 0"
+    val s3 = s"CASE WHEN $momGuard THEN sum(CASE WHEN abs($cD) < " +
+      s"30000000.0 THEN CAST($cD*$cD*$cD AS DECIMAL(38,6)) END) END"
+    val s4 = s"CASE WHEN $momGuard THEN sum(CASE WHEN abs($cD) < " +
+      s"30000000.0 THEN CAST($cD*$cD*$cD*$cD AS DECIMAL(38,6)) END) END"
     val meanS = s"(CAST($s1 AS DOUBLE)/$nCt)"
     val m2S = s"(CAST($s2 AS DOUBLE)/$nCt - $meanS*$meanS)"
     val m3S = s"(CAST($s3 AS DOUBLE)/$nCt - 3.0*$meanS*(CAST($s2 AS DOUBLE)/$nCt) + 2.0*$meanS*$meanS*$meanS)"

@@ -52,6 +52,15 @@ object Profiler {
   /** Wider decimal for 3rd/4th-power sums (skewness/kurtosis moments). */
   val MomDec: DecimalType = DecimalType(38, 6)
 
+  /** Magnitude bound for the moment sums: |x| < 3e7 keeps a single
+    * x⁴ cast at ≈ 8.1e29, inside DECIMAL(38,6)'s ~1e32 integral range
+    * with headroom for the sum. Columns holding larger values (epoch
+    * millis, wide surrogate keys — the sf1 scale gate's strided keys
+    * found this as a hard ANSI cast error) get NULL skew/kurtosis
+    * instead of a failed profile, exactly the documented caveat.
+    */
+  val MomentSafeAbs: Double = 3e7
+
   def typeLabel(dt: DataType): String = dt match {
     case LongType      => "bigint"
     case IntegerType   => "int"
@@ -368,9 +377,20 @@ object Profiler {
     val cd = c.cast(DoubleType)
     val s1 = sum(dec)
     val s2 = sum((cd * cd).cast(SumDec))
-    // 3rd/4th-power sums for the moment-derived shape stats
-    val s3 = sum((cd * cd * cd).cast(MomDec))
-    val s4 = sum((cd * cd * cd * cd).cast(MomDec))
+    // 3rd/4th-power sums for the moment-derived shape stats, magnitude-
+    // guarded (see MomentSafeAbs): rows past the bound would overflow
+    // the per-row DECIMAL cast as a hard ANSI error. The inner when
+    // prevents the throwing cast; the outer when nulls the WHOLE sum if
+    // anything was skipped (a partial moment sum would silently bias
+    // skew/kurtosis — null is the honest answer); try_sum nulls instead
+    // of throwing if the guarded sum itself ever overflows at extreme
+    // row counts.
+    val momSafe = abs(cd) < lit(MomentSafeAbs)
+    val nUnsafe = count(when(!momSafe, 1))
+    val s3 = when(nUnsafe === 0,
+      try_sum(when(momSafe, (cd * cd * cd).cast(MomDec))))
+    val s4 = when(nUnsafe === 0,
+      try_sum(when(momSafe, (cd * cd * cd * cd).cast(MomDec))))
     val lenSum = sum(length(c).cast(LongType))
     // central moments derived from the exact decimal sums (double math is
     // deterministic across engines given identical expression trees)
