@@ -59,6 +59,65 @@ object ProfileCompare {
     diff(baseline, Profiler.profile(df, tableName))
   }
 
+  /** Driver gate for the HLL/approx profile tier (the designated 100 TB
+    * first-pass mode — reference README.md:207-209 profiling claim):
+    * the exact and approx profiles of the same table are joined per
+    * column, and one row is emitted per statistic that violates the
+    * mode's documented error contract. Expected EMPTY — the DuckDB
+    * oracle is a typed zero-row SELECT, so the driver's row/hash
+    * compare is a real regression gate on the sketch wiring (before
+    * this, only ProfilerSpec guarded the mode).
+    *
+    * Bounds: distinct counts (HyperLogLog, default rsd 0.05) must land
+    * within max(2, 10% of exact) — the ProfilerSpec property bound;
+    * percentiles (approx_percentile, accuracy 10000 → rank error
+    * ≤ 0.01% of rows) within 5% of the exact quantile (floor 1e-6 for
+    * zero-valued quantiles); every other statistic rides the SAME
+    * expression tree in both modes and must match EXACTLY (null-safe —
+    * the one-column-per-pass base aggregation is identical in both).
+    */
+  def approxCheck(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val statCols = exact.columns.toSeq
+      .filterNot(Set("table_name", "column_name"))
+    val e = exact.select(col("column_name") +:
+      statCols.map(c => col(c).as(s"e_$c")): _*)
+    val a = approx.select(col("column_name") +:
+      statCols.map(c => col(c).as(s"a_$c")): _*)
+    val hllStats = Set("distinct_ct", "distinct_date_ct")
+    val pctStats = Set("p25_num", "median_num", "p75_num")
+    val checks = statCols.map { st =>
+      val ev = col(s"e_$st"); val av = col(s"a_$st")
+      val ed = ev.cast(DoubleType); val ad = av.cast(DoubleType)
+      val bad =
+        if (hllStats(st) || pctStats(st)) {
+          val bound =
+            if (hllStats(st)) greatest(lit(2.0), lit(0.1) * ed)
+            else greatest(lit(0.05) * abs(ed), lit(1e-6))
+          when(ev.isNull && av.isNull, lit(false))
+            .when(ev.isNull || av.isNull, lit(true))
+            .otherwise(abs(ad - ed) > bound)
+        } else !(ev <=> av)
+      struct(lit(st).as("stat"), bad.as("bad"),
+        ev.cast(StringType).as("exact_v"),
+        av.cast(StringType).as("approx_v"))
+    }
+    e.join(a, "column_name")
+      .select(col("column_name"), explode(array(checks: _*)).as("c"))
+      .filter(col("c.bad"))
+      .select(col("column_name"), col("c.stat").as("stat"),
+        col("c.exact_v").as("exact_v"), col("c.approx_v").as("approx_v"))
+      .orderBy("column_name", "stat")
+  }
+
+  /** Typed zero-row oracle for [[approxCheck]] — expected-empty is the
+    * whole contract, so the oracle only has to agree on the schema.
+    */
+  val approxCheckOracleSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS column_name,
+      |  CAST(NULL AS VARCHAR) AS stat, CAST(NULL AS VARCHAR) AS exact_v,
+      |  CAST(NULL AS VARCHAR) AS approx_v
+      |WHERE false""".stripMargin
+
   /** DuckDB oracle for [[diffAgainstPinned]]: the current side recomputes
     * each stat with the same SQL formulas as ProfileOracle, the baseline
     * side is the pinned literal.

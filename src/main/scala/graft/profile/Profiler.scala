@@ -79,7 +79,32 @@ object Profiler {
     * the oracle hash compare).
     */
   def profile(df: DataFrame, tableName: String,
-              exactDistinct: Boolean = true): DataFrame = {
+              exactDistinct: Boolean = true): DataFrame =
+    profileWith(df, tableName,
+      distincts = if (exactDistinct) "exact" else "hll",
+      exactPercentiles = exactDistinct)
+
+  /** [[profile]] with the distinct strategy and percentile exactness
+    * DECOUPLED (the r5 advice: coupling them made the sampled-oracle mode
+    * pay one exact countDistinct pass per column only to null the results
+    * at assembly — Catalyst cannot prune a crossJoined pass through the
+    * struct/explode recombination, so the waste was ~n narrow scans).
+    *
+    *  - distincts = "exact": one narrow pass per column (+ per timestamp
+    *    date) — the oracle-parity mode;
+    *  - "hll": HyperLogLog sketches riding the base passes — the 100 TB
+    *    one-scan mode;
+    *  - "dates": ONLY the exact distinct-DATE passes; per-column
+    *    distinct_ct is emitted NULL without ever being computed — the
+    *    sampled mode, where a sample's distinct count has no unbiased
+    *    scale-up (see [[profileSampled]]) but distinct_date_ct survives
+    *    as a floor-compared lower bound.
+    */
+  private[graft] def profileWith(df: DataFrame, tableName: String,
+                                 distincts: String,
+                                 exactPercentiles: Boolean): DataFrame = {
+    require(Set("exact", "hll", "dates")(distincts),
+      s"bad distincts mode: $distincts")
     val fields = df.schema.fields.zipWithIndex.filter {
       case (f, _) => isProfilable(f.dataType)
     }
@@ -95,28 +120,33 @@ object Profiler {
     val basePasses: Seq[DataFrame] =
       fields.toSeq.grouped(ColsPerPass).map { grp =>
         val approxAggs: Seq[Column] =
-          if (exactDistinct) Seq.empty
+          if (distincts != "hll") Seq.empty
           else (grp.map { case (f, i) =>
             approx_count_distinct(col(f.name)).as(s"__d_$i")
           } ++ grp.collect { case (f, i) if f.dataType == TimestampType =>
             approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
           }).toSeq
         val aggs = grp.map { case (f, i) =>
-          columnStats(f, i, tableName, exactDistinct).as(s"__p_$i")
+          columnStats(f, i, tableName).as(s"__p_$i")
         } ++ approxAggs
         df.agg(aggs.head, aggs.tail: _*)
       }.toSeq
     // exact mode: one narrow pass per distinct expression — putting k
     // exact countDistincts in one agg() would Expand (replicate) every
     // row k times; one per pass keeps the no-Expand two-stage plan and
-    // column pruning makes each pass scan a single column
+    // column pruning makes each pass scan a single column. "dates" mode
+    // keeps only the distinct-date passes (the column distincts would be
+    // computed and discarded).
     val distinctPasses: Seq[DataFrame] =
-      if (!exactDistinct) Seq.empty
-      else (fields.map { case (f, i) =>
+      (if (distincts != "exact") Seq.empty
+       else fields.toSeq.map { case (f, i) =>
         df.agg(countDistinct(col(f.name)).as(s"__d_$i"))
-      } ++ fields.collect { case (f, i) if f.dataType == TimestampType =>
-        df.agg(countDistinct(to_date(col(f.name))).as(s"__dd_$i"))
-      }).toSeq
+      }) ++
+      (if (distincts == "hll") Seq.empty
+       else fields.toSeq.collect {
+        case (f, i) if f.dataType == TimestampType =>
+          df.agg(countDistinct(to_date(col(f.name))).as(s"__dd_$i"))
+      })
     // percentiles are TypedImperativeAggregates (exact AND approx): ONE
     // of them in the base agg forces the whole pass onto
     // ObjectHashAggregate, where every other stat evaluates interpreted
@@ -129,7 +159,7 @@ object Profiler {
       case (f, i) if f.dataType.isInstanceOf[NumericType] =>
         val cd = col(f.name).cast(DoubleType)
         val ps = array(lit(0.25), lit(0.5), lit(0.75))
-        (if (exactDistinct) percentile(cd, ps)
+        (if (exactPercentiles) percentile(cd, ps)
          else approx_percentile(cd, ps, lit(10000))).as(s"__q_$i")
     }
     val pctPasses: Seq[DataFrame] =
@@ -150,7 +180,10 @@ object Profiler {
           round(element_at(col(s"__q_$i"), k), 4).as(n)
         case n => col(s"__p_$i.$n").as(n)
       }
-      struct((baseCols :+ col(s"__d_$i").as("distinct_ct")) ++ tailCols :+
+      val distinctCt =
+        if (distincts == "dates") lit(null).cast(LongType)
+        else col(s"__d_$i")
+      struct((baseCols :+ distinctCt.as("distinct_ct")) ++ tailCols :+
         (if (isTs) col(s"__dd_$i") else lit(null).cast(LongType))
           .as("distinct_date_ct"): _*)
     }
@@ -214,7 +247,12 @@ object Profiler {
           % 10000 < bps)
       case None => df.sample(withReplacement = false, fraction, seed)
     }
-    val p = profile(sample, tableName, exactDistinct)
+    // "dates" (not "exact") when the caller wants oracle parity: the
+    // per-column distinct passes would be computed only to be nulled
+    // below — the sampled mode never pays them (r5 advice)
+    val p = profileWith(sample, tableName,
+      distincts = if (exactDistinct) "dates" else "hll",
+      exactPercentiles = exactDistinct)
     p.select(p.columns.toSeq.map {
       case c if ExtensiveCounts(c) =>
         round(col(c) / fraction).cast(LongType).as(c)
@@ -357,8 +395,7 @@ object Profiler {
   /** All non-distinct statistics of one column (the distinct counts are
     * separate passes — see [[profile]]).
     */
-  private def columnStats(f: StructField, i: Int, table: String,
-                          exact: Boolean): Column = {
+  private def columnStats(f: StructField, i: Int, table: String): Column = {
     val c = col(f.name)
     val isStr = f.dataType == StringType
     val isNum = f.dataType.isInstanceOf[NumericType]

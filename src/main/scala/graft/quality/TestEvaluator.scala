@@ -540,6 +540,59 @@ object TestEvaluator {
       .orderBy("column_name", "test_type")
   }
 
+  /** Test types whose measures ride the HLL distinct sketches in
+    * approx mode — the QualitySpec band-tolerance set. */
+  val DistinctBackedTypes: Set[String] = Set("Unique_Pct", "Unique",
+    "Distinct_Value_Ct", "LOV_All", "Distinct_Date_Ct", "Daily_Record_Ct",
+    "Monthly_Rec_Ct", "Weekly_Rec_Ct")
+
+  /** Driver gate for the approx-distinct evaluation mode (the one-scan
+    * 100 TB shape): exact and approx runs of the SAME suite joined per
+    * (column, test), emitting one row per violation of the mode's
+    * contract — distinct-backed tests may move at most ONE status band
+    * (sketch error near a tight threshold), every other test must match
+    * exactly in status AND measure (their measures ride the identical
+    * base aggregation pass in both modes). Expected EMPTY; the DuckDB
+    * oracle is a typed zero-row SELECT ([[approxCheckOracleSql]]), so
+    * the driver's row/hash compare gates the sketch wiring — the
+    * QualitySpec property, promoted to the correctness gate.
+    *
+    * The one-band contract assumes the suite's thresholds carry slack
+    * (hand-authored suites do). A threshold sitting EXACTLY on the true
+    * value (the autogen suites pin Distinct_Value_Ct's floor to the
+    * baseline's true count) flips two bands under any sketch error —
+    * gate such suites at the sketch source (ProfileCompare.approxCheck)
+    * instead of at the verdict level.
+    */
+  def approxCheck(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def rank(st: Column): Column =
+      when(st === "PASSED", 0).when(st === "WARNING", 1).otherwise(2)
+    val e = exact.select(col("column_name"), col("test_type"),
+      col("measure").as("exact_measure"), col("status").as("exact_status"))
+    val a = approx.select(col("column_name"), col("test_type"),
+      col("measure").as("approx_measure"),
+      col("status").as("approx_status"))
+    val bad = when(col("test_type").isin(DistinctBackedTypes.toSeq: _*),
+        abs(rank(col("approx_status")) - rank(col("exact_status"))) > 1)
+      .otherwise(col("approx_status") =!= col("exact_status") ||
+        !(col("approx_measure") <=> col("exact_measure")))
+    e.join(a, Seq("column_name", "test_type"))
+      .filter(bad)
+      .select(col("column_name"), col("test_type"), col("exact_status"),
+        col("approx_status"), col("exact_measure"), col("approx_measure"))
+      .orderBy("column_name", "test_type")
+  }
+
+  /** Typed zero-row oracle for [[approxCheck]]. */
+  val approxCheckOracleSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS column_name,
+      |  CAST(NULL AS VARCHAR) AS test_type,
+      |  CAST(NULL AS VARCHAR) AS exact_status,
+      |  CAST(NULL AS VARCHAR) AS approx_status,
+      |  CAST(NULL AS DOUBLE) AS exact_measure,
+      |  CAST(NULL AS DOUBLE) AS approx_measure
+      |WHERE false""".stripMargin
+
   /** DuckDB oracle mirror of [[run]] for a suite on one table. */
   def oracleSql(table: String, defs: Seq[TestDef]): String = {
     val parts = defs.map { d =>

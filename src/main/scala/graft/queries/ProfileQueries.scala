@@ -79,6 +79,14 @@ object ProfileQueries {
     "profile_approx_lineitem" -> ((s: SparkSession, dir: String) =>
       Profiler.profile(Tables.load(s, dir, "lineitem"), "lineitem",
         exactDistinct = false)),
+    // expected-empty violation gate over the HLL mode (r5 verdict #1):
+    // puts the approx tier under the driver's row/hash compare
+    "profile_approx_check_lineitem" -> ((s: SparkSession, dir: String) => {
+      val li = Tables.load(s, dir, "lineitem")
+      ProfileCompare.approxCheck(
+        Profiler.profile(li, "lineitem"),
+        Profiler.profile(li, "lineitem", exactDistinct = false))
+    }),
     "profile_sampled_lineitem" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, concat, lit}
       // md5-drawn 10% subset on the (l_orderkey, l_linenumber) row key +
@@ -108,6 +116,7 @@ object ProfileQueries {
     "profile_compare_lineitem" ->
       ProfileCompare.pinnedOracleSql("lineitem", PinnedBaselines.lineitem),
     "schema_drift_events" -> SchemaDrift.oracleSql("events"),
+    "profile_approx_check_lineitem" -> ProfileCompare.approxCheckOracleSql,
     "profile_sampled_lineitem" -> ProfileOracle.sampledSql("lineitem", 0.1,
       "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
     "profile_merge_lineitem" -> profileMergeSql,

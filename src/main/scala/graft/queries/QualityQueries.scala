@@ -81,6 +81,21 @@ object QualityQueries {
     "dq_approx_lineitem" -> ((s: SparkSession, dir: String) =>
       TestEvaluator.run(Tables.load(s, dir, "lineitem"),
         PinnedBaselines.lineitemDefs, approxDistinct = true)),
+    // expected-empty violation gate over the approx mode (r5 verdict
+    // #1): distinct-backed tests within one status band, everything
+    // else exact — under the driver's row/hash compare. Runs the HAND
+    // suite: its thresholds carry the slack the one-band contract
+    // assumes. The autogen suite's thresholds sit exactly on the
+    // baseline truth (Distinct_Value_Ct floor == true count), so ANY
+    // sketch error flips two bands there — that tier's sketch error is
+    // gated at the source instead (profile_approx_check_lineitem's
+    // max(2, 10%) per-column bound over the same table).
+    "dq_approx_check_lineitem" -> ((s: SparkSession, dir: String) => {
+      val li = Tables.load(s, dir, "lineitem")
+      TestEvaluator.approxCheck(
+        TestEvaluator.run(li, Suites.lineitem),
+        TestEvaluator.run(li, Suites.lineitem, approxDistinct = true))
+    }),
     "dq_autogen_documents" -> (autogenDocs _),
     "hygiene_customer" -> hygiene("customer") _,
     "hygiene_orders" -> hygiene("orders") _,
@@ -97,6 +112,7 @@ object QualityQueries {
       TestEvaluator.oracleSql("lineitem", PinnedBaselines.lineitemDefs),
     "dq_autogen_documents" ->
       TestEvaluator.oracleSql("documents", PinnedBaselines.documentsDefs),
+    "dq_approx_check_lineitem" -> TestEvaluator.approxCheckOracleSql,
     "hygiene_customer" -> Hygiene.oracleSql("customer"),
     "hygiene_orders" -> Hygiene.oracleSql("orders"),
     "hygiene_documents" -> Hygiene.oracleSql("documents"),
