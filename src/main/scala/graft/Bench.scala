@@ -43,22 +43,29 @@ object Bench {
       val order = new scala.util.Random(rep).shuffle(names)
       order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // only successful reps book time: a fast-crashing rep would
+          // otherwise contribute a misleadingly small median while the
+          // failure hides in the errors map
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).linesIterator.take(1)
-              .mkString.take(120)
+              .mkString.filter(_ >= ' ').take(120)
         }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted; s(s.size / 2)
     }
-    val med = names.map { case (n, _) => n -> median(times(n)) }
+    // a query with zero successful reps has no median and no spread —
+    // it appears ONLY in errors, and the total sums real work only
+    val timed = names.filter { case (n, _) => times(n).nonEmpty }
+    val med = timed.map { case (n, _) => n -> median(times(n)) }
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = names.map { case (n, _) =>
+    val spread = timed.map { case (n, _) =>
       s"\"" + n + "\":" + (times(n).max - times(n).min)
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum

@@ -429,40 +429,94 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** The SCALE tier of the same surface — and since round 5 the
-    * oracle-checked one: banded-LSH candidates over the INTEGER-literal
-    * hyperplane family (Similarity.lshPlanes — the rpMatrix determinism
-    * pattern), then the identical exact-cosine + lexical verification.
-    * The full band matrix renders into the DuckDB mirror below, so the
-    * candidate set, the cosine filter, and the Jaccard confirmation are
-    * all engine-reproducible; recall vs the exact tier stays spec-gated
-    * in SimSpec/TextSpec.
+  /** The banded-LSH tier of the same surface — oracle-checked since
+    * round 5: candidates over the INTEGER-literal hyperplane family
+    * (Similarity.lshPlanes — the rpMatrix determinism pattern), then
+    * the identical exact-cosine + lexical verification. The full band
+    * matrix AND the hot-bucket cap render into the DuckDB mirror, so
+    * the candidate set, the cosine filter, and the Jaccard confirmation
+    * are all engine-reproducible; recall stays spec-gated in
+    * SimSpec/TextSpec.
+    *
+    * Two registered regimes (the r5 scale-gate verdict: the τ=0.4
+    * full-corpus variant measured ~n² at 10× rows — sign-LSH at θ≈66°
+    * has ρ≈0.67 and NO banding makes it sub-quadratic):
+    *
+    *  - `semantic_dedup_ann_pairs` — the τ=0.4 AUDIT tier, demoted to
+    *    the same deterministic half-corpus sample as the exact tier
+    *    (the role a shallow-threshold sweep has at 100 TB is
+    *    spot-auditing a bounded slice) and guarded by
+    *    [[AnnAuditMaxBucket]]: above the cap a (band,bucket) cell is
+    *    background density, not a dup cluster, and is skipped before
+    *    the pair join can go quadratic.
+    *  - `semantic_dedup_ann_prod` — the PRODUCTION regime the scaladoc
+    *    on cosineNearDupPairsLsh derives (cos ≥ 0.9 ⇒ θ ≤ 26°,
+    *    p ≥ 0.86): 8 bands × 8 planes passes ≈3% of background pairs
+    *    at recall ≈0.99, capped at [[AnnProdMaxBucket]]. On THIS
+    *    corpus the result is expected-empty — the uniform synthetic
+    *    embeddings contain zero cos ≥ 0.8 pairs (measured; the planted
+    *    near-dups sit at 0.4–0.5) — and the oracle recomputes the full
+    *    banding+confirm pipeline to the same empty answer. That the
+    *    empty answer is the detector WORKING (not a dead plan) is
+    *    SimSpec's planted-cluster test: the same 8×8 config recalls
+    *    every planted cos > 0.9 pair, with and without the cap.
     */
   val AnnBands = 12
   val AnnPlanesPerBand = 3
   val AnnSeed = 7L
 
-  def semanticDedupAnn(s: SparkSession, dir: String): DataFrame =
-    Curation.semanticDedupPairsAnn(docs(s, dir),
-      Tables.load(s, dir, "embeddings"), minCos = SemanticTau,
-      shingleN = ShingleN, minJaccard = MinJaccard,
-      dim = SimQueries.Dim, bands = AnnBands,
-      planesPerBand = AnnPlanesPerBand, seed = AnnSeed)
+  /** Audit cap: no bucket binds at sf ≤ 0.1 (half-corpus of 1 000 over
+    * 2³ buckets/band ⇒ E[bucket] ≈ 125, max ≈ 160), so the sf0.01
+    * oracle hash and the sf0.1 bench row are unchanged; at sf1 the
+    * 1 250-row background buckets hit the cap and the would-be-n² pair
+    * join is skipped instead of executed.
+    */
+  val AnnAuditMaxBucket = 300
 
-  lazy val semanticDedupAnnSql: String = {
-    val planes = graft.sim.Similarity.lshPlanes(AnnBands, AnnPlanesPerBand,
+  /** Prod cap: a cell of > 64 vectors at 8-plane depth (1/256 of key
+    * space) is ≥ 16× the uniform background density of a 1 000-vector
+    * corpus — no cos ≥ 0.9 cluster, which SimSpec plants at ~20
+    * members, comes close. */
+  val AnnProdMaxBucket = 64
+  val AnnProdTau = 0.9
+  val AnnProdBands = 8
+  val AnnProdPlanesPerBand = 8
+
+  def semanticDedupAnn(s: SparkSession, dir: String): DataFrame =
+    Curation.semanticDedupPairsAnn(docs(s, dir), embSample(s, dir),
+      minCos = SemanticTau, shingleN = ShingleN, minJaccard = MinJaccard,
+      dim = SimQueries.Dim, bands = AnnBands,
+      planesPerBand = AnnPlanesPerBand, seed = AnnSeed,
+      maxBucket = AnnAuditMaxBucket)
+
+  def semanticDedupAnnProd(s: SparkSession, dir: String): DataFrame =
+    Curation.semanticDedupPairsAnn(docs(s, dir),
+      Tables.load(s, dir, "embeddings"), minCos = AnnProdTau,
+      shingleN = ShingleN, minJaccard = MinJaccard,
+      dim = SimQueries.Dim, bands = AnnProdBands,
+      planesPerBand = AnnProdPlanesPerBand, seed = AnnSeed,
+      maxBucket = AnnProdMaxBucket)
+
+  /** DuckDB mirror of one ANN regime: identical plane family, sign
+    * convention, hot-bucket cap (QUALIFY over the banding CTE), cosine
+    * round/threshold, and lexical confirm as the Spark path.
+    */
+  private def annSqlFor(tau: Double, bands: Int, planesPerBand: Int,
+                        maxBucket: Int, auditMod: Option[Int]): String = {
+    val planes = graft.sim.Similarity.lshPlanes(bands, planesPerBand,
       SimQueries.Dim, AnnSeed)
     // one struct per band; each bucket packs planesPerBand sign bits
     // (>= 0 convention, c/1000.0 literals) exactly as intBucketExpr does
-    val bandStructs = (0 until AnnBands).map { b =>
-      val bits = (0 until AnnPlanesPerBand).map { j =>
-        val arr = planes(b * AnnPlanesPerBand + j)
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { j =>
+        val arr = planes(b * planesPerBand + j)
           .map(c => s"$c/1000.0").mkString("[", ", ", "]")
         s"(CASE WHEN list_inner_product(ve, $arr) >= 0 " +
           s"THEN ${1L << j} ELSE 0 END)"
       }
       s"{'band': $b, 'bucket': CAST(${bits.mkString(" + ")} AS BIGINT)}"
     }.mkString("[", ", ", "]")
+    val vWhere = auditMod.map(m => s" WHERE vec_id % $m = 0").getOrElse("")
     val cos = "list_inner_product(va.ve, vb.ve) / " +
       "(sqrt(list_inner_product(va.ve, va.ve)) * " +
       "sqrt(list_inner_product(vb.ve, vb.ve)))"
@@ -470,9 +524,11 @@ object TextQueries {
     val jac = s"$inter/(len(sa.shs) + len(sb.shs) - $inter)"
     s"""$ShCte,
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-       |  FROM embeddings),
+       |  FROM embeddings$vWhere),
        |kb AS (SELECT vec_id AS id, u.band AS band, u.bucket AS bucket
-       |  FROM (SELECT vec_id, unnest($bandStructs) AS u FROM v)),
+       |  FROM (SELECT vec_id, unnest($bandStructs) AS u FROM v)
+       |  QUALIFY count(*) OVER (PARTITION BY u.band, u.bucket)
+       |    <= $maxBucket),
        |cand0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM kb a JOIN kb b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
@@ -480,7 +536,7 @@ object TextQueries {
        |  SELECT id_a, id_b, round($cos, 4) AS cos_sim
        |  FROM cand0 JOIN v va ON va.vec_id = id_a
        |  JOIN v vb ON vb.vec_id = id_b)
-       |  WHERE cos_sim >= $SemanticTau),
+       |  WHERE cos_sim >= $tau),
        |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh
        |  GROUP BY doc_id)
        |SELECT id_a, id_b, cos_sim, round($jac, 4) AS jaccard,
@@ -489,6 +545,14 @@ object TextQueries {
        |JOIN sets sb ON sb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  lazy val semanticDedupAnnSql: String =
+    annSqlFor(SemanticTau, AnnBands, AnnPlanesPerBand, AnnAuditMaxBucket,
+      Some(AuditMod))
+
+  lazy val semanticDedupAnnProdSql: String =
+    annSqlFor(AnnProdTau, AnnProdBands, AnnProdPlanesPerBand,
+      AnnProdMaxBucket, None)
 
   // ---- unigram LM surprisal (CCNet-style quality signal) ------------------
 
@@ -1153,6 +1217,7 @@ object TextQueries {
     "chunk_documents" -> (chunkDocs _),
     "semantic_dedup_pairs" -> (semanticDedup _),
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
+    "semantic_dedup_ann_prod" -> (semanticDedupAnnProd _),
     "lm_surprisal_documents" -> (lmSurprisal _),
     "importance_weights_documents" -> (importanceWeights _),
     "mixture_plan_documents" -> (mixturePlan _),
@@ -1194,6 +1259,7 @@ object TextQueries {
     "chunk_documents" -> chunkDocsSql,
     "semantic_dedup_pairs" -> semanticDedupSql,
     "semantic_dedup_ann_pairs" -> semanticDedupAnnSql,
+    "semantic_dedup_ann_prod" -> semanticDedupAnnProdSql,
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,

@@ -352,11 +352,13 @@ object Similarity {
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                             tau: Double, dim: Int, bands: Int = 12,
                             planesPerBand: Int = 3,
-                            seed: Long = 7L): DataFrame = {
+                            seed: Long = 7L,
+                            maxBucket: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).cast(LongType).as("id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    lshCandidatePairs(df, idCol, vecCol, dim, bands, planesPerBand, seed)
+    lshCandidatePairs(df, idCol, vecCol, dim, bands, planesPerBand, seed,
+        maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
@@ -398,8 +400,8 @@ object Similarity {
     * (and therefore the registered semantic-dedup query built on it) is
     * reproducible in the DuckDB oracle — the same determinism upgrade
     * [[knnRp]] made over [[knnLsh]].
-    */
-  /** `maxBucket`: the hot-bucket guard rail for the self-join. Candidate
+    *
+    * `maxBucket`: the hot-bucket guard rail for the self-join. Candidate
     * volume is Σ bucket² per band — a bucket holding b ids emits b²/2
     * pairs, so ONE hot bucket (a dense embedding region, or simply a
     * too-coarse `planesPerBand` at a large corpus) can dominate the

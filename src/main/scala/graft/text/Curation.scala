@@ -198,10 +198,11 @@ object Curation {
                             minJaccard: Double = 0.4, dim: Int = 64,
                             bands: Int = 12,
                             planesPerBand: Int = 3,
-                            seed: Long = 7L): DataFrame =
+                            seed: Long = 7L,
+                            maxBucket: Int = 0): DataFrame =
     confirmPairsLexically(
       graft.sim.Similarity.cosineNearDupPairsLsh(vecs, vecIdCol, vecCol,
-        minCos, dim, bands, planesPerBand, seed),
+        minCos, dim, bands, planesPerBand, seed, maxBucket),
       docs, docIdCol, textCol, shingleN, minJaccard)
 
   /** The lexical verification tier shared by both semantic-dedup

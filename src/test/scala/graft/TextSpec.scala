@@ -234,6 +234,50 @@ class TextSpec extends AnyFunSuite {
     assert(ann.forall { case (k, v) => exact.get(k).contains(v) })
   }
 
+  test("production-regime ANN semantic dedup (cos >= 0.9, capped) fires " +
+    "on planted duplicates and stays empty on uniform background") {
+    // the registered semantic_dedup_ann_prod query is expected-empty on
+    // the harness corpus (uniform embeddings have no cos >= 0.8 pairs);
+    // this test is the proof that the empty answer is the detector
+    // working: the SAME config (tau=0.9, 8x8 banding, hot-bucket cap)
+    // recalls every planted high-cos duplicate whose text is also a
+    // near-copy, and flags the cosine-only pair as agree=false
+    val rnd = new java.util.Random(23L)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(10)(vec())
+    val dupVecs = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v),
+        ((100 + i).toLong,
+          v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val bgVecs = Seq.tabulate(200)(i => ((300 + i).toLong, vec()))
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(seedIdx: Int, twist: String) =
+      Seq.tabulate(8)(j => words((seedIdx * 7 + j * 3) % 10))
+        .mkString(" ") + " " + twist
+    val docRows =
+      (0 until 10).flatMap { i =>
+        Seq((i.toLong, text(i, "one")), ((100 + i).toLong, text(i, "two")))
+      } ++ (0 until 200).map(i => ((300 + i).toLong, text(i % 50, s"bg$i")))
+    val docs = docRows.toDF("doc_id", "text")
+    val vecs = (dupVecs ++ bgVecs).toDF("vec_id", "embedding")
+    def run(v: org.apache.spark.sql.DataFrame) =
+      graft.text.Curation.semanticDedupPairsAnn(docs, v,
+        minCos = 0.9, shingleN = 2, minJaccard = 0.4, dim = 32,
+        bands = 8, planesPerBand = 8, maxBucket = 64)
+    val out = run(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Boolean]("agree"))
+      .toMap
+    (0 until 10).foreach { i =>
+      assert(out.get((i.toLong, (100 + i).toLong)).contains(true),
+        s"planted dup pair $i missing or not agreed")
+    }
+    // uniform background alone: no cos >= 0.9 pair exists, and the
+    // pipeline must say so (the registered query's expected-empty shape)
+    assert(run(bgVecs.toDF("vec_id", "embedding")).isEmpty)
+  }
+
   test("importance weights upweight documents resembling the target slice") {
     import org.apache.spark.sql.functions.col
     // target docs speak one vocabulary, the rest another; a fresh doc in
