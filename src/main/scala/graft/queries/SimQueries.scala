@@ -99,6 +99,46 @@ object SimQueries {
       "vec_id", "embedding", K, NList, NProbe)
   }
 
+  /** Per-query recall floor for the IVF gate. SimSpec's aggregate floor
+    * is 0.5; a single query probing 3/8 cells on uniform data can
+    * legitimately land lower, so the per-query violation threshold sits
+    * at coverage-baseline level — a query BELOW nprobe/nlist recall
+    * means the quantizer is routing neighbors away from the probed
+    * cells, which is the defect this gate exists to catch.
+    */
+  val IvfRecallFloor = 0.2
+
+  /** Expected-empty driver gate for the KMeans IVF tier (r5 verdict
+    * #5): one row per query whose recall@K against the oracle-checked
+    * brute-force top-K ([[knn]]) falls below [[IvfRecallFloor]]. The
+    * DuckDB oracle is a typed zero-row SELECT — KMeans centroids have
+    * no exact SQL rendering, but the recall CONTRACT is still
+    * hash-checkable, which is what flips `ann_ivf` out of `no_oracle`.
+    * Ties at the K-th cosine make brute-force/IVF top-K sets
+    * rank-order-sensitive, so recall counts COSINE matches (a returned
+    * neighbor whose rounded cos_sim equals a truth neighbor's is a
+    * hit), not id matches — the same tolerance SimSpec applies.
+    */
+  def annIvfRecallCheck(s: SparkSession, dir: String): DataFrame = {
+    val exact = knn(s, dir).select(col("query_id"), col("cos_sim"))
+    val ivf = annIvf(s, dir).select(col("query_id"), col("cos_sim"))
+      .distinct()
+    val hits = exact.join(ivf, Seq("query_id", "cos_sim"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 4)
+          .as("recall_at_k"))
+      .filter(col("recall_at_k") < IvfRecallFloor)
+      .orderBy("query_id")
+  }
+
+  val annIvfRecallCheckSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS query_id,
+      |  CAST(NULL AS DOUBLE) AS recall_at_k
+      |WHERE false""".stripMargin
+
   /** Cosine threshold for the exact near-dup pair tier. */
   val NearDupTau = 0.4
 
@@ -347,6 +387,7 @@ object SimQueries {
     "knn_embeddings" -> (knn _),
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
+    "ann_ivf_recall_check" -> (annIvfRecallCheck _),
     "ann_rp_embeddings" -> (annRp _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
   )
@@ -360,6 +401,7 @@ object SimQueries {
     "embedding_drift_embeddings" -> embeddingDriftSql,
     "knn_embeddings" -> knnSql,
     "ann_lsh_embeddings" -> annLshSql,
+    "ann_ivf_recall_check" -> annIvfRecallCheckSql,
     "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
   )

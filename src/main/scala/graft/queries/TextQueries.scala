@@ -719,18 +719,30 @@ object TextQueries {
   private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Seq[(String, String)]]
 
-  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+  private def learnedMerges(s: SparkSession,
+                            dir: String): Seq[(String, String)] = {
     val key = (dir, new java.io.File(s"$dir/documents.parquet")
       .lastModified())
-    val m = Option(bpeMergeCache.get(key)).getOrElse {
+    Option(bpeMergeCache.get(key)).getOrElse {
       val learned = TextOps.bpeMergesScalable(docs(s, dir), "text",
           BpeNMerges, BpeMaxVocab)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeMergeCache.putIfAbsent(key, learned)
       learned
     }
-    TextOps.bpeEncodeScalable(docs(s, dir), "text", "doc_id", m)
   }
+
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncodeScalable(docs(s, dir), "text", "doc_id",
+      learnedMerges(s, dir))
+
+  /** Expected-empty codec gate (r5 verdict #4): decode(encode(word))
+    * must reproduce every word and every fused token must be a product
+    * of the learned table — under the driver's row/hash compare, which
+    * closes the `no_oracle` gap on the tokenizer tier. */
+  def bpeRoundtripQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeRoundtripViolations(docs(s, dir), "text", "doc_id",
+      learnedMerges(s, dir))
 
   // ---- filter-policy decision matrix ---------------------------------------
 
@@ -1225,6 +1237,7 @@ object TextQueries {
     "bpe_pairs_documents" -> (bpePairs _),
     "bpe_merges_documents" -> (bpeMergesQ _),
     "bpe_encode_documents" -> (bpeEncodeQ _),
+    "bpe_roundtrip_documents" -> (bpeRoundtripQ _),
     "length_band_documents" -> (lengthBand _),
     "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
@@ -1265,6 +1278,7 @@ object TextQueries {
     "mixture_plan_documents" -> mixturePlanSql,
     "mixture_sample_documents" -> mixtureSampleSql,
     "bpe_pairs_documents" -> bpePairsSql,
+    "bpe_roundtrip_documents" -> TextOps.bpeRoundtripOracleSql,
     "length_band_documents" -> lengthBandSql,
     "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
