@@ -310,9 +310,19 @@ object StreamingOps {
       // tables): Files.copy of a directory creates an empty directory —
       // the stream then silently runs on ZERO rows (caught by review:
       // BENCH_sf1 recorded 0.2 s 'runs' for four rounds). Stage every
-      // part-file, preserving name order (one file per micro-batch risk
-      // only matters for multi-file drops; names sort identically).
+      // part-file in name order. CRITICAL: FileStreamSource orders
+      // discovered files by MODIFICATION TIME, not name — Files.copy
+      // gives all staged files near-identical mtimes, so multi-file
+      // trigger order was effectively arbitrary (caught by StreamCurve:
+      // the session count varied with the batch count). Stamp strictly
+      // increasing mtimes (1 s apart, keyed to name order) so the
+      // replay order is deterministic and matches the part-file order
+      // the writer produced.
       val src = Paths.get(srcParquet)
+      val base = java.nio.file.attribute.FileTime.fromMillis(1500000000000L)
+      def stamp(p: java.nio.file.Path, i: Int): Unit =
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(base.toMillis + i * 1000L))
       if (Files.isDirectory(src)) {
         val walk = Files.list(src)
         try {
@@ -321,10 +331,10 @@ object StreamingOps {
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .sortBy(_.getFileName.toString)
             .zipWithIndex.foreach { case (f, i) =>
-              Files.copy(f, drop.resolve(f"staged-$i%05d.parquet"))
+              stamp(Files.copy(f, drop.resolve(f"staged-$i%05d.parquet")), i)
             }
         } finally walk.close()
-      } else Files.copy(src, drop.resolve("staged-00000.parquet"))
+      } else stamp(Files.copy(src, drop.resolve("staged-00000.parquet")), 0)
       val q = build(drop.toString)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append)
@@ -353,9 +363,17 @@ object StreamingOps {
     * Structured Streaming is genuinely exercised; boundedness comes
     * only from the drop folder being finite. The single staged file
     * arrives as one micro-batch, so per-key event-time order (the
-    * state machine's contract with its upstream) holds trivially; a
-    * multi-file folder would need the files dropped in event-time
-    * order, as a real ingestion pipeline does.
+    * state machine's contract with its upstream) holds trivially. A
+    * multi-file folder replays one file per trigger in part-file NAME
+    * order (boundedStreamRun stamps increasing mtimes — the file
+    * source sorts by mtime, so without the stamps trigger order was
+    * whatever the copy timestamps happened to tie-break to). Per-key
+    * order across batches then holds when the writer made part files
+    * either per-key disjoint (the sf1 scale layout: one replica per
+    * file, disjoint user_id ranges — any file order is correct) or
+    * time-sliced in name order (StreamCurve's repartitionByRange(ts)
+    * layout), the same property a real ingestion pipeline provides by
+    * dropping files as time passes.
     */
   def sessionSummariesBounded(spark: SparkSession, sfDir: String,
                               gapSeconds: Long): DataFrame = {

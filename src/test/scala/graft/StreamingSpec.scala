@@ -296,6 +296,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState(1L) != viaState(2L)) // the micro-gap DID cut
   }
 
+  test("bounded multi-file replay triggers in name order and matches " +
+      "batch sessionization") {
+    import spark.implicits._
+    // regression for the mtime-staging defect found by StreamCurve: the
+    // file source orders files by MODIFICATION time, and Files.copy
+    // staging left near-identical mtimes, so a time-sliced multi-file
+    // drop replayed in arbitrary order — per-key state advanced past
+    // later-arriving earlier events and the session count varied run to
+    // run. boundedStreamRun now stamps strictly increasing mtimes in
+    // name order; with a repartitionByRange(ts) layout (users span
+    // every file) the streamed summary must equal the batch one.
+    val baseMs = ts("2024-01-01 10:00:00").getTime
+    val rows = (0 until 90).map { i =>
+      // 3 users interleaved through 90 minutes, one event per minute per
+      // rotation; every 7th minute skips ahead 45 min to cut sessions
+      val skew = (i / 7) * 45L * 60000L
+      (i.toLong, (baseMs + i * 60000L + skew) * 1000000L,
+        (i % 3).toLong, "view", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-multifile").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamed = StreamingOps
+      .sessionSummariesBounded(spark, dir, gapSeconds = 1200)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSet
+    val batchEvents = rows.map { case (id, tns, u, et, v, _) =>
+      SEvent(id, new Timestamp(tns / 1000000L), u, et, v) }
+    val batch = StreamingOps.assignSessions(batchEvents.toDS(), 1200)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(streamed == batch)
+    assert(streamed.size > 3) // the skips really cut multiple sessions
+  }
+
   test("streaming bounded instances agree with the batch cumsum " +
       "implementation across micro-batches") {
     import spark.implicits._
