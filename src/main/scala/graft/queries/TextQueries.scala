@@ -217,6 +217,58 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  def neardupMinhashCollapsed(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatesCollapsed(docs(s, dir), "text", "doc_id", ShingleN,
+      MinhashK, LshBands, MinJaccard, crossEngine = true)
+
+  /** Mirror of the collapsed pipeline: the exact-dup collapse (min id
+    * per normalized content hash — the dedup_exact key) feeds the SAME
+    * hb/co/sig/bands/cand/inter chain as [[neardupMinhashSql]], computed
+    * over the representatives' raw text, with each side's class size
+    * joined onto the surviving pairs.
+    */
+  lazy val neardupMinhashCollapsedSql: String = {
+    val r = MinhashK / LshBands
+    val (as, bs) = Dedup.minhashCoeffs(MinhashK)
+    s"""WITH cls AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM (SELECT doc_id, md5($NormSql) AS h FROM documents)
+       |  GROUP BY h),
+       |toks AS (SELECT c.doc_id, c.sz,
+       |    string_split_regex(trim(d.text), '\\s+') AS w
+       |  FROM cls c JOIN documents d ON d.doc_id = c.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |    for i in range(1, len(w))]) AS shingle FROM toks)),
+       |hb AS (SELECT doc_id,
+       |    ('0x' || substr(md5('mh:' || shingle), 1, 8))::BIGINT AS h
+       |  FROM sh),
+       |co AS (SELECT ${as.mkString("[", ", ", "]")} AS al,
+       |    ${bs.mkString("[", ", ", "]")} AS bl),
+       |sig AS (SELECT doc_id, i,
+       |    min((al[i+1]*h + bl[i+1]) % ${Dedup.MinhashP}) AS m
+       |  FROM hb, co, range($MinhashK) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // $r AS band,
+       |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
+       |  FROM sig GROUP BY doc_id, i // $r),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS c
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard,
+       |  ca.sz AS size_a, cb.sz AS size_b
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |JOIN cls ca ON ca.doc_id = doc_a JOIN cls cb ON cb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $MinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def simhashDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id", crossEngine = true)
 
@@ -1253,6 +1305,7 @@ object TextQueries {
     "dedup_clusters_documents" -> (dedupClusters _),
     "pii_redact_customer" -> (piiRedactCustomer _),
     "neardup_minhash_documents" -> (neardupMinhash _),
+    "neardup_minhash_collapsed_documents" -> (neardupMinhashCollapsed _),
     "simhash_documents" -> (simhashDocs _),
     "fingerprint_documents" -> (fingerprintDocs _),
     "langid_documents" -> (langId _),
@@ -1290,6 +1343,7 @@ object TextQueries {
     "dedup_exact_documents" -> dedupExactSql,
     "neardup_ngram_documents" -> neardupNgramSql,
     "neardup_minhash_documents" -> neardupMinhashSql,
+    "neardup_minhash_collapsed_documents" -> neardupMinhashCollapsedSql,
     "simhash_documents" -> simhashSql,
     "fingerprint_documents" -> fingerprintSql,
     "sample_stratified_documents" -> sampleStratifiedSql,

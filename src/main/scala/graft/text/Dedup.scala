@@ -397,6 +397,61 @@ object Dedup {
     verifyPairs(cand, sh, idCol, minJaccard)
   }
 
+  /** [[nearDuplicates]] with EXACT-DUPLICATE COLLAPSE — the duplicate-
+    * cluster guard the raw pipeline lacks at corpus scale. A class of m
+    * IDENTICAL documents has one signature, so every band puts all m ids
+    * in the same bucket and the candidate join emits m²/2 pairs per band
+    * however the banding is tuned — one 100k-copy boilerplate cluster
+    * (routine in web crawls) is 5·10⁹ candidates. A hot-bucket CAP (the
+    * guard [[graft.sim.Similarity.lshCandidatePairs]] uses for dense
+    * embedding regions) cannot help here: ALL of the class's buckets are
+    * equally hot, so capping deletes the cluster instead of bounding it.
+    * The fix is pipeline ORDER, the same order the curation funnel
+    * hard-codes: collapse identical documents first (min id per
+    * normalized content hash — [[exact]]'s key), run
+    * shingle→minhash→banding over DISTINCT contents only, and emit
+    * representative-level pairs carrying each side's class size. The
+    * collapse bounds every bucket by the corpus's distinct-content
+    * near-dup density, independent of how duplicated the raw corpus is.
+    *
+    * Within-class pairs are exact duplicates — [[exact]]'s output, not a
+    * near-dup finding — and materializing them at scale is itself the m²
+    * explosion, so the (rep_a, rep_b, size_a, size_b) cluster-level pair
+    * IS the honest answer: a consumer expanding it back to doc pairs
+    * does so knowingly, size_a·size_b at a time. Each class is
+    * represented by its min-id document's RAW text (classes are
+    * identical after [[normalize]] but may differ in case/whitespace,
+    * which the shingle tokens preserve) — deterministic, and mirrored
+    * exactly by the DuckDB oracle's min-id join.
+    */
+  def nearDuplicatesCollapsed(df: DataFrame, textCol: String,
+                              idCol: String, n: Int, k: Int, bands: Int,
+                              minJaccard: Double,
+                              crossEngine: Boolean = false): DataFrame = {
+    val classes = df
+      .select(md5(normalize(col(textCol))).as("__h"), col(idCol))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__sz"))
+    // representative rows: the min-id doc's raw text + its class size.
+    // doc-count-sized on both sides — a plain equi-join on the id, NOT a
+    // broadcast (at 100 TB neither side is small)
+    val reps = classes
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .localCheckpoint(true)
+    val sh = shingles(reps, textCol, idCol, n).localCheckpoint(true)
+    val cand = lshCandidates(minhashSignatures(sh, idCol, k, crossEngine),
+      idCol, k, bands, crossEngine)
+    val sizes = reps.select(col(idCol), col("__sz"))
+    verifyPairs(cand, sh, idCol, minJaccard)
+      .join(sizes.select(col(idCol).as("doc_a"), col("__sz").as("size_a")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("__sz").as("size_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("size_a"), col("size_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash over word unigrams: per bit, sum ±1 weighted by whether the
     * word hash has that bit set; the fingerprint packs the sign bits.
     * One explode + one groupBy with `bits` small sums — partial-agg

@@ -28,6 +28,10 @@ object PlanAudit {
       // candidate tier IS cosineNearDupPairs (same documented block-tiled
       // all-pairs scan; swap in the LSH tier at corpus scale)
       "semantic_dedup_pairs",
+      // the recall gate's ground truth IS the knn brute-force tier: a
+      // recall check against exact truth cannot avoid the exact tier it
+      // audits (SimQueries.annIvfRecallCheck; bounded to NQueries rows)
+      "ann_ivf_recall_check",
       // the user×slot coverage FRAME is the semantics, not an accident:
       // a broadcast cross of two control-plane-sized sides (distinct
       // pipelines × driver-expanded cron slots), both orders of

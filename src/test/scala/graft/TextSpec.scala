@@ -49,6 +49,53 @@ class TextSpec extends AnyFunSuite {
     assert(ce == exact, s"missed: ${exact -- ce}, extra: ${ce -- exact}")
   }
 
+  test("exact-dup collapse bounds the LSH candidate blowup of a planted " +
+      "duplicate cluster and keeps the near-dup answer") {
+    // 30 identical copies of one text (a boilerplate cluster), one
+    // near-dup variant (x3), one unrelated doc: the raw candidate tier
+    // must pay >= m(m-1)/2 pairs for the cluster (every band is the
+    // same hot bucket — a cap would erase the cluster, not bound it),
+    // while the collapsed tier sees 3 distinct contents
+    val boiler = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the tall green hills"
+    val near = boiler.replace("sun sets", "moon rises")
+    val rows =
+      (1L to 30L).map(i => (i, boiler)) :+ (31L, near) :+
+        (32L, near.toUpperCase) :+ (33L, "completely different content " +
+        "about spark aggregation plans and shuffle partitioning")
+    val docs = rows.toDF("doc_id", "text")
+    val rawCand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs, "text", "doc_id", 2),
+        "doc_id", 128), "doc_id", 128, 32).count()
+    assert(rawCand >= 30L * 29 / 2, s"expected the m^2/2 cluster " +
+      s"blowup in the raw candidate tier, got $rawCand")
+    val collapsed = Dedup.nearDuplicatesCollapsed(docs, "text", "doc_id",
+      2, 128, 32, 0.5)
+    val out = collapsed.collect()
+    val pairs = out.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("size_a"),
+      r.getAs[Long]("size_b"))).toSet
+    // classes: boiler -> rep 1 (size 30); near -> rep 31 (size 2: the
+    // uppercase copy normalizes to the same content); doc 33 alone.
+    // the single cluster-level pair stands for 30 x 2 doc pairs
+    assert(pairs == Set((1L, 31L, 30L, 2L)),
+      s"got $pairs")
+    // and the collapsed candidate tier is cluster-count sized
+    val reps = Seq((1L, boiler), (31L, near), (33L, rows.last._2))
+      .toDF("doc_id", "text")
+    val collCand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(reps, "text", "doc_id", 2),
+        "doc_id", 128), "doc_id", 128, 32).count()
+    assert(collCand <= 3)
+    // crossEngine mode (the registered/oracle path): same answer
+    val ce = Dedup.nearDuplicatesCollapsed(docs, "text", "doc_id",
+      2, 128, 32, 0.5, crossEngine = true)
+      .collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("size_a"),
+        r.getAs[Long]("size_b"))).toSet
+    assert(ce == pairs)
+  }
+
   test("universal-hash minhash coefficients stay inside the overflow-safe " +
     "envelope") {
     // slot arithmetic is (a*h + b) with h < 2^32: a < P and b < P keep
