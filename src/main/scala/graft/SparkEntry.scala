@@ -26,6 +26,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (SimQueries.queries, SimQueries.oracles),
     (MediaQueries.queries, MediaQueries.oracles),
+    (ConfigQueries.queries, ConfigQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
