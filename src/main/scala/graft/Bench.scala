@@ -63,17 +63,57 @@ object Bench {
     // it appears ONLY in errors, and the total sums real work only
     val timed = names.filter { case (n, _) => times(n).nonEmpty }
     val med = timed.map { case (n, _) => n -> median(times(n)) }
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = timed.map { case (n, _) =>
-      s"\"" + n + "\":" + (times(n).max - times(n).min)
-    }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val errs = errors.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
         "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    // FULL per-query detail (median + spread for all ~120 queries) goes
+    // to a FILE: the driver's stdout capture keeps only the last ~2000
+    // bytes, and the full map blew past that in r5/r6 — the official
+    // bench artifact recorded `parsed: null` both rounds. The printed
+    // line stays the machine-parsed contract; the file is the archive.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_FULL.json")
+    val fullQs = med.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullSpread = timed.map { case (n, _) =>
+      s"\"" + n + "\":" + r3(times(n).max - times(n).min)
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    // compact stdout line: fixed family-representative headliners first,
+    // then the slowest remaining queries, size-capped so the line plus
+    // its surroundings always fits the driver's tail window
+    val headliners = Vector(
+      "q1_pricing", "q3_top_orders", "q5_region_revenue",
+      "w1_running_revenue", "rollup_pricing", "topk_event_type",
+      "profile_compare_lineitem", "dq_autogen_lineitem", "ev_sessions",
+      "ev_journeys", "ev_late_starts", "dedup_exact_documents",
+      "neardup_minhash_collapsed_documents", "knn_embeddings",
+      "ann_lsh_embeddings", "semantic_dedup_ann_prod", "bm25_documents",
+      "bpe_pairs_documents", "curation_funnel_documents",
+      "stream_sessions_bounded", "stream_curate_bounded")
+    val medMap = med.toMap
+    val bySlowest = med.sortBy(-_._2).map(_._1)
+    val ordered = (headliners.filter(medMap.contains) ++
+      bySlowest.filterNot(headliners.contains)).distinct
+    // bytes for the queries map: the driver keeps only the LAST ~2000
+    // bytes of stdout, and sbt's "[success] ..." trailer plus any late
+    // log line eats into that window — leave real headroom
+    val budget = 1200
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 2
+    var truncated = 0
+    ordered.foreach { n =>
+      val frag = "\"" + n + "\":" + r3(medMap(n))
+      if (used + frag.length + 1 <= budget) {
+        picked += frag; used += frag.length + 1
+      } else truncated += 1
+    }
+    val qs = picked.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPath","errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

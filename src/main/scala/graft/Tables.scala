@@ -22,9 +22,26 @@ object Tables {
     *    DuckDB's own ns→µs truncation on read.
     *  - TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) is cast to
     *    TimestampType; identical wall-clock under the UTC session TZ.
+    *
+    * The observed file schema is validated against `meta` FIRST: a
+    * regenerated testdata file whose physical types drifted must fail
+    * loudly here, not be silently half-adapted downstream (round 6's
+    * stream_sessions_bounded failure was exactly that — a reader
+    * hardcoding the old INT64-nanos layout while the file had moved to
+    * TIMESTAMP(MICROS)).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
+    assertContract(raw.schema, name, s"$dir/$name.parquet")
+    normalize(raw, name)
+  }
+
+  /** Timestamp normalization, shared by the batch reader and the
+    * streaming file source (which derives its schema from the same
+    * footer). Works on both batch and streaming frames — pure column
+    * rewrites keyed on the OBSERVED type, never on an assumed layout.
+    */
+  def normalize(raw: DataFrame, name: String): DataFrame =
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case LongType if meta.get(name).exists(_.contains(f.name -> "tsns")) =>
@@ -35,7 +52,49 @@ object Tables {
         case _ => df
       }
     }
+
+  /** Physical types each declared column kind may legally arrive as. */
+  private def compatible(kind: String, dt: DataType): Boolean = kind match {
+    case "string" | "json" => dt == StringType
+    case "int"             => dt == IntegerType
+    case "long"            => dt == LongType
+    case "double"          => dt == DoubleType
+    // plain event-time column; NTZ is normalized to TimestampType
+    case "timestamp" => dt == TimestampType || dt == TimestampNTZType
+    // historical ns-precision column: INT64 nanos (nanosAsLong), or the
+    // regenerated TIMESTAMP(MICROS) layouts
+    case "tsns" =>
+      dt == LongType || dt == TimestampType || dt == TimestampNTZType
+    case "floatarr" =>
+      dt match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _                                                  => false
+      }
+    case _ => false
   }
+
+  /** Loud reader/file schema contract: every declared column must exist
+    * with a compatible physical type (extra file columns are allowed —
+    * additive schema evolution is fine; a missing or retyped declared
+    * column is not).
+    */
+  def assertContract(observed: StructType, name: String,
+                     path: String): Unit =
+    meta.get(name).foreach { cols =>
+      val byName = observed.fields.map(f => f.name -> f.dataType).toMap
+      val bad = cols.flatMap { case (c, kind) =>
+        byName.get(c) match {
+          case None => Some(s"$c: declared '$kind' but MISSING from file")
+          case Some(dt) if !compatible(kind, dt) =>
+            Some(s"$c: declared '$kind' but file has ${dt.simpleString}")
+          case _ => None
+        }
+      }
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"schema contract violation for table '$name' at $path: " +
+          bad.mkString("; ") +
+          s" (observed: ${observed.simpleString})")
+    }
 
   val meta: Map[String, Seq[(String, String)]] = Map(
     "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),

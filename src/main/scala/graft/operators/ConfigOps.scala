@@ -74,6 +74,12 @@ object ConfigOps {
     */
   def migrate(lines: DataFrame, lineCol: String,
               rules: Seq[MigrationRule]): DataFrame = {
+    // output columns are reserved: silently overwriting a caller column
+    // of the same name would corrupt the migration report
+    for (reserved <- Seq("new_line", "rules_applied"))
+      require(!lines.columns.contains(reserved),
+        s"migrate: input already has a '$reserved' column — rename it; " +
+          "'new_line' and 'rules_applied' are reserved output columns")
     val init = lines
       .withColumn("new_line", col(lineCol))
       .withColumn("rules_applied", array().cast(ArrayType(StringType)))
@@ -139,10 +145,17 @@ object ConfigOps {
         col("pkg.name").as("name") :+
         col("pkg.version").as("version"): _*)
 
-  /** Numeric components of a dotted version, for tuple-wise comparison. */
+  /** Numeric components of a dotted version, for tuple-wise comparison.
+    * try_element_at, not element_at: under ANSI mode (the session
+    * default) out-of-bounds element_at THROWS, so a 2-component version
+    * like "1.2" would abort the job instead of zero-padding to 1.2.0.
+    * try_cast for the same reason — a non-numeric component ("1.2rc1")
+    * must compare as 0, not crash the stage.
+    */
   def versionParts(v: Column): Seq[Column] =
     (1 to 3).map(i =>
-      coalesce(element_at(split(v, "\\."), i).cast(IntegerType), lit(0)))
+      coalesce(try_element_at(split(v, "\\."), lit(i))
+        .try_cast(IntegerType), lit(0)))
 
   /** `installed` (name, version) LEFT JOIN `pins` (name, required) and flag
     * each package OUTDATED / MISSING_PIN / OK by component-wise version

@@ -93,8 +93,11 @@ object ConfigQueries {
       l => replace(l, lit("http://localhost"),
         lit("https://host.docker.internal"))),
     MigrationRule("port-clamp",
-      l => regexp_extract(l, "^api_port: ([0-9]+)$", 1) =!= lit("") &&
-        regexp_extract(l, "^api_port: ([0-9]+)$", 1).cast("int") > 8400,
+      // try_cast, not cast: a non-matching line extracts "" and under
+      // ANSI a plain cast("")→int throws; correctness must not depend
+      // on And short-circuit order
+      l => regexp_extract(l, "^api_port: ([0-9]+)$", 1)
+        .try_cast("int") > 8400,
       _ => lit("api_port: 8080")),
   )
 
@@ -221,12 +224,12 @@ object ConfigQueries {
       |  FROM pkg WHERE p_size >= 15 GROUP BY name)
       |SELECT i.name, i.version, p.required,
       |  CASE WHEN p.required IS NULL THEN 'MISSING_PIN'
-      |       WHEN CAST(string_split(i.version, '.')[2] AS INT) <
-      |              CAST(string_split(p.required, '.')[2] AS INT)
-      |         OR (CAST(string_split(i.version, '.')[2] AS INT) =
-      |               CAST(string_split(p.required, '.')[2] AS INT)
-      |             AND CAST(string_split(i.version, '.')[3] AS INT) <
-      |                 CAST(string_split(p.required, '.')[3] AS INT))
+      |       WHEN (COALESCE(TRY_CAST(string_split(i.version, '.')[1] AS INT), 0),
+      |             COALESCE(TRY_CAST(string_split(i.version, '.')[2] AS INT), 0),
+      |             COALESCE(TRY_CAST(string_split(i.version, '.')[3] AS INT), 0)) <
+      |            (COALESCE(TRY_CAST(string_split(p.required, '.')[1] AS INT), 0),
+      |             COALESCE(TRY_CAST(string_split(p.required, '.')[2] AS INT), 0),
+      |             COALESCE(TRY_CAST(string_split(p.required, '.')[3] AS INT), 0))
       |         THEN 'OUTDATED'
       |       ELSE 'OK' END AS status
       |FROM inst i LEFT JOIN pins p USING (name)

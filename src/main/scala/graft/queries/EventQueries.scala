@@ -662,6 +662,22 @@ object EventQueries {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** The streaming journey assembler run end-to-end (R3 via the stream
+    * path) and summarized to the batch rollup's shape — gated by the
+    * SAME oracle as `ev_journeys_bounded` (the stream and batch
+    * implementations provably agree: StreamingSpec).
+    */
+  def streamJourneysBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.journeySummariesBounded(s, dir,
+      "signup", "purchase")
+
+  /** The streaming out-of-sequence detector run end-to-end (R4 via the
+    * stream path) — gated by the same oracle as `ev_out_of_sequence`.
+    */
+  def streamOosBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.oosAlertsBounded(s, dir, GapSeconds,
+      Dag.closureLocal(Dag.FunnelEdges).toSet)
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -727,6 +743,8 @@ object EventQueries {
     "ev_duration_baseline" -> (durationBaseline _),
     "ev_rule_templated" -> (ruleTemplated _),
     "stream_sessions_bounded" -> (streamSessionsBounded _),
+    "stream_journeys_bounded" -> (streamJourneysBounded _),
+    "stream_oos_bounded" -> (streamOosBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -755,6 +773,8 @@ object EventQueries {
     "ev_duration_baseline" -> durationBaselineSql,
     "ev_rule_templated" -> ruleTemplatedSql,
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
+    "stream_journeys_bounded" -> journeysBoundedSql,
+    "stream_oos_bounded" -> outOfSequenceSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

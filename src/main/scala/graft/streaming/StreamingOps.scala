@@ -22,13 +22,18 @@ case class SessionAssign(event_id: Long, user_id: Long,
 case class InstanceState(counter: Long, open: Boolean)
 
 case class InstanceAssign(event_id: Long, user_id: Long,
-                          ts: java.sql.Timestamp, instance_id: Long)
+                          ts: java.sql.Timestamp, event_type: String,
+                          instance_id: Long)
 
-/** Out-of-sequence detector state: previous event type + time per key. */
-case class SeqState(lastType: String, lastMicros: Long)
+/** Out-of-sequence detector state: previous event type + time per key,
+  * plus the running session counter (same numbering as the batch
+  * `withSessionId`: 1-based cumulative new-session count per user).
+  */
+case class SeqState(lastType: String, lastMicros: Long, sessionId: Long)
 
 case class SeqAlert(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
-                    prev_type: String, event_type: String)
+                    session_id: Long, prev_type: String,
+                    event_type: String)
 
 /** Structured Streaming variants of the event-analytics operators
   * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
@@ -205,9 +210,11 @@ object StreamingOps {
           sorted.foreach { e =>
             if (e.event_type == startType) {
               st = InstanceState(st.counter + 1, open = true)
-              out += InstanceAssign(e.event_id, user, e.ts, st.counter)
+              out += InstanceAssign(e.event_id, user, e.ts, e.event_type,
+                st.counter)
             } else if (st.open) {
-              out += InstanceAssign(e.event_id, user, e.ts, st.counter)
+              out += InstanceAssign(e.event_id, user, e.ts, e.event_type,
+                st.counter)
               if (e.event_type == endType)
                 st = st.copy(open = false)
             } // else: between instances — not part of any journey run
@@ -239,10 +246,12 @@ object StreamingOps {
             val m = micros(e.ts)
             val inSession =
               prev != null && m - prev.lastMicros <= gapSeconds * 1000000L
+            val sid = if (inSession) prev.sessionId
+                      else (if (prev == null) 0L else prev.sessionId) + 1L
             if (inSession && dagClosure((e.event_type, prev.lastType)))
-              out += SeqAlert(e.event_id, user, e.ts, prev.lastType,
+              out += SeqAlert(e.event_id, user, e.ts, sid, prev.lastType,
                 e.event_type)
-            prev = SeqState(e.event_type, m)
+            prev = SeqState(e.event_type, m, sid)
           }
           if (sorted.nonEmpty) state.update(prev)
           out.result().iterator
@@ -269,14 +278,27 @@ object StreamingOps {
     * trigger) — the smoke path for wiring the ops above to a real file
     * source without Kafka in the container. `dir` must be a directory;
     * new files appearing in it become micro-batches.
+    *
+    * The stream schema is DERIVED from the footer of the files already
+    * present (one batch footer read at build time, no data scan) and
+    * contract-checked against the events table declaration, then
+    * timestamp-normalized by the same observed-type-keyed logic as the
+    * batch reader (`Tables.normalize`). Round 6 hardcoded the old
+    * INT64-nanos layout here; when the testdata regenerated to
+    * TIMESTAMP(MICROS) the stream silently shrank every timestamp
+    * 1000× while batch adapted — a schema drift must now fail loudly
+    * instead (Tables.assertContract), the reference's analog of
+    * SHA-pinning its downloads (dk-installer.py:1301-1305).
     */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val observed = spark.read.parquet(dir).schema
+    graft.Tables.assertContract(observed, "events", dir)
+    val raw = spark.readStream
+      .schema(observed)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalize(raw, "events")
+  }
 
   private val boundedRuns = new java.util.concurrent.atomic.AtomicInteger
 
@@ -387,5 +409,50 @@ object StreamingOps {
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id", "session_id"))
+  }
+
+  /** Bounded END-TO-END run of the streaming journey-instance assembler
+    * (R3 via the stream path), summarized to the same shape as the
+    * batch `EventOps.journeyInstancesBounded` rollup so the already-
+    * green `ev_journeys_bounded` oracle gates this query too. Same
+    * replay-order contract as `sessionSummariesBounded` (scaladoc
+    * there); the per-event assignment stream carries event_type so
+    * `completed` (did an END land in the instance) is derivable in the
+    * summary without a second source scan.
+    */
+  def journeySummariesBounded(spark: SparkSession, sfDir: String,
+                              startType: String, endType: String)
+      : DataFrame = {
+    import spark.implicits._
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => assignBoundedInstances(eventStream(spark, drop).as[SEvent],
+        startType, endType).toDF(),
+      sink => sink
+        .groupBy(col("user_id"), col("instance_id"))
+        .agg(min(col("ts")).as("instance_start"),
+          max(col("ts")).as("instance_end"),
+          count(lit(1)).as("n_events"),
+          (max(when(col("event_type") === endType, 1).otherwise(0)) === 1)
+            .as("completed"))
+        .orderBy("user_id", "instance_id"))
+  }
+
+  /** Bounded END-TO-END run of the streaming out-of-sequence detector
+    * (R4 via the stream path). The alert stream carries the same
+    * session numbering as the batch `withSessionId`, so the output is
+    * shaped to (and gated by) the `ev_out_of_sequence` oracle.
+    */
+  def oosAlertsBounded(spark: SparkSession, sfDir: String,
+                       gapSeconds: Long,
+                       dagClosure: Set[(String, String)]): DataFrame = {
+    import spark.implicits._
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => detectOutOfSequence(eventStream(spark, drop).as[SEvent],
+        gapSeconds, dagClosure).toDF(),
+      sink => sink
+        .select(col("user_id"), col("session_id"), col("event_id"),
+          col("ts"), col("prev_type"), col("event_type"),
+          lit("OUT_OF_SEQUENCE").as("alert_type"))
+        .orderBy("event_id"))
   }
 }

@@ -427,4 +427,77 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == 1000L) // every sf0.001 event lands in a window
     } finally q.stop()
   }
+
+  test("file-stream timestamps carry the REAL table's units: streamed " +
+      "sessions equal batch sessions on the driver layout") {
+    // regression for the round-6 correctness failure: eventStream
+    // hardcoded the old INT64-nanos layout (ts BIGINT + div 1000), so
+    // when the testdata regenerated to TIMESTAMP(MICROS) every streamed
+    // timestamp shrank 1000× and sessionization collapsed to one
+    // session per user — while the count-only assertions stayed green.
+    // This test is unit-SENSITIVE: it compares the streamed session
+    // summary against the batch reader's (Tables.load adapts to the
+    // observed type), so any unit drift between the two paths fails.
+    val streamed = StreamingOps
+      .sessionSummariesBounded(spark, SparkTestSession.sf, 1800)
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ev"),
+        max(col("session_id")).as("maxsess"))
+      .collect()(0)
+    val batch = StreamingOps.assignSessions(
+        graft.Tables.load(spark, SparkTestSession.sf, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[SEvent](org.apache.spark.sql.Encoders.product[SEvent]),
+        1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ev"),
+        max(col("session_id")).as("maxsess"))
+      .collect()(0)
+    assert(streamed == batch)
+    // one-session-per-user is exactly the failure mode; prove gaps cut
+    assert(streamed.getAs[Long]("maxsess") > 1L)
+  }
+
+  test("bounded streaming journeys and out-of-sequence agree with their " +
+      "batch implementations on the real table") {
+    val streamedJ = StreamingOps
+      .journeySummariesBounded(spark, SparkTestSession.sf, "signup",
+        "purchase")
+      .agg(count(lit(1)), sum(col("n_events")),
+        sum(when(col("completed"), 1).otherwise(0))).collect()(0)
+    val batchJ = graft.events.EventOps.journeyInstancesBounded(
+        graft.Tables.load(spark, SparkTestSession.sf, "events"),
+        "signup", "purchase")
+      .agg(count(lit(1)), sum(col("n_events")),
+        sum(when(col("completed"), 1).otherwise(0))).collect()(0)
+    assert(streamedJ == batchJ)
+    val closure = graft.events.Dag.closureLocal(
+      graft.events.Dag.FunnelEdges)
+    val streamedO = StreamingOps
+      .oosAlertsBounded(spark, SparkTestSession.sf, 1800, closure.toSet)
+      .agg(count(lit(1)), sum(col("event_id")), max(col("session_id")))
+      .collect()(0)
+    val batchO = graft.events.EventOps.outOfSequence(
+        graft.Tables.load(spark, SparkTestSession.sf, "events"), 1800,
+        graft.events.Dag.edgeDf(spark, closure))
+      .agg(count(lit(1)), sum(col("event_id")), max(col("session_id")))
+      .collect()(0)
+    assert(streamedO == batchO)
+    assert(streamedO.getAs[Long](0) > 0L) // alerts actually fired
+  }
+
+  test("eventStream fails LOUDLY on a schema-contract violation") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
+    // ts as STRING violates the declared events contract: this must be
+    // a loud build-time error, never a silently mis-read stream
+    Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dropDir.toString)
+    val e = intercept[IllegalStateException] {
+      StreamingOps.eventStream(spark, dropDir.toString)
+    }
+    assert(e.getMessage.contains("schema contract"))
+    assert(e.getMessage.contains("ts"))
+  }
 }
