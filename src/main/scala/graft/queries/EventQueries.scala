@@ -678,6 +678,35 @@ object EventQueries {
     graft.streaming.StreamingOps.oosAlertsBounded(s, dir, GapSeconds,
       Dag.closureLocal(Dag.FunnelEdges).toSet)
 
+  /** Chunk size of the reference's outcome delivery (100 per POST —
+    * demo_helper.py:803-816), made driver-visible by the bounded
+    * chunked-delivery run below.
+    */
+  val DeliveryChunk = 100
+
+  /** The chunked-delivery sink run end-to-end: metric alerts stream
+    * through foreachBatch → per-chunk send, and the per-micro-batch
+    * chunk statistics (counts and sizes, never rows) come back for the
+    * oracle to recompute arithmetically. One staged file = one
+    * micro-batch, so the oracle models a single delivery batch.
+    */
+  def streamChunksBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.deliveryChunksBounded(s, dir,
+      "purchase", MetricThreshold, DeliveryChunk)
+
+  val streamChunksBoundedSql: String =
+    s"""$EvCte,
+       |a AS (SELECT * FROM ev
+       |  WHERE event_type = 'purchase' AND value > $MetricThreshold)
+       |SELECT CAST(0 AS BIGINT) AS batch_pos,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(ceil(count(*) / $DeliveryChunk.0) AS BIGINT) AS n_chunks,
+       |  CAST(floor(count(*) / $DeliveryChunk.0) AS BIGINT)
+       |    AS n_full_chunks,
+       |  CAST(((count(*) - 1) % $DeliveryChunk) + 1 AS BIGINT)
+       |    AS min_chunk
+       |FROM a HAVING count(*) > 0""".stripMargin
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -745,6 +774,7 @@ object EventQueries {
     "stream_sessions_bounded" -> (streamSessionsBounded _),
     "stream_journeys_bounded" -> (streamJourneysBounded _),
     "stream_oos_bounded" -> (streamOosBounded _),
+    "stream_chunks_bounded" -> (streamChunksBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -775,6 +805,7 @@ object EventQueries {
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "stream_journeys_bounded" -> journeysBoundedSql,
     "stream_oos_bounded" -> outOfSequenceSql,
+    "stream_chunks_bounded" -> streamChunksBoundedSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

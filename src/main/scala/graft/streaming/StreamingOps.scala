@@ -314,10 +314,33 @@ object StreamingOps {
   def boundedStreamRun(spark: SparkSession, srcParquet: String,
                        build: String => DataFrame,
                        summarize: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_bounded_${boundedRuns.incrementAndGet()}"
+    try boundedDropRun(spark, srcParquet) { (drop, ckpt) =>
+      val q = build(drop)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      summarize(spark.table(name)).localCheckpoint(true)
+    } finally {
+      import scala.util.control.NonFatal
+      try spark.catalog.dropTempView(name)
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** The staging/teardown scaffold under [[boundedStreamRun]], usable by
+    * runners whose sink is NOT a memory table (e.g. the chunked-delivery
+    * foreachBatch sink): stage `srcParquet` into a drop folder with
+    * deterministic replay order, call `run(dropDir, ckptDir)`, and tear
+    * both temp dirs down even when the run fails.
+    */
+  def boundedDropRun(spark: SparkSession, srcParquet: String)
+                    (run: (String, String) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val drop = Files.createTempDirectory("graft-drop")
     val ckpt = Files.createTempDirectory("graft-ckpt")
-    val name = s"graft_bounded_${boundedRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
       val walk = Files.walk(p)
       try {
@@ -357,21 +380,13 @@ object StreamingOps {
             }
         } finally walk.close()
       } else stamp(Files.copy(src, drop.resolve("staged-00000.parquet")), 0)
-      val q = build(drop.toString)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      summarize(spark.table(name)).localCheckpoint(true)
+      run(drop.toString, ckpt.toString)
     } finally {
       // each teardown step is individually non-fatal-guarded: a cleanup
       // failure (e.g. a file still held after a failed query) must not
       // mask the primary error, and a fatal error (OOM, interrupt) must
       // not be swallowed
       import scala.util.control.NonFatal
-      try spark.catalog.dropTempView(name)
-      catch { case NonFatal(_) => () }
       try rmTree(drop) catch { case NonFatal(_) => () }
       try rmTree(ckpt) catch { case NonFatal(_) => () }
     }
@@ -435,6 +450,50 @@ object StreamingOps {
           (max(when(col("event_type") === endType, 1).otherwise(0)) === 1)
             .as("completed"))
         .orderBy("user_id", "instance_id"))
+  }
+
+  /** Bounded END-TO-END run of the chunked-delivery sink: the metric-
+    * alert stream is delivered through `Sources.foreachBatched` in
+    * chunks of `batchSize` (the reference posts 100 outcomes per
+    * request — demo_helper.py:803-816), chunk sizes are gathered on a
+    * collection accumulator (executor-safe; only SIZES cross to the
+    * driver, never rows), and the per-micro-batch chunk statistics come
+    * back as a batch frame — making the 100-per-post contract driver-
+    * visible and SQL-oracle-checkable. Each micro-batch is coalesced to
+    * one partition before chunking so the split is the deterministic
+    * ceil(n/batchSize) the oracle computes (per-partition chunking is
+    * the scale path, but its chunk count depends on partitioning — the
+    * CONTRACT under test is "no chunk exceeds batchSize and full chunks
+    * dominate", which coalesce(1) pins exactly).
+    */
+  def deliveryChunksBounded(spark: SparkSession, sfDir: String,
+                            eventType: String, threshold: Double,
+                            batchSize: Int): DataFrame = {
+    import spark.implicits._
+    boundedDropRun(spark, s"$sfDir/events.parquet") { (drop, ckpt) =>
+      val acc = spark.sparkContext
+        .collectionAccumulator[(Long, Int)]("graft-chunks")
+      val alerts = metricRuleAlerts(eventStream(spark, drop), eventType,
+        threshold)
+      val q = alerts.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sources.Sources.foreachBatched(batch.coalesce(1),
+            batchSize)(g => acc.add(id -> g.size))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val rows = acc.value.asScala.toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, chunks), pos) =>
+          val sizes = chunks.map(_._2)
+          (pos.toLong, sizes.map(_.toLong).sum, sizes.size.toLong,
+            sizes.count(_ == batchSize).toLong, sizes.min.toLong)
+        }
+      rows.toDF("batch_pos", "n_rows", "n_chunks", "n_full_chunks",
+        "min_chunk").orderBy("batch_pos")
+    }
   }
 
   /** Bounded END-TO-END run of the streaming out-of-sequence detector
