@@ -76,22 +76,51 @@ object ConfigOps {
               rules: Seq[MigrationRule]): DataFrame = {
     // output columns are reserved: silently overwriting a caller column
     // of the same name would corrupt the migration report
-    for (reserved <- Seq("new_line", "rules_applied"))
+    for (reserved <- Seq("new_line", "rules_applied", "_nxt"))
       require(!lines.columns.contains(reserved),
         s"migrate: input already has a '$reserved' column — rename it; " +
           "'new_line' and 'rules_applied' are reserved output columns")
     val init = lines
       .withColumn("new_line", col(lineCol))
       .withColumn("rules_applied", array().cast(ArrayType(StringType)))
-    rules.foldLeft(init) { (df, r) =>
+    // Each rule's rewritten value is aliased ONCE into a temp column and
+    // every later use references the attribute. The straightforward
+    // inline form (the full `when(next =!= cur, …)` expression repeated
+    // in both output columns) let CollapseProject substitute each
+    // level's expression into the next level's uses — the merged
+    // projection grew past the JVM's 64 KB method limit, Janino failed
+    // to compile the stage, and every run paid multi-second
+    // compile-fail-fallback churn (4.5 s for a 125-row query at sf0.1).
+    // With single-use aliasing the optimizer keeps one copy of every
+    // rule expression and the stage compiles.
+    val out = rules.foldLeft(init) { (df, r) =>
       val cur = col("new_line")
-      val next = when(r.applies(cur), r.rewrite(cur)).otherwise(cur)
-      df.withColumn("rules_applied",
-          when(next =!= cur,
+      df.withColumn("_nxt",
+          when(r.applies(cur), r.rewrite(cur)).otherwise(cur))
+        .withColumn("rules_applied",
+          when(col("_nxt") =!= col("new_line"),
             array_append(col("rules_applied"), lit(r.name)))
             .otherwise(col("rules_applied")))
-        .withColumn("new_line", next)
+        .withColumn("new_line", col("_nxt"))
+        .drop("_nxt")
     }
+    // Optimizer fence over the chain outputs: a caller filtering the
+    // result (every migration report does — "only changed lines") would
+    // have the predicate pushed through the rule chain by alias
+    // substitution, which multiplies at every level — one pushed
+    // `size(rules_applied) > 0` inflated into ~190 copies of the rule
+    // regexes and a generated method past the JVM's 64 KB limit (Janino
+    // compile failure + multi-second fallback churn per run). The fence
+    // (nondeterministic identity, zero runtime cost — see its scaladoc)
+    // pins evaluation at this projection: downstream predicates see the
+    // chain's OUTPUT attributes, one copy of every rule. Filter input
+    // rows BEFORE migrate() — entity predicates do not push through.
+    import graft.functions.OptimizerFence.fence
+    val passthrough = out.columns
+      .filterNot(c => c == "new_line" || c == "rules_applied")
+    out.select(passthrough.map(col) :+
+      fence(col("new_line")).as("new_line") :+
+      fence(col("rules_applied")).as("rules_applied"): _*)
   }
 
   // ---- A21: marker-presence state machine ----------------------------------

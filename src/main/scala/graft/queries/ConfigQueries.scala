@@ -50,7 +50,8 @@ object ConfigQueries {
   // ---- A16: conditional regex migration of a config-lines inventory -------
 
   /** Synthesized per-nation compose-file lines (deterministic from the
-    * nation row, mirrored line-for-line in the oracle CTE).
+    * nation row, mirrored line-for-line in the oracle CTE). One scan +
+    * explode — the single-pass shape a fleet-sized entity table needs.
     */
   private def configLines(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.load(s, dir, "nation")
