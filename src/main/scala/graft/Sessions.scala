@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** The one local-session recipe every entry point (Verify, Bench, the
-  * plan tools, the test suite) shares: UTC, ns-as-long parquet reads
-  * (events.ts), no timestamp-NTZ inference, UI off, and the graft
+  * plan tools, the test suite) shares: UTC, legacy ns-as-long parquet
+  * compat (lets an INT64-nanos events file still load; current testdata
+  * is TIMESTAMP(MICROS) and Tables.normalize keys on the OBSERVED type
+  * either way), no timestamp-NTZ inference, UI off, and the graft
   * optimizer extensions. Centralized so a config or extension change
   * cannot drift between the benchmark, the correctness gate, and the
   * diagnostics that explain them.

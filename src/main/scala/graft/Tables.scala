@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DuckDB-oracle SQL generators use, so the oracle text can be produced
   * without a SparkSession.
   *
-  * Column kinds: string | int | long | double | timestamp | tsns (ns-precision
-  * parquet timestamp, needs CAST(.. AS TIMESTAMP) on the DuckDB side to match
-  * Spark's micros truncation) | json (string holding JSON) | floatarr.
+  * Column kinds: string | int | long | double | timestamp | tsns (event-time
+  * column whose physical layout has drifted across testdata generations —
+  * TIMESTAMP(MICROS) today, INT64-nanos historically; normalize() keys on the
+  * OBSERVED type, and the oracle side writes CAST(.. AS TIMESTAMP) so both
+  * layouts land on micros) | json (string holding JSON) | floatarr.
   */
 object Tables {
   import org.apache.spark.sql.functions._

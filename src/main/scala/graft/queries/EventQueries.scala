@@ -14,8 +14,10 @@ import graft.events.{Dag, EventOps}
   * demo/demo/demo_helper.py:322-352 run events, :1876-1956 rules,
   * heartbeat_demo.py:25-31 liveness).
   *
-  * All oracles share the `ev` CTE that truncates the ns-precision parquet
-  * timestamps to micros exactly like Tables.load does on the Spark side.
+  * All oracles share the `ev` CTE whose CAST(ts AS TIMESTAMP) lands on
+  * micros precision whatever the file's physical layout (µs today,
+  * historically INT64-nanos) — exactly the observed-type normalization
+  * Tables.load applies on the Spark side.
   */
 object EventQueries {
 

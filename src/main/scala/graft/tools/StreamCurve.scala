@@ -30,9 +30,23 @@ object StreamCurve {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
 
+    // all three stateful streaming ops (r6 verdict #7: the per-batch
+    // state-store cost story must cover sessions AND journey instances
+    // AND out-of-sequence, not just sessions)
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "sessions" -> ((s, d) => graft.streaming.StreamingOps
+        .sessionSummariesBounded(s, d, 1800L)),
+      "journeys" -> ((s, d) => graft.streaming.StreamingOps
+        .journeySummariesBounded(s, d, "signup", "purchase")),
+      "oos" -> ((s, d) => graft.streaming.StreamingOps
+        .oosAlertsBounded(s, d, 1800L,
+          graft.events.Dag.closureLocal(graft.events.Dag.FunnelEdges)
+            .toSet)))
+
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nRows = ev.count()
-    val results = ks.map { k =>
+    val results = ks.flatMap { k =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-curve-$k").toString
       // range-partition on ts: part-file NAME order is event-time order,
@@ -41,19 +55,19 @@ object StreamCurve {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val parts = new java.io.File(s"$dir/events.parquet").listFiles()
         .count(_.getName.endsWith(".parquet"))
-      // warm-up is absorbed by the k=first run; each run is a fresh
-      // stream + checkpoint, so there is no cross-run state to reuse
-      val t0 = System.nanoTime()
-      val out = graft.streaming.StreamingOps
-        .sessionSummariesBounded(spark, dir, 1800L)
-      val n = out.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[curve] k=$k%3d files=$parts batches~$parts " +
-        f"rows=$nRows sessions=$n time=$sec%.2fs")
-      (k, parts, sec, n)
+      ops.map { case (opName, run) =>
+        // warm-up is absorbed by the first run; each run is a fresh
+        // stream + checkpoint, so there is no cross-run state to reuse
+        val t0 = System.nanoTime()
+        val n = run(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[curve] op=$opName%-8s k=$k%3d files=$parts " +
+          f"batches~$parts rows=$nRows out=$n time=$sec%.2fs")
+        (opName, k, parts, sec, n)
+      }
     }
-    val json = results.map { case (k, p, s, n) =>
-      s"""{"k":$k,"files":$p,"sec":$s,"sessions":$n}"""
+    val json = results.map { case (o, k, p, s, n) =>
+      s"""{"op":"$o","k":$k,"files":$p,"sec":$s,"out":$n}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"stream_batch_curve","rows":$nRows,"runs":$json}""")
     spark.stop()
