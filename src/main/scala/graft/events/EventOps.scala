@@ -76,16 +76,31 @@ object EventOps {
     * LATE_START rules :1899).
     */
   def lateStarts(ev: DataFrame, cron: String, marginSeconds: Long,
-                 spark: org.apache.spark.sql.SparkSession): DataFrame = {
+                 spark: org.apache.spark.sql.SparkSession): DataFrame =
+    lateStartsFromActual(
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("actual_start")),
+      cron, marginSeconds, spark)
+
+  /** The slot-join + lateness-scoring tail of [[lateStarts]], factored
+    * over a pre-aggregated `(user_id, day, actual_start)` frame so the
+    * streaming path (running per-(user, day) min in complete mode) and
+    * the batch path score identically. Slots expand over the actual-start
+    * range ±1 day — every day carrying an event carries an actual_start,
+    * so day coverage equals expanding over the raw event range.
+    */
+  def lateStartsFromActual(actual: DataFrame, cron: String,
+                           marginSeconds: Long,
+                           spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
     import spark.implicits._
-    val range = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val range = actual.agg(min(col("actual_start")),
+      max(col("actual_start"))).collect()(0)
     val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
     val slots = Cron.expand(cron, lo.toInstant.minusSeconds(86400),
         hi.toInstant.plusSeconds(86400))
       .map(i => java.sql.Timestamp.from(i)).toDF("expected_start")
       .withColumn("day", to_date(col("expected_start")))
-    val actual = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(min(col("ts")).as("actual_start"))
     actual.join(broadcast(slots), "day")
       .select(col("user_id"), col("day"), col("actual_start"),
         col("expected_start"),
@@ -590,9 +605,18 @@ object EventOps {
     * window sums (deterministic cross-engine; reference dataset row-count
     * metrics + shift tests, demo_helper.py:560-569, 887-897).
     */
-  def volumeAnomalies(ev: DataFrame): DataFrame = {
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+  def volumeAnomalies(ev: DataFrame): DataFrame =
+    volumeAnomaliesFromDaily(
+      ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The z-scoring tail of [[volumeAnomalies]], factored over a
+    * pre-aggregated `(event_type, day, n)` daily-count frame so the
+    * streaming path (windowed counts in complete mode) and the batch
+    * path score identically. The daily frame is #types × #days rows —
+    * control-plane-sized at any corpus scale.
+    */
+  def volumeAnomaliesFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     val nPrior = count(col("n")).over(w)
@@ -615,10 +639,19 @@ object EventOps {
     * one day before the stream's high-water mark (reference heartbeats every
     * 25 s + liveness, heartbeat_demo.py:25-31, demo_helper.py:290-310).
     */
-  def heartbeatLiveness(ev: DataFrame): DataFrame = {
-    val hwm = ev.agg(max(col("ts")).as("hwm"))
-    ev.groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events"))
+  def heartbeatLiveness(ev: DataFrame): DataFrame =
+    livenessFromAgg(ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events")))
+
+  /** The staleness-scoring tail of [[heartbeatLiveness]], factored over a
+    * pre-aggregated `(user_id, last_seen, n_events)` frame (the shape the
+    * streaming liveness op maintains): the high-water mark max(ts) over
+    * all events equals max(last_seen) over keys, so the flag is
+    * identical on either input.
+    */
+  def livenessFromAgg(agg: DataFrame): DataFrame = {
+    val hwm = agg.agg(max(col("last_seen")).as("hwm"))
+    agg
       .crossJoin(broadcast(hwm))
       .select(col("user_id"), col("last_seen"), col("n_events"),
         (unix_micros(col("last_seen")) <

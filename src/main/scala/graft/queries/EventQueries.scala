@@ -709,6 +709,24 @@ object EventQueries {
        |    AS min_chunk
        |FROM a HAVING count(*) > 0""".stripMargin
 
+  /** The three streaming AGGREGATION monitors (R2 lateness, R8 volume,
+    * R9 liveness) run end-to-end in complete mode and scored by the
+    * shared batch tails — each gated by the SAME oracle as its batch
+    * twin. Together with the flatMapGroupsWithState trio (sessions /
+    * journeys / out-of-sequence) this puts both stateful-streaming
+    * families — keyed state machines AND running aggregates — under the
+    * driver's hash gate.
+    */
+  def streamLateBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.lateStartSummariesBounded(s, dir,
+      LateCron, MarginSeconds)
+
+  def streamVolumeBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.volumeSummariesBounded(s, dir)
+
+  def streamLivenessBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.livenessSummariesBounded(s, dir)
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -777,6 +795,9 @@ object EventQueries {
     "stream_journeys_bounded" -> (streamJourneysBounded _),
     "stream_oos_bounded" -> (streamOosBounded _),
     "stream_chunks_bounded" -> (streamChunksBounded _),
+    "stream_late_bounded" -> (streamLateBounded _),
+    "stream_volume_bounded" -> (streamVolumeBounded _),
+    "stream_liveness_bounded" -> (streamLivenessBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -808,6 +829,9 @@ object EventQueries {
     "stream_journeys_bounded" -> journeysBoundedSql,
     "stream_oos_bounded" -> outOfSequenceSql,
     "stream_chunks_bounded" -> streamChunksBoundedSql,
+    "stream_late_bounded" -> lateStartsSql,
+    "stream_volume_bounded" -> volumeAnomaliesSql,
+    "stream_liveness_bounded" -> livenessSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

@@ -313,12 +313,13 @@ object StreamingOps {
     */
   def boundedStreamRun(spark: SparkSession, srcParquet: String,
                        build: String => DataFrame,
-                       summarize: DataFrame => DataFrame): DataFrame = {
+                       summarize: DataFrame => DataFrame,
+                       mode: OutputMode = OutputMode.Append): DataFrame = {
     val name = s"graft_bounded_${boundedRuns.incrementAndGet()}"
     try boundedDropRun(spark, srcParquet) { (drop, ckpt) =>
       val q = build(drop)
         .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append)
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -495,6 +496,60 @@ object StreamingOps {
         "min_chunk").orderBy("batch_pos")
     }
   }
+
+  /** Bounded END-TO-END run of the streaming R2 lateness check: the
+    * STREAM maintains the running per-(user, day) first-event time — a
+    * streaming aggregation in complete mode, the heavy distributed pass
+    * — and the summary joins the (control-plane-sized) per-day minima
+    * against the broadcast cron slots with exactly the batch scoring
+    * (`EventOps.lateStartsFromActual`), so the already-green
+    * `ev_late_starts` oracle gates this query too. Complete mode, not
+    * append: an aggregation's rows FINALIZE only when the watermark
+    * passes them, which never happens for the trailing day of a bounded
+    * replay — complete mode emits the full running aggregate each
+    * trigger and the memory sink holds the final state after the drain.
+    */
+  def lateStartSummariesBounded(spark: SparkSession, sfDir: String,
+                                cron: String, marginSeconds: Long)
+      : DataFrame =
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => eventStream(spark, drop)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("actual_start")),
+      sink => graft.events.EventOps.lateStartsFromActual(sink, cron,
+        marginSeconds, spark),
+      OutputMode.Complete)
+
+  /** Bounded END-TO-END run of the streaming R8 volume monitor: the
+    * stream maintains per-(type, day) tumbling-window counts
+    * ([[windowedVolume]], complete mode — same rationale as
+    * [[lateStartSummariesBounded]]); the z-scoring over the daily-count
+    * frame (#types × #days rows) is the shared batch tail
+    * (`EventOps.volumeAnomaliesFromDaily`), so the `ev_volume_anomalies`
+    * oracle gates this query too.
+    */
+  def volumeSummariesBounded(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => windowedVolume(eventStream(spark, drop)),
+      sink => graft.events.EventOps.volumeAnomaliesFromDaily(
+        sink.select(col("event_type"),
+          to_date(col("window_start")).as("day"), col("n"))),
+      OutputMode.Complete)
+
+  /** Bounded END-TO-END run of the streaming R9 liveness monitor: the
+    * stream maintains the running (last_seen, n_events) per agent key
+    * ([[liveness]], complete mode); the staleness flag against the
+    * stream's high-water mark is the shared batch tail
+    * (`EventOps.livenessFromAgg`), so the `ev_liveness` oracle gates
+    * this query too.
+    */
+  def livenessSummariesBounded(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => liveness(eventStream(spark, drop)),
+      sink => graft.events.EventOps.livenessFromAgg(sink),
+      OutputMode.Complete)
 
   /** Bounded END-TO-END run of the streaming out-of-sequence detector
     * (R4 via the stream path). The alert stream carries the same

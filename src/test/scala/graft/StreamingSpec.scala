@@ -486,6 +486,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedO.getAs[Long](0) > 0L) // alerts actually fired
   }
 
+  test("bounded complete-mode streaming aggregates (lateness, volume, " +
+      "liveness) agree with their batch implementations on the real table") {
+    // each pair shares the scoring tail by construction; what this
+    // proves is the STREAMING aggregation state (running min / windowed
+    // count / running max under the file source) matches the batch scan
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    val sLate = StreamingOps.lateStartSummariesBounded(spark,
+      SparkTestSession.sf, "0 6 * * *", 600)
+    val bLate = graft.events.EventOps.lateStarts(ev, "0 6 * * *", 600,
+      spark)
+    assert(sig(sLate) == sig(bLate))
+    val sVol = StreamingOps.volumeSummariesBounded(spark,
+      SparkTestSession.sf)
+    val bVol = graft.events.EventOps.volumeAnomalies(ev)
+    assert(sig(sVol) == sig(bVol))
+    val sLive = StreamingOps.livenessSummariesBounded(spark,
+      SparkTestSession.sf)
+    val bLive = graft.events.EventOps.heartbeatLiveness(ev)
+    assert(sig(sLive) == sig(bLive))
+    assert(sLate.count() > 0 && sVol.count() > 0 && sLive.count() > 0)
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
