@@ -508,6 +508,18 @@ object StreamingOps {
     * passes them, which never happens for the trailing day of a bounded
     * replay — complete mode emits the full running aggregate each
     * trigger and the memory sink holds the final state after the drain.
+    *
+    * Scale note (applies to all three complete-mode gates below):
+    * complete mode re-emits the WHOLE aggregate per trigger, so its
+    * sink cost is O(state) per micro-batch — acceptable exactly when
+    * the state is control-plane-sized, which these three are by
+    * construction: (user, day) minima and (type, day) counts grow with
+    * the key space, not the event volume, and liveness state is one
+    * row per agent. An UNBOUNDED production deployment would run the
+    * identical aggregation in update mode with a watermark so closed
+    * days evict from the state store; the aggregation operator (and
+    * therefore this gate's evidence) is the same — only the sink
+    * contract changes.
     */
   def lateStartSummariesBounded(spark: SparkSession, sfDir: String,
                                 cron: String, marginSeconds: Long)
