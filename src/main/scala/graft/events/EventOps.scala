@@ -451,6 +451,61 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Lineage mining — infer the journey DAG from the observed event
+    * stream instead of requiring it declared up front. The reference
+    * only ever receives its DAGs hand-authored over the API
+    * (`PUT /journeys/{id}/dag`, reference demo_helper.py:252-276); at
+    * 100 TB nobody hand-authors the lineage of thousands of pipelines,
+    * so the engine extracts it: every within-session adjacent
+    * transition (prev_type → event_type) is a candidate precedence
+    * edge, aggregated to (support = transition count, n_users =
+    * distinct users exhibiting it) and kept when support ≥ minSupport.
+    * Each mined edge is then classified against the DECLARED DAG:
+    *   - `declared`    — a direct declared edge (confirms the doc)
+    *   - `transitive`  — in the declared closure but not direct (a
+    *                     shortcut the declared DAG implies)
+    *   - `backwards`   — the REVERSE lies in the closure (systematic
+    *     out-of-sequence traffic — R4's alerts in aggregate)
+    *   - `undeclared`  — absent entirely (lineage the docs are missing)
+    *
+    * Execution shape: one session/lag window (hash shuffle on user_id),
+    * one partial-aggregated groupBy on the (src, dst) pair — whose
+    * cardinality is ≤ |event types|², tiny at any data scale — plus two
+    * broadcast lookups. No self-joins, no per-edge passes; a single
+    * countDistinct plans as a two-phase aggregate, not an Expand.
+    */
+  def mineDag(ev: DataFrame, gapSeconds: Long, minSupport: Long,
+              directDf: DataFrame, closureDf: DataFrame): DataFrame = {
+    val sess = withSessionId(ev, gapSeconds)
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val trans = sess
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .withColumnRenamed("event_type", "dst")
+    val mined = trans.groupBy("src", "dst")
+      .agg(count(lit(1)).as("support"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("support") >= minSupport)
+    val direct = broadcast(directDf.select(col("src").as("d_src"),
+      col("dst").as("d_dst")))
+    val clos = broadcast(closureDf.select(col("src").as("c_src"),
+      col("dst").as("c_dst")))
+    mined
+      .join(direct, col("src") === col("d_src") &&
+        col("dst") === col("d_dst"), "left")
+      .join(clos.as("fwd"), col("src") === col("fwd.c_src") &&
+        col("dst") === col("fwd.c_dst"), "left")
+      .join(clos.as("rev"), col("src") === col("rev.c_dst") &&
+        col("dst") === col("rev.c_src"), "left")
+      .select(col("src"), col("dst"), col("support"), col("n_users"),
+        when(col("d_src").isNotNull, "declared")
+          .when(col("fwd.c_src").isNotNull, "transitive")
+          .when(col("rev.c_src").isNotNull, "backwards")
+          .otherwise("undeclared").as("edge_class"))
+      .orderBy("src", "dst")
+  }
+
   /** R5 — metric rule: `metric_log.key == k && value > v` → alert
     * (reference demo_helper.py:1917-1937).
     */

@@ -28,6 +28,12 @@ object EventQueries {
   val MarginSeconds = 600L
   /** Metric rule threshold (R5). */
   val MetricThreshold = 90.0
+  /** Minimum transition count for a mined lineage edge (lineage mining —
+    * north-star "lineage extraction from metadata"). Absolute, applied
+    * AFTER the pair aggregation, so at any scale it prunes only the
+    * ≤|types|² aggregated edge rows, never the event stream.
+    */
+  val MinedSupport = 5L
 
   private val EvCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, " +
@@ -396,6 +402,43 @@ object EventQueries {
        |  AND seq.prev_type = closure.dst
        |WHERE prev_type IS NOT NULL
        |ORDER BY event_id""".stripMargin
+  }
+
+  // ---- lineage mining (north-star: lineage extraction from metadata) -------
+
+  /** Mine the precedence DAG from the observed stream and classify every
+    * mined edge against the declared funnel DAG (see EventOps.mineDag).
+    */
+  def dagMine(s: SparkSession, dir: String): DataFrame =
+    EventOps.mineDag(ev(s, dir), GapSeconds, MinedSupport,
+      Dag.edgeDf(s, Dag.FunnelEdges),
+      Dag.edgeDf(s, Dag.closureLocal(Dag.FunnelEdges)))
+
+  val dagMineSql: String = {
+    val direct = Dag.FunnelEdges
+      .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+    val closure = Dag.closureLocal(Dag.FunnelEdges)
+      .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+    s"""$SessCte,
+       |seq AS (SELECT user_id, session_id, ts, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS src, event_type AS dst FROM sess),
+       |mined AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS support,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+       |  HAVING count(*) >= $MinedSupport),
+       |direct(d_src, d_dst) AS (VALUES $direct),
+       |clos(c_src, c_dst) AS (VALUES $closure)
+       |SELECT m.src, m.dst, m.support, m.n_users,
+       |  CASE WHEN d.d_src IS NOT NULL THEN 'declared'
+       |       WHEN f.c_src IS NOT NULL THEN 'transitive'
+       |       WHEN r.c_src IS NOT NULL THEN 'backwards'
+       |       ELSE 'undeclared' END AS edge_class
+       |FROM mined m
+       |LEFT JOIN direct d ON m.src = d.d_src AND m.dst = d.d_dst
+       |LEFT JOIN clos f ON m.src = f.c_src AND m.dst = f.c_dst
+       |LEFT JOIN clos r ON m.src = r.c_dst AND m.dst = r.c_src
+       |ORDER BY m.src, m.dst""".stripMargin
   }
 
   // ---- R5 metric rule ------------------------------------------------------
@@ -783,6 +826,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessions" -> (sessions _),
+    "ev_dag_mine" -> (dagMine _),
     "ev_failed_runs" -> (failedRuns _),
     "ev_late_starts" -> (lateStarts _),
     "ev_late_starts_hourly" -> (lateStartsHourly _),
@@ -817,6 +861,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev_sessions" -> sessionsSql,
+    "ev_dag_mine" -> dagMineSql,
     "ev_failed_runs" -> failedRunsSql,
     "ev_late_starts" -> lateStartsSql,
     "ev_late_starts_hourly" -> lateStartsHourlySql,

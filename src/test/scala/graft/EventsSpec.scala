@@ -341,4 +341,20 @@ class EventsSpec extends AnyFunSuite {
       ts("2024-01-01 00:30:00"))
     assert(out((2L, 1L)).getAs[Double]("minutes_late") == 510.0)
   }
+
+  test("lineage mining classifies every mined edge against the declared DAG") {
+    val direct = Dag.edgeDf(spark, Dag.FunnelEdges)
+    val clos = Dag.edgeDf(spark, Dag.closureLocal(Dag.FunnelEdges))
+    // gap 3600: u1 {signup→view}, {purchase→error}; u2 {signup→click→view}
+    val mined = EventOps.mineDag(fixture, 3600, 1, direct, clos).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(mined == Map(
+      ("signup", "view") -> ((1L, 1L, "declared")),
+      ("signup", "click") -> ((1L, 1L, "transitive")),
+      ("click", "view") -> ((1L, 1L, "backwards")),
+      ("purchase", "error") -> ((1L, 1L, "undeclared"))))
+    // support threshold prunes the aggregated edges, not the stream
+    assert(EventOps.mineDag(fixture, 3600, 2, direct, clos).isEmpty)
+  }
 }
