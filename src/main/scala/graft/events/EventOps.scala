@@ -483,6 +483,17 @@ object EventOps {
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .filter(col("src").isNotNull)
       .withColumnRenamed("event_type", "dst")
+    mineTransitions(trans, minSupport, directDf, closureDf)
+  }
+
+  /** Aggregate + classify tail of [[mineDag]], shared with the streaming
+    * miner (whose transition stream comes from keyed state instead of a
+    * batch window): (user_id, src, dst) transitions → thresholded,
+    * classified edge list.
+    */
+  def mineTransitions(trans: DataFrame, minSupport: Long,
+                      directDf: DataFrame, closureDf: DataFrame)
+      : DataFrame = {
     val mined = trans.groupBy("src", "dst")
       .agg(count(lit(1)).as("support"),
         countDistinct(col("user_id")).as("n_users"))

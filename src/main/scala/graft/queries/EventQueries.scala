@@ -723,6 +723,14 @@ object EventQueries {
     graft.streaming.StreamingOps.oosAlertsBounded(s, dir, GapSeconds,
       Dag.closureLocal(Dag.FunnelEdges).toSet)
 
+  /** The lineage miner run via the stream path (transitions from keyed
+    * state, aggregation + classification shared with the batch miner)
+    * — gated by the same oracle as `ev_dag_mine`.
+    */
+  def streamDagMineBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.dagMineBounded(s, dir, GapSeconds,
+      MinedSupport, Dag.FunnelEdges, Dag.closureLocal(Dag.FunnelEdges))
+
   /** Chunk size of the reference's outcome delivery (100 per POST —
     * demo_helper.py:803-816), made driver-visible by the bounded
     * chunked-delivery run below.
@@ -838,6 +846,7 @@ object EventQueries {
     "stream_sessions_bounded" -> (streamSessionsBounded _),
     "stream_journeys_bounded" -> (streamJourneysBounded _),
     "stream_oos_bounded" -> (streamOosBounded _),
+    "stream_dag_mine_bounded" -> (streamDagMineBounded _),
     "stream_chunks_bounded" -> (streamChunksBounded _),
     "stream_late_bounded" -> (streamLateBounded _),
     "stream_volume_bounded" -> (streamVolumeBounded _),
@@ -873,6 +882,7 @@ object EventQueries {
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "stream_journeys_bounded" -> journeysBoundedSql,
     "stream_oos_bounded" -> outOfSequenceSql,
+    "stream_dag_mine_bounded" -> dagMineSql,
     "stream_chunks_bounded" -> streamChunksBoundedSql,
     "stream_late_bounded" -> lateStartsSql,
     "stream_volume_bounded" -> volumeAnomaliesSql,

@@ -35,6 +35,9 @@ case class SeqAlert(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
                     session_id: Long, prev_type: String,
                     event_type: String)
 
+/** One within-session adjacent transition, the lineage-mining unit. */
+case class Transition(user_id: Long, src: String, dst: String)
+
 /** Structured Streaming variants of the event-analytics operators
   * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
   * streaming system whose demo backdates events up to 55 hours
@@ -251,6 +254,40 @@ object StreamingOps {
             if (inSession && dagClosure((e.event_type, prev.lastType)))
               out += SeqAlert(e.event_id, user, e.ts, sid, prev.lastType,
                 e.event_type)
+            prev = SeqState(e.event_type, m, sid)
+          }
+          if (sorted.nonEmpty) state.update(prev)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming lineage mining, stage 1: emit EVERY within-session
+    * adjacent transition (the out-of-sequence detector's state walk
+    * WITHOUT the closure filter — same SeqState, same session
+    * numbering). The downstream pair aggregation collapses these to
+    * the ≤|types|² mined-edge rows, so the unbounded part of the
+    * pipeline is append-only per-event output, and per-key state stays
+    * one (type, micros, counter) triple.
+    */
+  def emitTransitions(events: Dataset[SEvent], gapSeconds: Long)
+      : Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent], state: GroupState[SeqState]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            val m = micros(e.ts)
+            val inSession =
+              prev != null && m - prev.lastMicros <= gapSeconds * 1000000L
+            val sid = if (inSession) prev.sessionId
+                      else (if (prev == null) 0L else prev.sessionId) + 1L
+            if (inSession) out += Transition(user, prev.lastType,
+              e.event_type)
             prev = SeqState(e.event_type, m, sid)
           }
           if (sorted.nonEmpty) state.update(prev)
@@ -580,5 +617,27 @@ object StreamingOps {
           col("ts"), col("prev_type"), col("event_type"),
           lit("OUT_OF_SEQUENCE").as("alert_type"))
         .orderBy("event_id"))
+  }
+
+  /** Streaming lineage mining run end-to-end: the real events file
+    * replayed through [[emitTransitions]], the sink's transition rows
+    * aggregated + classified by the SAME tail as the batch miner
+    * (`EventOps.mineTransitions`) — gated by the same DuckDB oracle as
+    * `ev_dag_mine`. In a continuous deployment the tail would run as a
+    * complete-mode aggregation over the transition stream (state =
+    * ≤|types|² pair counts); the bounded harness materializes the
+    * append stream first so the replay stays deterministic.
+    */
+  def dagMineBounded(spark: SparkSession, sfDir: String,
+                     gapSeconds: Long, minSupport: Long,
+                     direct: Seq[(String, String)],
+                     closure: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => emitTransitions(eventStream(spark, drop).as[SEvent],
+        gapSeconds).toDF(),
+      sink => graft.events.EventOps.mineTransitions(sink, minSupport,
+        graft.events.Dag.edgeDf(spark, direct),
+        graft.events.Dag.edgeDf(spark, closure)))
   }
 }

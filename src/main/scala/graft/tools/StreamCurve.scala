@@ -42,7 +42,10 @@ object StreamCurve {
       "oos" -> ((s, d) => graft.streaming.StreamingOps
         .oosAlertsBounded(s, d, 1800L,
           graft.events.Dag.closureLocal(graft.events.Dag.FunnelEdges)
-            .toSet)))
+            .toSet)),
+      "dagmine" -> ((s, d) => graft.streaming.StreamingOps
+        .dagMineBounded(s, d, 1800L, 5L, graft.events.Dag.FunnelEdges,
+          graft.events.Dag.closureLocal(graft.events.Dag.FunnelEdges))))
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nRows = ev.count()

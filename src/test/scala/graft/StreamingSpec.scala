@@ -486,6 +486,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedO.getAs[Long](0) > 0L) // alerts actually fired
   }
 
+  test("bounded streaming lineage mining equals the batch miner row for " +
+      "row on the real table") {
+    val direct = graft.events.Dag.FunnelEdges
+    val closure = graft.events.Dag.closureLocal(direct)
+    // minSupport=1: the sf0.001 fixture's ~6 events/user leave every
+    // pair under the production threshold — the spec gates stream/batch
+    // AGREEMENT, not the threshold (EventsSpec covers pruning)
+    val streamed = StreamingOps
+      .dagMineBounded(spark, SparkTestSession.sf, 1800, 1, direct, closure)
+      .collect().toSeq
+    val batch = graft.events.EventOps.mineDag(
+        graft.Tables.load(spark, SparkTestSession.sf, "events"), 1800, 1,
+        graft.events.Dag.edgeDf(spark, direct),
+        graft.events.Dag.edgeDf(spark, closure))
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("bounded complete-mode streaming aggregates (lateness, volume, " +
       "liveness) agree with their batch implementations on the real table") {
     // each pair shares the scoring tail by construction; what this
