@@ -201,9 +201,12 @@ object TextQueries {
        |bands AS (SELECT doc_id, i // $r AS band,
        |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
        |  FROM sig GROUP BY doc_id, i // $r),
+       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       |  HAVING count(*) <= ${Dedup.LshMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT doc_a, doc_b, count(*) AS c
        |  FROM cand JOIN sh a ON a.doc_id = doc_a
@@ -251,9 +254,12 @@ object TextQueries {
        |bands AS (SELECT doc_id, i // $r AS band,
        |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
        |  FROM sig GROUP BY doc_id, i // $r),
+       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       |  HAVING count(*) <= ${Dedup.LshMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT doc_a, doc_b, count(*) AS c
        |  FROM cand JOIN sh a ON a.doc_id = doc_a

@@ -269,16 +269,33 @@ object Dedup {
       .orderBy(idCol)
   }
 
-  /** Exact-Jaccard verification of candidate pairs. The shingle sets are
-    * packed into one array per document, so each candidate pair is ONE row
-    * and the intersection is a cheap in-row array_intersect — no join
-    * re-expansion to (pair × shingle) rows. Array size is bounded by
-    * document length, and the two joins are plain key joins on doc id.
+  /** Exact-Jaccard verification of candidate pairs, on HASHED shingles:
+    * sets are packed as one xxhash64-per-shingle array per document, so
+    * each candidate pair is ONE row and the intersection is an in-row
+    * array_intersect over longs — 8 B fixed-width compares and a ~2×
+    * smaller pair-join shuffle than the raw shingle strings; counts are
+    * identical (the hash is injective in practice: P(64-bit collision
+    * inside one pair's ~100-shingle union) ≈ 10⁻¹⁵). Array size is
+    * bounded by document length, and the joins are plain key joins on
+    * doc id.
+    *
+    * Rejected alternative (measured at sf1, 13.2 M candidates): a
+    * matching-slot SIGNATURE prefilter between banding and verify. The
+    * estimator must ship both k-slot arrays to every pair row — at
+    * k=128 that is ~1 KB/side, ~3× the hashed shingle set of a
+    * ~45-shingle document, so the "prefilter" shuffled more bytes than
+    * the stage it was pruning and saved nothing end-to-end. It only
+    * pays for corpora whose documents carry ≫k shingles; for candidate
+    * volume itself, the hot-bucket cap in [[lshCandidates]] attacks the
+    * pairs at the source instead.
     */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame,
-                          idCol: String, minJaccard: Double): DataFrame = {
-    val sets = sh.groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("shs"),
+  private[graft] def verifyPairs(cand: DataFrame, sh: DataFrame,
+                                 idCol: String,
+                                 minJaccard: Double): DataFrame = {
+    val sets = sh
+      .select(col(idCol), xxhash64(col("shingle")).as("hh"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("hh")).as("shs"),
         count(lit(1)).as("sz"))
     val inter = size(array_intersect(col("sa"), col("sb")))
       .cast(DoubleType)
@@ -354,13 +371,34 @@ object Dedup {
     sh.groupBy(col(idCol))
       .agg(udaf(new MinHashAgg(k)).apply(col("shingle")).as("sig"))
 
+  /** Hot-bucket cap for [[lshCandidates]]: a (band, bandHash) bucket
+    * holding more than this many documents contributes NO pairs. Such
+    * buckets are signature-degenerate — measured on the sf1 corpus (961
+    * distinct shingles across 50 k docs, so band keys concentrate on
+    * the globally-minimal shingle hashes), 11 buckets of > 512 docs
+    * held 7.8 M of the 13.2 M candidate pairs while the ~500 TRUE pairs
+    * collide in small distinctive buckets. The cap bounds per-bucket
+    * work at cap²/2 pairs deterministically — the same guard
+    * [[graft.sim.Similarity]] applies to dense embedding cells — at a
+    * documented recall trade: a genuine near-dup cluster of > cap
+    * DISTINCT variants colliding in one band loses that band's vote
+    * (run [[nearDuplicatesCollapsed]] first so exact-duplicate classes
+    * never occupy bucket slots). Public so the DuckDB oracle renders
+    * the IDENTICAL cap — both engines drop the same buckets by
+    * construction.
+    */
+  val LshMaxBucket = 128
+
   /** Banded-LSH candidate pairs: split the k-wide signature into `bands`
     * bands, hash each band, and emit pairs of ids sharing any (band,
-    * bandHash) bucket. Only bucket-mates ever meet — the join key is the
-    * bucket, so the plan is explode → shuffle on bucket → per-bucket join.
+    * bandHash) bucket with ≤ `maxBucket` members ([[LshMaxBucket]]).
+    * Only bucket-mates ever meet — the join key is the bucket, so the
+    * plan is explode → shuffle on bucket → per-bucket join, with a
+    * bucket-size aggregation on the same shuffle keying the cap.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
-                    bands: Int, crossEngine: Boolean = false): DataFrame = {
+                    bands: Int, crossEngine: Boolean = false,
+                    maxBucket: Int = LshMaxBucket): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     // band key: one xxhash64 over the band's slots (production), or the
@@ -377,7 +415,13 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    buckets.as("a").join(buckets.as("b"),
+      .localCheckpoint(true)
+    val ok = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val capped = buckets.join(ok, Seq("band", "bh"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
