@@ -30,6 +30,25 @@ object Sessions {
       // are deliberately narrow regardless: see Profiler's scaladoc on
       // the ~8 KB JIT method threshold, which no conf can raise.)
       .config("spark.sql.codegen.maxFields", "4000")
+      // the generated-class cache defaults to 100 entries, but ONE
+      // profiler invocation alone creates ~100 compilation units (one
+      // per-column pass × {partial, final} + exchange projections), so
+      // any two coexisting profile plans thrash the cache and every
+      // invocation re-pays ~10 s of Janino compilation (measured by
+      // CodegenMetrics: 495 compiles / 74 s across five sf0.1 profile
+      // runs, with exec1 swinging 7 s ↔ 37 s run-to-run as entries were
+      // evicted). The cache holds compiled classes — small — so a large
+      // bound trades a few MB of driver heap for compile-once behavior
+      // across the 129-query bench sweep.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // by default the per-query codegen STAGE ID is baked into the
+      // generated class name, so two textually identical units at
+      // different plan positions (e.g. the profiler's canonicalized
+      // per-column passes, or the same stage re-planned by AQE in a
+      // different order) miss the cache and recompile. With the id off,
+      // equal bodies share one compiled class; the stage id still
+      // appears in comments/metrics for debugging.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

@@ -29,9 +29,14 @@ import org.apache.spark.sql.types._
   * once per distinct expression, the same scale hazard the quality
   * evaluator avoids (see TestEvaluator). `exactDistinct=false` (the
   * at-scale mode, when oracle parity is not required) switches to
-  * HyperLogLog sketches that ride in the base passes. All percentiles
-  * share one dedicated ObjectHashAggregate pass (a TypedImperative
-  * aggregate anywhere in a declarative pass would de-codegen it).
+  * HyperLogLog sketches that ride in the base passes. Percentiles ride
+  * narrow per-column ObjectHashAggregate passes of their own (a
+  * TypedImperative aggregate anywhere in a declarative pass would
+  * de-codegen it). See profileWith's scaladoc for the round-7 pass
+  * architecture: canonicalized pass inputs so all same-type passes
+  * share ONE compiled codegen unit, and why a measured melt
+  * (unpivot + grouped-aggregate) variant was rejected on this data
+  * layout.
   *
   * Numeric parity design: sums are computed in DECIMAL(28,6) — exact and
   * addition-order-independent, so results hash-match any other engine
@@ -93,104 +98,174 @@ object Profiler {
     *  - distincts = "exact": one narrow pass per column (+ per timestamp
     *    date) — the oracle-parity mode;
     *  - "hll": HyperLogLog sketches riding the base passes — the 100 TB
-    *    one-scan mode;
+    *    one-scan-per-column mode;
     *  - "dates": ONLY the exact distinct-DATE passes; per-column
     *    distinct_ct is emitted NULL without ever being computed — the
     *    sampled mode, where a sample's distinct count has no unbiased
     *    scale-up (see [[profileSampled]]) but distinct_date_ct survives
     *    as a floor-compared lower bound.
+    *
+    * Pass architecture (revised round 7, after measurement):
+    *
+    *  - PER-COLUMN passes, not per-type-family melts. A melted variant
+    *    (unpivot + groupBy(column_name)) was built and measured: it cuts
+    *    generated-code volume ~25× but serializes execution on this
+    *    data layout — the driver testdata writes ONE parquet row group
+    *    per file, so every scan is a single task however
+    *    maxPartitionBytes is set (measured invariant 11–12 s at 128m/8m/
+    *    2m), and a family pass puts ~4 columns of aggregate arithmetic
+    *    on one core while the narrow passes run as ~30 CONCURRENT
+    *    single-task jobs that fill the 32-core box (6.6 s vs 14.1 s
+    *    bench median on sf0.1 lineitem). At 100 TB row groups abound
+    *    and both shapes parallelize; the narrow shape additionally
+    *    bounds every generated update method far under the ~8 KB JIT
+    *    threshold that rules out one wide all-column aggregate.
+    *  - Every pass reads its column through a CANONICALIZING projection
+    *    (`select(col(c).as("__v"))`) and aggregates FLAT, META-FREE
+    *    expressions, renamed per-column only ABOVE the aggregate. Alias
+    *    names and reference literals never reach generated-code bodies,
+    *    so all same-type passes — across columns, tables, and the whole
+    *    profile query family — compile to IDENTICAL Janino units and
+    *    hit the generated-class cache after the first compile. The old
+    *    shape embedded per-column meta literals (ordinal etc.) in each
+    *    pass's result projection, making every unit unique: ~100
+    *    compilation units and 10–30 s of re-paid Janino per profile
+    *    invocation (measured via CodegenMetrics: 137 compiles / 31 s on
+    *    the first sf0.1 profile, ~40 recompiles on repeats as the
+    *    100-entry class cache thrashed — also why
+    *    spark.sql.codegen.cache.maxEntries is raised in Sessions).
+    *  - Exact distinct counts are ONE NARROW PASS PER COLUMN — putting
+    *    k exact countDistincts in one agg() would make Catalyst plan an
+    *    Expand that replicates every input row once per distinct
+    *    expression, the same scale hazard the quality evaluator avoids.
+    *  - Percentiles are TypedImperativeAggregates (exact AND approx):
+    *    ONE of them in a base agg forces the whole pass onto
+    *    ObjectHashAggregate, where every other stat evaluates
+    *    interpreted per row (measured ~20× at sf0.1). Quartiles ride
+    *    narrow per-column passes of their own — maximally concurrent,
+    *    and one shared codegen shape.
+    *  - Passes recombine through a BALANCED crossJoin tree (each side
+    *    one row): a left-deep foldLeft re-analyzed the accumulated plan
+    *    at every step, O(n²) in pass count.
     */
   private[graft] def profileWith(df: DataFrame, tableName: String,
                                  distincts: String,
                                  exactPercentiles: Boolean): DataFrame = {
-    require(Set("exact", "hll", "dates")(distincts),
+    // "none" is the incremental/mergeable mode (see mergeProfiles and
+    // the streaming profiler): base passes only — distinct counts and
+    // percentiles are not exactly mergeable across disjoint slices, so
+    // a per-batch profile destined for a merge fold would compute them
+    // only to have the merge null them out.
+    require(Set("exact", "hll", "dates", "none")(distincts),
       s"bad distincts mode: $distincts")
     val fields = df.schema.fields.zipWithIndex.filter {
       case (f, _) => isProfilable(f.dataType)
-    }
+    }.toSeq
     require(fields.nonEmpty, s"no profilable columns in $tableName")
+    val V = "__v"
+    def canon(f: StructField): DataFrame =
+      df.select(col(f.name).as(V))
 
-    // base passes: every non-distinct statistic, in bounded-width column
-    // groups (see the object scaladoc: wider groups push the generated
-    // update method past the JVM's JIT threshold — measured fastest at
-    // one column per pass, parquet pruning keeping total bytes flat).
-    // In approx mode the group's HLL distinct sketches ride in the same
-    // pass (approx_count_distinct needs no Expand).
-    val ColsPerPass = 1
-    val basePasses: Seq[DataFrame] =
-      fields.toSeq.grouped(ColsPerPass).map { grp =>
-        val approxAggs: Seq[Column] =
-          if (distincts != "hll") Seq.empty
-          else (grp.map { case (f, i) =>
-            approx_count_distinct(col(f.name)).as(s"__d_$i")
-          } ++ grp.collect { case (f, i) if f.dataType == TimestampType =>
-            approx_count_distinct(to_date(col(f.name))).as(s"__dd_$i")
-          }).toSeq
-        val aggs = grp.map { case (f, i) =>
-          columnStats(f, i, tableName).as(s"__p_$i")
-        } ++ approxAggs
-        df.agg(aggs.head, aggs.tail: _*)
-      }.toSeq
-    // exact mode: one narrow pass per distinct expression — putting k
-    // exact countDistincts in one agg() would Expand (replicate) every
-    // row k times; one per pass keeps the no-Expand two-stage plan and
-    // column pruning makes each pass scan a single column. "dates" mode
-    // keeps only the distinct-date passes (the column distincts would be
-    // computed and discarded).
+    // base passes: every non-distinct statistic of one column, flat and
+    // meta-free (see scaladoc), renamed per-column above the aggregate.
+    // In approx mode the HLL distinct sketch(es) ride in the same pass
+    // (approx_count_distinct needs no Expand).
+    val basePasses: Seq[DataFrame] = fields.map { case (f, i) =>
+      val pairs = statsPairs(col(V), f.dataType)
+      val riders: Seq[(String, Column)] =
+        if (distincts != "hll") Seq.empty
+        else ("__d" -> approx_count_distinct(col(V))) +:
+          (if (f.dataType == TimestampType)
+             Seq("__dd" -> approx_count_distinct(to_date(col(V))))
+           else Seq.empty)
+      val aggCols = (pairs ++ riders).map { case (n, e) => e.as(n) }
+      canon(f).agg(aggCols.head, aggCols.tail: _*)
+        .select(pairs.map { case (n, _) => col(n).as(s"__s${i}_$n") } ++
+          riders.map { case (n, _) => col(n).as(s"${n}_$i") }: _*)
+    }
     val distinctPasses: Seq[DataFrame] =
       (if (distincts != "exact") Seq.empty
-       else fields.toSeq.map { case (f, i) =>
-        df.agg(countDistinct(col(f.name)).as(s"__d_$i"))
+       else fields.map { case (f, i) =>
+        canon(f).agg(countDistinct(col(V)).as("__d"))
+          .select(col("__d").as(s"__d_$i"))
       }) ++
-      (if (distincts == "hll") Seq.empty
-       else fields.toSeq.collect {
+      (if (distincts == "hll" || distincts == "none") Seq.empty
+       else fields.collect {
         case (f, i) if f.dataType == TimestampType =>
-          df.agg(countDistinct(to_date(col(f.name))).as(s"__dd_$i"))
+          canon(f).agg(countDistinct(to_date(col(V))).as("__dd"))
+            .select(col("__dd").as(s"__dd_$i"))
       })
-    // percentiles are TypedImperativeAggregates (exact AND approx): ONE
-    // of them in the base agg forces the whole pass onto
-    // ObjectHashAggregate, where every other stat evaluates interpreted
-    // per row (measured ~20× at sf0.1). Instead ALL numeric columns'
-    // quartiles ride ONE dedicated pass — percentile buffers don't
-    // Expand, the pass holds only the percentile expressions (so its
-    // interpreted eval touches 2 exprs per column), and the base passes
-    // stay declarative and codegen'd.
-    val pctAggs: Seq[Column] = fields.toSeq.collect {
-      case (f, i) if f.dataType.isInstanceOf[NumericType] =>
-        val cd = col(f.name).cast(DoubleType)
-        val ps = array(lit(0.25), lit(0.5), lit(0.75))
-        (if (exactPercentiles) percentile(cd, ps)
-         else approx_percentile(cd, ps, lit(10000))).as(s"__q_$i")
-    }
     val pctPasses: Seq[DataFrame] =
-      if (pctAggs.isEmpty) Seq.empty
-      else Seq(df.agg(pctAggs.head, pctAggs.tail: _*))
-    val agged = (basePasses.tail ++ distinctPasses ++ pctPasses)
-      .foldLeft(basePasses.head)(_.crossJoin(_))
+      if (distincts == "none") Seq.empty
+      else fields.collect {
+        case (f, i) if f.dataType.isInstanceOf[NumericType] =>
+          val ps = array(lit(0.25), lit(0.5), lit(0.75))
+          df.select(col(f.name).cast(DoubleType).as(V))
+            .agg((if (exactPercentiles) percentile(col(V), ps)
+                  else approx_percentile(col(V), ps, lit(10000))).as("__q"))
+            .select(col("__q").as(s"__q_$i"))
+      }
+    val agged = balancedCross(basePasses ++ distinctPasses ++ pctPasses)
 
-    val structs = fields.toSeq.map { case (f, i) =>
+    val structs = fields.map { case (f, i) =>
       val isTs = f.dataType == TimestampType
       val isNum = f.dataType.isInstanceOf[NumericType]
-      val baseCols = BaseFieldsHead.map(n => col(s"__p_$i.$n").as(n))
+      def s(n: String) = col(s"__s${i}_$n")
+      val meta = Map[String, Column](
+        "table_name" -> lit(tableName), "column_name" -> lit(f.name),
+        "ordinal" -> lit(i.toLong),
+        "data_type" -> lit(typeLabel(f.dataType)))
+      val baseCols = BaseFieldsHead.map(n =>
+        meta.getOrElse(n, s(n)).as(n))
       val tailCols = BaseFieldsTail.map {
-        case n @ ("p25_num" | "median_num" | "p75_num") if isNum =>
+        case n @ ("p25_num" | "median_num" | "p75_num")
+            if isNum && distincts != "none" =>
           val k = n match {
             case "p25_num" => 1; case "median_num" => 2; case _ => 3
           }
           round(element_at(col(s"__q_$i"), k), 4).as(n)
-        case n => col(s"__p_$i.$n").as(n)
+        case n @ ("p25_num" | "median_num" | "p75_num") =>
+          lit(null).cast(DoubleType).as(n)
+        case n => s(n).as(n)
       }
       val distinctCt =
-        if (distincts == "dates") lit(null).cast(LongType)
+        if (distincts == "dates" || distincts == "none")
+          lit(null).cast(LongType)
         else col(s"__d_$i")
       struct((baseCols :+ distinctCt.as("distinct_ct")) ++ tailCols :+
-        (if (isTs) col(s"__dd_$i") else lit(null).cast(LongType))
+        (if (isTs && distincts != "none") col(s"__dd_$i")
+         else lit(null).cast(LongType))
           .as("distinct_date_ct"): _*)
     }
     agged.select(explode(array(structs: _*)).as("p"))
       .select("p.*")
       .orderBy("column_name")
   }
+
+  /** The mergeable-statistics profile of one slice, restricted to
+    * [[MergeableFields]]: base passes only — no distinct, date-distinct
+    * or percentile passes, because none of those merge exactly across
+    * disjoint slices and a per-batch profile destined for a
+    * [[mergeProfiles]] fold would pay them only to null them out. This
+    * is the incremental unit of the streaming profiler
+    * (StreamingOps.profileSummariesBounded): profile each micro-batch,
+    * fold with [[mergeProfiles]], and the running result stays
+    * hash-equal to the full-corpus profile on the mergeable fields.
+    */
+  def profileMergeable(df: DataFrame, tableName: String): DataFrame =
+    profileWith(df, tableName, distincts = "none",
+      exactPercentiles = false)
+      .select(MergeableFields.map(col): _*)
+
+  /** Pairwise-balanced crossJoin of one-row frames: log-depth, so the
+    * eager per-operation re-analysis is O(n log n) total instead of the
+    * left-deep fold's O(n²) in pass count.
+    */
+  private def balancedCross(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.sizeIs == 1) dfs.head
+    else balancedCross(dfs.grouped(2).map { g =>
+      if (g.sizeIs == 2) g.head.crossJoin(g(1)) else g.head
+    }.toSeq)
 
   /** Count/sum characteristics that scale linearly with sampled rows. */
   private[profile] val ExtensiveCounts = Set("record_ct", "value_ct",
@@ -392,17 +467,21 @@ object Profiler {
     when(n > 1, sqrt(greatest(num, lit(0.0)) / (n - lit(1))))
   }
 
-  /** All non-distinct statistics of one column (the distinct counts are
-    * separate passes — see [[profile]]).
+  /** All non-distinct statistics of one value expression of the given
+    * type, as (name, aggregate/derived expression) pairs in output
+    * order (percentile and distinct slots excluded — they ride their
+    * own passes). SHARED by the melt families (c = the melted `value`
+    * column, dt = the family type) and the legacy per-column passes
+    * (c = the source column, dt = its native type) — one definition, so
+    * the two paths cannot drift numerically.
     */
-  private def columnStats(f: StructField, i: Int, table: String): Column = {
-    val c = col(f.name)
-    val isStr = f.dataType == StringType
-    val isNum = f.dataType.isInstanceOf[NumericType]
-    val isTs = f.dataType == TimestampType
-    val isArr = f.dataType.isInstanceOf[ArrayType]
-    val isFrac = f.dataType == DoubleType || f.dataType == FloatType ||
-      f.dataType.isInstanceOf[DecimalType]
+  private def statsPairs(c: Column, dt: DataType): Seq[(String, Column)] = {
+    val isStr = dt == StringType
+    val isNum = dt.isInstanceOf[NumericType]
+    val isTs = dt == TimestampType
+    val isArr = dt.isInstanceOf[ArrayType]
+    val isFrac = dt == DoubleType || dt == FloatType ||
+      dt.isInstanceOf[DecimalType]
     def nl = lit(null).cast(LongType)
     def nd = lit(null).cast(DoubleType)
     def ns = lit(null).cast(StringType)
@@ -440,112 +519,103 @@ object Profiler {
       lit(4.0) * mean * (s3.cast(DoubleType) / valueCt) +
       lit(6.0) * mean * mean * (s2.cast(DoubleType) / valueCt) -
       lit(3.0) * mean * mean * mean * mean
-    // percentiles live in their own narrow passes (see profile()) —
-    // TypedImperativeAggregates would knock this whole declarative
-    // aggregate out of codegen; the slots here stay null and profile()
-    // splices the real values in at assembly
     val trimmed = trim(c)
 
-    struct(
-      lit(table).as("table_name"),
-      lit(f.name).as("column_name"),
-      lit(i.toLong).as("ordinal"),
-      lit(typeLabel(f.dataType)).as("data_type"),
-      count(lit(1)).as("record_ct"),
-      valueCt.as("value_ct"),
-      count(when(c.isNull, 1)).as("null_ct"),
-      (if (isStr) min(length(c)).cast(LongType)
-       else if (isArr) min(size(c)).cast(LongType) else nl).as("min_len"),
-      (if (isStr) max(length(c)).cast(LongType)
-       else if (isArr) max(size(c)).cast(LongType) else nl).as("max_len"),
-      (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4)
+    Seq(
+      "record_ct" -> count(lit(1)),
+      "value_ct" -> valueCt,
+      "null_ct" -> count(when(c.isNull, 1)),
+      "min_len" -> (if (isStr) min(length(c)).cast(LongType)
+       else if (isArr) min(size(c)).cast(LongType) else nl),
+      "max_len" -> (if (isStr) max(length(c)).cast(LongType)
+       else if (isArr) max(size(c)).cast(LongType) else nl),
+      "avg_len" -> (if (isStr) round(lenSum.cast(DoubleType) / valueCt, 4)
        else if (isArr)
          round(sum(size(c).cast(LongType)).cast(DoubleType) / valueCt, 4)
-       else nd).as("avg_len"),
-      (if (isStr) count(when(trim(c) === "", 1)) else nl).as("blank_ct"),
-      (if (isStr) min(c) else ns).as("min_str"),
-      (if (isStr) max(c) else ns).as("max_str"),
-      (if (isNum) min(c).cast(DoubleType) else nd).as("min_num"),
-      (if (isNum) max(c).cast(DoubleType) else nd).as("max_num"),
-      (if (isNum) round(s1.cast(DoubleType) / valueCt, 4) else nd)
-        .as("avg_num"),
-      (if (isNum) round(derivedStd(s1, s2, valueCt), 4) else nd)
-        .as("stdev_num"),
+       else nd),
+      "blank_ct" -> (if (isStr) count(when(trim(c) === "", 1)) else nl),
+      "min_str" -> (if (isStr) min(c) else ns),
+      "max_str" -> (if (isStr) max(c) else ns),
+      "min_num" -> (if (isNum) min(c).cast(DoubleType) else nd),
+      "max_num" -> (if (isNum) max(c).cast(DoubleType) else nd),
+      "avg_num" -> (if (isNum) round(s1.cast(DoubleType) / valueCt, 4)
+       else nd),
+      "stdev_num" -> (if (isNum) round(derivedStd(s1, s2, valueCt), 4)
+       else nd),
       // Final representation is DOUBLE: the decimal sum is exact and
       // order-independent internally, but DECIMAL(38,x) output columns do
       // not hash-match the DuckDB oracle's representation, while doubles
       // derived from the same exact decimal do (CORRECTNESS_r01 analysis).
-      (if (isNum) s1.cast(DoubleType) else nd).as("sum_num"),
-      (if (isFrac)
+      "sum_num" -> (if (isNum) s1.cast(DoubleType) else nd),
+      "frac_sum" -> (if (isFrac)
         sum(dec - floor(c).cast(SumDec)).cast(DoubleType)
-      else nd).as("frac_sum"),
-      (if (isNum) count(when(c === 0, 1)) else nl).as("zero_ct"),
-      (if (isNum) count(when(c < 0, 1)) else nl).as("neg_ct"),
-      (if (isTs) min(c) else nt).as("min_ts"),
-      (if (isTs) max(c) else nt).as("max_ts"),
+      else nd),
+      "zero_ct" -> (if (isNum) count(when(c === 0, 1)) else nl),
+      "neg_ct" -> (if (isNum) count(when(c < 0, 1)) else nl),
+      "min_ts" -> (if (isTs) min(c) else nt),
+      "max_ts" -> (if (isTs) max(c) else nt),
       // shape characteristics (toward the reference's 51-characteristic
       // profile): string content classes, numeric sign, date placement
-      (if (isStr) count(when(c.contains(" "), 1)) else nl)
-        .as("embedded_space_ct"),
-      (if (isStr) count(when(c === upper(c), 1)) else nl).as("upper_ct"),
-      (if (isStr) count(when(c === lower(c), 1)) else nl).as("lower_ct"),
-      (if (isStr) count(when(c.try_cast(DoubleType).isNotNull, 1)) else nl)
-        .as("numeric_str_ct"),
-      (if (isStr) count(when(c.try_cast(DateType).isNotNull, 1)) else nl)
-        .as("date_str_ct"),
-      (if (isNum) count(when(c > 0, 1)) else nl).as("pos_ct"),
-      (if (isFrac) count(when(c =!= floor(c), 1)) else nl)
-        .as("frac_value_ct"),
-      (if (isTs)
+      "embedded_space_ct" -> (if (isStr) count(when(c.contains(" "), 1))
+       else nl),
+      "upper_ct" -> (if (isStr) count(when(c === upper(c), 1)) else nl),
+      "lower_ct" -> (if (isStr) count(when(c === lower(c), 1)) else nl),
+      "numeric_str_ct" -> (if (isStr)
+        count(when(c.try_cast(DoubleType).isNotNull, 1)) else nl),
+      "date_str_ct" -> (if (isStr)
+        count(when(c.try_cast(DateType).isNotNull, 1)) else nl),
+      "pos_ct" -> (if (isNum) count(when(c > 0, 1)) else nl),
+      "frac_value_ct" -> (if (isFrac) count(when(c =!= floor(c), 1))
+       else nl),
+      "future_ct" -> (if (isTs)
         count(when(c > to_timestamp(lit(graft.quality.TestEvaluator.AsOfTs)),
           1))
-      else nl).as("future_ct"),
-      (if (isTs) count(when(dayofweek(c).isin(1, 7), 1)) else nl)
-        .as("weekend_ct"),
+      else nl),
+      "weekend_ct" -> (if (isTs) count(when(dayofweek(c).isin(1, 7), 1))
+       else nl),
       // string content classes (round-2 widening)
-      (if (isStr) count(when(c =!= ltrim(c), 1)) else nl).as("lead_space_ct"),
-      (if (isStr) count(when(c.contains("'") || c.contains("\""), 1))
-       else nl).as("quote_ct"),
-      (if (isStr) count(when(c.rlike("[^\\x00-\\x7F]"), 1)) else nl)
-        .as("non_ascii_ct"),
-      (if (isStr) count(when(c.rlike("^[A-Za-z ]+$"), 1)) else nl)
-        .as("alpha_ct"),
-      (if (isStr) count(when(upper(trimmed).isin("Y", "N", "YES", "NO",
-        "TRUE", "FALSE", "T", "F"), 1)) else nl).as("boolean_ct"),
-      (if (isStr) count(when(
+      "lead_space_ct" -> (if (isStr) count(when(c =!= ltrim(c), 1)) else nl),
+      "quote_ct" -> (if (isStr)
+        count(when(c.contains("'") || c.contains("\""), 1)) else nl),
+      "non_ascii_ct" -> (if (isStr) count(when(c.rlike("[^\\x00-\\x7F]"), 1))
+       else nl),
+      "alpha_ct" -> (if (isStr) count(when(c.rlike("^[A-Za-z ]+$"), 1))
+       else nl),
+      "boolean_ct" -> (if (isStr) count(when(upper(trimmed).isin("Y", "N",
+        "YES", "NO", "TRUE", "FALSE", "T", "F"), 1)) else nl),
+      "email_ct" -> (if (isStr) count(when(
         c.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"), 1))
-       else nl).as("email_ct"),
-      (if (isStr) count(when(c.rlike("^[0-9]{5}(-[0-9]{4})?$"), 1)) else nl)
-        .as("zip_ct"),
-      (if (isStr) count(when(upper(trimmed).isin("N/A", "NA", "NONE", "NULL",
-        "UNKNOWN", "MISSING", "-", "?", "TBD"), 1)) else nl).as("dummy_ct"),
-      (if (isStr) round(
+       else nl),
+      "zip_ct" -> (if (isStr) count(when(c.rlike("^[0-9]{5}(-[0-9]{4})?$"),
+        1)) else nl),
+      "dummy_ct" -> (if (isStr) count(when(upper(trimmed).isin("N/A", "NA",
+        "NONE", "NULL", "UNKNOWN", "MISSING", "-", "?", "TBD"), 1)) else nl),
+      "avg_words" -> (if (isStr) round(
         sum(when(length(trimmed) > 0, size(split(trimmed, "\\s+")))
           .otherwise(0).cast(LongType)).cast(DoubleType) / valueCt, 4)
-       else nd).as("avg_words"),
-      // numeric distribution shape (quartile slots filled by profile())
-      nd.as("p25_num"),
-      nd.as("median_num"),
-      nd.as("p75_num"),
-      (if (isNum) when(valueCt > 2 && m2 > 0,
-        round(m3 / sqrt(m2 * m2 * m2), 4)) else nd).as("skew_num"),
-      (if (isNum) when(valueCt > 3 && m2 > 0,
-        round(m4 / (m2 * m2) - lit(3.0), 4)) else nd).as("kurt_num"),
-      (if (isNum) max(c).cast(DoubleType) - min(c).cast(DoubleType)
-       else nd).as("range_num"),
-      (if (isNum) when(valueCt > 1 && s1.cast(DoubleType) =!= 0.0,
-        round(derivedStd(s1, s2, valueCt) / mean, 4)) else nd).as("cv_num"),
-      (if (isNum) count(when(c % lit(10) === 0, 1)) else nl)
-        .as("round_num_ct"),
+       else nd),
+      // numeric distribution shape (quartile slots ride the dedicated
+      // percentile pass; see profileWith)
+      "skew_num" -> (if (isNum) when(valueCt > 2 && m2 > 0,
+        round(m3 / sqrt(m2 * m2 * m2), 4)) else nd),
+      "kurt_num" -> (if (isNum) when(valueCt > 3 && m2 > 0,
+        round(m4 / (m2 * m2) - lit(3.0), 4)) else nd),
+      "range_num" -> (if (isNum) max(c).cast(DoubleType) -
+        min(c).cast(DoubleType) else nd),
+      "cv_num" -> (if (isNum) when(valueCt > 1 && s1.cast(DoubleType) =!= 0.0,
+        round(derivedStd(s1, s2, valueCt) / mean, 4)) else nd),
+      "round_num_ct" -> (if (isNum) count(when(c % lit(10) === 0, 1))
+       else nl),
       // timestamp placement
-      (if (isTs) count(when(date_trunc("DAY", c) === c, 1)) else nl)
-        .as("midnight_ct"),
-      (if (isTs) count(when(hour(c) >= 9 && hour(c) < 17, 1)) else nl)
-        .as("work_hours_ct"),
-      (if (isTs) datediff(to_date(max(c)), to_date(min(c))).cast(LongType)
-       else nl).as("span_days"),
-      (if (isTs) datediff(to_date(lit(graft.quality.TestEvaluator.AsOfTs)),
-        to_date(max(c))).cast(LongType) else nl).as("recency_days"),
+      "midnight_ct" -> (if (isTs) count(when(date_trunc("DAY", c) === c, 1))
+       else nl),
+      "work_hours_ct" -> (if (isTs)
+        count(when(hour(c) >= 9 && hour(c) < 17, 1)) else nl),
+      "span_days" -> (if (isTs)
+        datediff(to_date(max(c)), to_date(min(c))).cast(LongType) else nl),
+      "recency_days" -> (if (isTs)
+        datediff(to_date(lit(graft.quality.TestEvaluator.AsOfTs)),
+          to_date(max(c))).cast(LongType) else nl),
     )
   }
 

@@ -130,14 +130,24 @@ class ProfilerSpec extends AnyFunSuite {
     assert(drift.head.getAs[Double]("delta") == -50.0)
   }
 
-  test("approx mode profiles with near-exact distincts and no Expand") {
+  test("approx mode profiles with near-exact distincts, Expand only " +
+      "under a partial aggregate") {
     val df = Tables.load(spark, SparkTestSession.sf, "customer")
     val approx = Profiler.profile(df, "customer", exactDistinct = false)
-    // per-column passes recombine through ONE-ROW broadcast joins (each
-    // side is a global aggregate) — benign by construction; the hazard
-    // that must never appear is an Expand replicating input rows
-    val plan = approx.queryExecution.executedPlan.toString
-    assert(!plan.contains("Expand"), plan)
+    // the melt's unpivot plans as Expand feeding DIRECTLY into a partial
+    // aggregate — rows multiply only into per-task aggregation buffers,
+    // never into an exchange. The hazard shape that must never appear is
+    // an Expand whose parent is an Exchange (replicated rows shuffled),
+    // which is what a multi-countDistinct aggregate would plan.
+    val plan = approx.queryExecution.executedPlan
+    def hazard(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          e.child.isInstanceOf[org.apache.spark.sql.execution.ExpandExec] ||
+            hazard(e.child)
+        case other => other.children.exists(hazard)
+      }
+    assert(!hazard(plan), plan.toString)
     val exact = Profiler.profile(df, "customer").collect()
       .map(r => r.getAs[String]("column_name") ->
         r.getAs[Long]("distinct_ct")).toMap
