@@ -57,6 +57,20 @@ object ProfileQueries {
        |FROM (${ProfileOracle.sql("lineitem")})
        |ORDER BY column_name""".stripMargin
 
+  /** The streaming incremental profiler (per-micro-batch profile →
+    * mergeProfiles fold, StreamingOps.profileSummariesBounded) against
+    * the full-table profile oracle on the mergeable fields — the
+    * continuous-regime twin of `profile_merge_lineitem`'s incremental
+    * law, over the events drop-folder replay.
+    */
+  private def streamProfileBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.profileSummariesBounded(s, dir)
+
+  private val streamProfileSql: String =
+    s"""SELECT ${Profiler.MergeableFields.mkString(", ")}
+       |FROM (${ProfileOracle.sql("events")})
+       |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_customer" -> prof("customer") _,
     "profile_orders" -> prof("orders") _,
@@ -102,6 +116,7 @@ object ProfileQueries {
       SchemaDrift.againstPinned(Tables.load(s, dir, "events"), "events", s)),
     "drift_psi_lineitem" -> (driftPsi _),
     "profile_merge_lineitem" -> (profileMerge _),
+    "stream_profile_bounded" -> (streamProfileBounded _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +135,7 @@ object ProfileQueries {
     "profile_sampled_lineitem" -> ProfileOracle.sampledSql("lineitem", 0.1,
       "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
     "profile_merge_lineitem" -> profileMergeSql,
+    "stream_profile_bounded" -> streamProfileSql,
     "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),
   )

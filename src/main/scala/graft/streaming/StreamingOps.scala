@@ -628,6 +628,43 @@ object StreamingOps {
     * ≤|types|² pair counts); the bounded harness materializes the
     * append stream first so the replay stays deterministic.
     */
+  /** Bounded END-TO-END run of the STREAMING INCREMENTAL PROFILER: each
+    * micro-batch is profiled on its own
+    * (`Profiler.profileMergeable` — base passes only, distributed), and
+    * the per-batch profiles (one control-plane row per column) fold into
+    * the running corpus profile with `Profiler.mergeProfiles` inside
+    * foreachBatch. This is the reference's scheduled re-profiling
+    * (profiling run per table group, demo_helper.py:971-989) turned
+    * continuous — and the 100 TB posture of "never re-profile the
+    * lake": per batch the engine aggregates ONLY the new rows; driver
+    * state is the profile itself, ~50 statistics × n_columns however
+    * large the corpus grows. Gated by the same full-table DuckDB oracle
+    * restricted to the mergeable fields, so a hash match proves the
+    * whole fold — batch profiles, decimal-exact sums, extremum and
+    * derived-stat merges — equals a from-scratch profile of the corpus.
+    */
+  def profileSummariesBounded(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    boundedDropRun(spark, s"$sfDir/events.parquet") { (drop, ckpt) =>
+      val P = graft.profile.Profiler
+      var acc: Option[DataFrame] = None
+      val q = eventStream(spark, drop).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bp = P.profileMergeable(batch, "events")
+          acc = Some(acc match {
+            case None    => bp.localCheckpoint(true)
+            case Some(a) => P.mergeProfiles(a, bp).localCheckpoint(true)
+          })
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      acc.getOrElse(sys.error("no micro-batch arrived"))
+        .select(P.MergeableFields.map(org.apache.spark.sql.functions
+          .col): _*)
+        .orderBy("column_name")
+    }
+
   def dagMineBounded(spark: SparkSession, sfDir: String,
                      gapSeconds: Long, minSupport: Long,
                      direct: Seq[(String, String)],

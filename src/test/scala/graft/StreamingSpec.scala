@@ -531,6 +531,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(sLate.count() > 0 && sVol.count() > 0 && sLive.count() > 0)
   }
 
+  test("streaming incremental profiler folds multi-batch profiles to " +
+      "the exact full-corpus profile on the mergeable fields") {
+    // stage the real events table as FOUR part-files so the bounded
+    // replay runs four micro-batches: the foreachBatch fold must be
+    // exactly associative (decimal sums, extrema, re-derived avg) — any
+    // drift from the from-scratch batch profile is a hash mismatch here
+    // before it would be one in the driver gate
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    val staged = java.nio.file.Files.createTempDirectory("evprof")
+    try {
+      ev.repartition(4).write.mode("overwrite")
+        .parquet(s"$staged/events.parquet")
+      val stream = StreamingOps.profileSummariesBounded(spark,
+        staged.toString)
+      val batch = graft.profile.Profiler
+        .profileMergeable(ev, "events")
+        .orderBy("column_name")
+      val (s, b) = (stream.collect(), batch.collect())
+      assert(s.length == b.length && s.length > 0)
+      s.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(staged)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
