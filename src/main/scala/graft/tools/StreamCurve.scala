@@ -45,7 +45,12 @@ object StreamCurve {
             .toSet)),
       "dagmine" -> ((s, d) => graft.streaming.StreamingOps
         .dagMineBounded(s, d, 1800L, 5L, graft.events.Dag.FunnelEdges,
-          graft.events.Dag.closureLocal(graft.events.Dag.FunnelEdges))))
+          graft.events.Dag.closureLocal(graft.events.Dag.FunnelEdges))),
+      // the incremental profiler folds one mergeable profile per batch:
+      // its per-batch cost is a full (narrow-pass) profile of the batch,
+      // so the curve shows profile-cost × k, not state-store growth
+      "profile" -> ((s, d) => graft.streaming.StreamingOps
+        .profileSummariesBounded(s, d)))
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nRows = ev.count()
