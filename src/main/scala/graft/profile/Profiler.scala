@@ -155,8 +155,16 @@ object Profiler {
     // the streaming profiler): base passes only — distinct counts and
     // percentiles are not exactly mergeable across disjoint slices, so
     // a per-batch profile destined for a merge fold would compute them
-    // only to have the merge null them out.
-    require(Set("exact", "hll", "dates", "none")(distincts),
+    // only to have the merge null them out. "sketch" is "none" plus a
+    // MERGEABLE DataSketches HLL per column (`distinct_sketch` binary):
+    // sketches union exactly across slices (register-wise max — order-
+    // independent), so the streaming fold can carry cardinality at
+    // 100 TB where the exact count cannot merge. Sketch input is
+    // xxhash64(value) — hll_sketch_agg accepts int/long/string/binary
+    // only, and hashing first makes one codegen shape serve every
+    // column type (64-bit collisions are far below the sketch's own
+    // error at any realistic cardinality).
+    require(Set("exact", "hll", "dates", "none", "sketch")(distincts),
       s"bad distincts mode: $distincts")
     val fields = df.schema.fields.zipWithIndex.filter {
       case (f, _) => isProfilable(f.dataType)
@@ -172,12 +180,17 @@ object Profiler {
     // (approx_count_distinct needs no Expand).
     val basePasses: Seq[DataFrame] = fields.map { case (f, i) =>
       val pairs = statsPairs(col(V), f.dataType)
-      val riders: Seq[(String, Column)] =
-        if (distincts != "hll") Seq.empty
-        else ("__d" -> approx_count_distinct(col(V))) +:
-          (if (f.dataType == TimestampType)
-             Seq("__dd" -> approx_count_distinct(to_date(col(V))))
-           else Seq.empty)
+      val riders: Seq[(String, Column)] = distincts match {
+        case "hll" =>
+          ("__d" -> approx_count_distinct(col(V))) +:
+            (if (f.dataType == TimestampType)
+               Seq("__dd" -> approx_count_distinct(to_date(col(V))))
+             else Seq.empty)
+        case "sketch" =>
+          Seq("__sk" -> hll_sketch_agg(
+            when(col(V).isNotNull, xxhash64(col(V)))))
+        case _ => Seq.empty
+      }
       val aggCols = (pairs ++ riders).map { case (n, e) => e.as(n) }
       canon(f).agg(aggCols.head, aggCols.tail: _*)
         .select(pairs.map { case (n, _) => col(n).as(s"__s${i}_$n") } ++
@@ -189,14 +202,14 @@ object Profiler {
         canon(f).agg(countDistinct(col(V)).as("__d"))
           .select(col("__d").as(s"__d_$i"))
       }) ++
-      (if (distincts == "hll" || distincts == "none") Seq.empty
+      (if (distincts != "exact" && distincts != "dates") Seq.empty
        else fields.collect {
         case (f, i) if f.dataType == TimestampType =>
           canon(f).agg(countDistinct(to_date(col(V))).as("__dd"))
             .select(col("__dd").as(s"__dd_$i"))
       })
     val pctPasses: Seq[DataFrame] =
-      if (distincts == "none") Seq.empty
+      if (distincts == "none" || distincts == "sketch") Seq.empty
       else fields.collect {
         case (f, i) if f.dataType.isInstanceOf[NumericType] =>
           val ps = array(lit(0.25), lit(0.5), lit(0.75))
@@ -219,7 +232,7 @@ object Profiler {
         meta.getOrElse(n, s(n)).as(n))
       val tailCols = BaseFieldsTail.map {
         case n @ ("p25_num" | "median_num" | "p75_num")
-            if isNum && distincts != "none" =>
+            if isNum && distincts != "none" && distincts != "sketch" =>
           val k = n match {
             case "p25_num" => 1; case "median_num" => 2; case _ => 3
           }
@@ -229,13 +242,15 @@ object Profiler {
         case n => s(n).as(n)
       }
       val distinctCt =
-        if (distincts == "dates" || distincts == "none")
-          lit(null).cast(LongType)
-        else col(s"__d_$i")
-      struct((baseCols :+ distinctCt.as("distinct_ct")) ++ tailCols :+
-        (if (isTs && distincts != "none") col(s"__dd_$i")
-         else lit(null).cast(LongType))
-          .as("distinct_date_ct"): _*)
+        if (distincts == "exact" || distincts == "hll") col(s"__d_$i")
+        else lit(null).cast(LongType)
+      struct((baseCols :+ distinctCt.as("distinct_ct")) ++ tailCols ++
+        Seq((if (isTs && distincts != "none" && distincts != "sketch")
+               col(s"__dd_$i")
+             else lit(null).cast(LongType)).as("distinct_date_ct")) ++
+        (if (distincts == "sketch")
+           Seq(col(s"__sk_$i").as("distinct_sketch"))
+         else Seq.empty): _*)
     }
     agged.select(explode(array(structs: _*)).as("p"))
       .select("p.*")
@@ -252,10 +267,15 @@ object Profiler {
     * fold with [[mergeProfiles]], and the running result stays
     * hash-equal to the full-corpus profile on the mergeable fields.
     */
-  def profileMergeable(df: DataFrame, tableName: String): DataFrame =
-    profileWith(df, tableName, distincts = "none",
-      exactPercentiles = false)
-      .select(MergeableFields.map(col): _*)
+  def profileMergeable(df: DataFrame, tableName: String,
+                       withSketch: Boolean = false): DataFrame = {
+    val mode = if (withSketch) "sketch" else "none"
+    val keep =
+      if (withSketch) MergeableFields :+ "distinct_sketch"
+      else MergeableFields
+    profileWith(df, tableName, distincts = mode, exactPercentiles = false)
+      .select(keep.map(col): _*)
+  }
 
   /** Pairwise-balanced crossJoin of one-row frames: log-depth, so the
     * eager per-operation re-analysis is O(n log n) total instead of the
@@ -401,9 +421,23 @@ object Profiler {
     def addDec(c: String) = decSum(c).cast(DoubleType).as(c)
     def minC(c: String) = least(A(c), B(c)).as(c)
     def maxC(c: String) = greatest(A(c), B(c)).as(c)
+    // HLL cardinality sketches (profileMergeable(withSketch = true))
+    // union losslessly within the sketch contract: the fold is
+    // order-independent in accuracy, though not bit-identical to a
+    // one-shot sketch (DataSketches' sparse→dense promotion differs
+    // under union) — StreamingSpec pins the ≤1% fold-vs-one-shot and
+    // max(2, 10%)-vs-exact bounds
+    val sketchCol: Seq[Column] =
+      if (a.columns.contains("distinct_sketch") &&
+          b.columns.contains("distinct_sketch"))
+        Seq(when(A("distinct_sketch").isNull, B("distinct_sketch"))
+          .when(B("distinct_sketch").isNull, A("distinct_sketch"))
+          .otherwise(hll_union(A("distinct_sketch"), B("distinct_sketch")))
+          .as("distinct_sketch"))
+      else Seq.empty
     a.join(bj, A("table_name") === B("table_name") &&
         A("column_name") === B("column_name"))
-      .select(
+      .select(Seq(
         A("table_name").as("table_name"),
         A("column_name").as("column_name"),
         A("ordinal").as("ordinal"), A("data_type").as("data_type"),
@@ -430,7 +464,7 @@ object Profiler {
           .cast(LongType).as("span_days"),
         datediff(to_date(lit(graft.quality.TestEvaluator.AsOfTs)),
           to_date(greatest(A("max_ts"), B("max_ts"))))
-          .cast(LongType).as("recency_days"))
+          .cast(LongType).as("recency_days")) ++ sketchCol: _*)
       .orderBy("column_name")
   }
 

@@ -71,6 +71,39 @@ object ProfileQueries {
        |FROM (${ProfileOracle.sql("events")})
        |ORDER BY column_name""".stripMargin
 
+  /** Expected-empty contract gate over the streaming profiler's
+    * MERGEABLE cardinality tier: the per-batch DataSketches HLL
+    * sketches (hashed values), unioned across micro-batches by
+    * `mergeProfiles`, must estimate each column's distinct count
+    * within max(2, 10% of exact) of the exact batch answer — the same
+    * bound the approx tier's gate uses. One row per violating column;
+    * the DuckDB oracle is a typed zero-row SELECT.
+    */
+  private def streamProfileHllCheck(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fold = graft.streaming.StreamingOps
+      .profileSummariesBounded(s, dir, withSketch = true)
+      .select(col("column_name"),
+        hll_sketch_estimate(col("distinct_sketch")).as("sketch_est"))
+    val exact = Profiler.profile(Tables.load(s, dir, "events"), "events")
+      .select(col("column_name"), col("distinct_ct"))
+    fold.join(exact, "column_name")
+      .filter(abs(col("sketch_est").cast("double") -
+          col("distinct_ct").cast("double")) >
+        greatest(lit(2.0), lit(0.1) * col("distinct_ct")))
+      .select(col("column_name"),
+        col("sketch_est").cast("bigint").as("sketch_est"),
+        col("distinct_ct").as("exact_d"))
+      .orderBy("column_name")
+  }
+
+  private val streamProfileHllCheckSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS column_name,
+      |  CAST(NULL AS BIGINT) AS sketch_est,
+      |  CAST(NULL AS BIGINT) AS exact_d
+      |WHERE false""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_customer" -> prof("customer") _,
     "profile_orders" -> prof("orders") _,
@@ -117,6 +150,7 @@ object ProfileQueries {
     "drift_psi_lineitem" -> (driftPsi _),
     "profile_merge_lineitem" -> (profileMerge _),
     "stream_profile_bounded" -> (streamProfileBounded _),
+    "stream_profile_hll_check" -> (streamProfileHllCheck _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +170,7 @@ object ProfileQueries {
       "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
     "profile_merge_lineitem" -> profileMergeSql,
     "stream_profile_bounded" -> streamProfileSql,
+    "stream_profile_hll_check" -> streamProfileHllCheckSql,
     "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),
   )

@@ -643,15 +643,15 @@ object StreamingOps {
     * whole fold — batch profiles, decimal-exact sums, extremum and
     * derived-stat merges — equals a from-scratch profile of the corpus.
     */
-  def profileSummariesBounded(spark: SparkSession, sfDir: String)
-      : DataFrame =
+  def profileSummariesBounded(spark: SparkSession, sfDir: String,
+                              withSketch: Boolean = false): DataFrame =
     boundedDropRun(spark, s"$sfDir/events.parquet") { (drop, ckpt) =>
       val P = graft.profile.Profiler
       var acc: Option[DataFrame] = None
       val q = eventStream(spark, drop).writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bp = P.profileMergeable(batch, "events")
+          val bp = P.profileMergeable(batch, "events", withSketch)
           acc = Some(acc match {
             case None    => bp.localCheckpoint(true)
             case Some(a) => P.mergeProfiles(a, bp).localCheckpoint(true)
@@ -659,9 +659,10 @@ object StreamingOps {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      val keep = if (withSketch) P.MergeableFields :+ "distinct_sketch"
+                 else P.MergeableFields
       acc.getOrElse(sys.error("no micro-batch arrived"))
-        .select(P.MergeableFields.map(org.apache.spark.sql.functions
-          .col): _*)
+        .select(keep.map(org.apache.spark.sql.functions.col): _*)
         .orderBy("column_name")
     }
 
