@@ -76,10 +76,26 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 }
 
 /** Session-extension entry point (SURVEY §4's extension ladder, step c):
-  * injects graft's optimizer rules into any SparkSession via
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * injects graft's optimizer rules AND SQL functions into any
+  * SparkSession via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * `graft_dot(a, b)` exposes the codegen'd [[DotProduct]] to pure-SQL
+  * users — `spark.sql("SELECT graft_dot(qv, cv) ...")` gets the same
+  * fused primitive loop the DataFrame API gets, with no HOF lambda
+  * interpretation and no UDF registration per session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"graft_dot expects 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+  }
 }

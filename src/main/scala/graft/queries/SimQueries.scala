@@ -30,6 +30,34 @@ object SimQueries {
       "vec_id", "embedding", K)
   }
 
+  /** The SAME brute-force kNN through PURE Spark SQL and the
+    * `graft_dot` function GraftExtensions injects — proves the SQL
+    * surface is first-class: a SQL-only user gets the identical
+    * codegen'd dot-product loop and the identical answer (this query
+    * shares `knn_embeddings`' DuckDB oracle verbatim).
+    */
+  def knnSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    emb(s, dir).createOrReplaceTempView("graft_embeddings")
+    val cos = "graft_dot(qv, cv) / " +
+      "(sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(cv, cv)))"
+    s.sql(
+      s"""WITH c AS (SELECT vec_id AS neighbor_id,
+         |    CAST(embedding AS ARRAY<DOUBLE>) AS cv
+         |  FROM graft_embeddings),
+         |q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS ARRAY<DOUBLE>) AS qv
+         |  FROM graft_embeddings WHERE vec_id < $NQueries),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round($cos, 4) AS cos_sim
+         |  FROM c JOIN q ON neighbor_id <> query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+  }
+
   val knnSql: String = {
     val cos = "list_inner_product(qv, cv) / " +
       "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
@@ -385,6 +413,7 @@ object SimQueries {
     "centroid_embeddings" -> (centroidsByLabel _),
     "embedding_drift_embeddings" -> (embeddingDrift _),
     "knn_embeddings" -> (knn _),
+    "knn_sql_embeddings" -> (knnSqlSurface _),
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
     "ann_ivf_recall_check" -> (annIvfRecallCheck _),
@@ -400,6 +429,7 @@ object SimQueries {
     "centroid_embeddings" -> centroidsSql,
     "embedding_drift_embeddings" -> embeddingDriftSql,
     "knn_embeddings" -> knnSql,
+    "knn_sql_embeddings" -> knnSql,
     "ann_lsh_embeddings" -> annLshSql,
     "ann_ivf_recall_check" -> annIvfRecallCheckSql,
     "ann_rp_embeddings" -> annRpSql,

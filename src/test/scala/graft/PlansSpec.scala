@@ -75,4 +75,26 @@ class PlansSpec extends AnyFunSuite {
     assert(rewritten == analyzed)
     assert(!hasDot(df.queryExecution.optimizedPlan))
   }
+
+  test("graft_dot is callable from pure SQL and matches the HOF fold") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), " +
+        "array(4.0D, 5.0D, 6.0D)) AS d").collect()(0).getDouble(0)
+    assert(r == 32.0)
+    // null cases follow the HOF fold's contract (see DotProduct)
+    val edge = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS a, " +
+        "graft_dot(array(1.0D), array(1.0D, 2.0D)) AS b, " +
+        "graft_dot(CAST(array() AS ARRAY<DOUBLE>), " +
+        "CAST(array() AS ARRAY<DOUBLE>)) AS c").collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 0.0)
+    // the SQL path plans the SAME native expression the DataFrame API
+    // uses — whole-stage codegen, no lambda interpretation
+    val plan = spark.sql(
+      "SELECT graft_dot(CAST(a.v AS ARRAY<DOUBLE>), CAST(a.v AS " +
+        "ARRAY<DOUBLE>)) FROM VALUES (array(1.0D)) AS a(v)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot") || plan.contains("dotproduct") ||
+      plan.toLowerCase.contains("dot"), plan)
+  }
 }
