@@ -274,6 +274,68 @@ class ProfilerSpec extends AnyFunSuite {
       cp.maxNum.contains(3.5))
   }
 
+  test("all five pass modes agree on the base statistics, and the " +
+      "distinct/percentile slots degrade exactly as documented") {
+    // the r7 streaming work found an assembly bug ("sketch" mode
+    // referencing the exact-mode __d columns) that only the streaming
+    // path exercised — this fences the mode matrix directly, on inputs
+    // with nulls, an all-null column, empties, and every melt type
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(2.5), Some("a b"), Some("2024-01-06 10:00:00")),
+      (2L, None, Some(""), Some("2024-01-07 00:00:00")),
+      (2L, Some(-7.0), None, None),
+      (3L, Some(0.0), Some("N/A"), Some("2024-03-01 16:59:59"))
+    ).toDF("k", "x", "s", "ts_raw")
+      .withColumn("ts", col("ts_raw").cast("timestamp"))
+      .withColumn("all_null", org.apache.spark.sql.functions
+        .lit(null).cast("double"))
+      .drop("ts_raw")
+    val slices = Seq(df, df.limit(0))
+    for (slice <- slices) {
+      val modes = Seq("exact", "hll", "dates", "none", "sketch")
+      val rows = modes.map { m =>
+        m -> Profiler.profileWith(slice, "t", m,
+            exactPercentiles = m == "exact")
+          .drop("distinct_sketch").collect()
+          .map(r => r.getAs[String]("column_name") -> r).toMap
+      }.toMap
+      val base = rows("exact")
+      val pctSlots = Set("p25_num", "median_num", "p75_num")
+      val distinctSlots = Set("distinct_ct", "distinct_date_ct")
+      for (m <- modes.tail; (c, r) <- rows(m)) {
+        val e = base(c)
+        e.schema.fieldNames.foreach { f =>
+          if (!pctSlots(f) && !distinctSlots(f))
+            assert(r.getAs[Any](f) == e.getAs[Any](f),
+              s"mode=$m col=$c field=$f: ${r.getAs[Any](f)} vs " +
+                s"${e.getAs[Any](f)} (rows=${slice.count()})")
+        }
+        // distinct_ct: exact/hll carry a number (hll within the spec'd
+        // bound, checked elsewhere); dates/none/sketch must be NULL
+        if (m == "dates" || m == "none" || m == "sketch")
+          assert(r.isNullAt(r.fieldIndex("distinct_ct")), s"$m/$c")
+        if (m == "none" || m == "sketch") {
+          assert(r.isNullAt(r.fieldIndex("distinct_date_ct")), s"$m/$c")
+          pctSlots.foreach(f =>
+            assert(r.isNullAt(r.fieldIndex(f)), s"$m/$c/$f"))
+        }
+      }
+    }
+    // the sketch survives the drop only in sketch mode, and estimates
+    // the exact count on this tiny frame dead-on
+    import org.apache.spark.sql.functions.hll_sketch_estimate
+    val sk = Profiler.profileWith(df, "t", "sketch",
+        exactPercentiles = false)
+      .select(col("column_name"),
+        hll_sketch_estimate(col("distinct_sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Profiler.profile(df, "t").collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[Long]("distinct_ct")).toMap
+    assert(sk == exact, s"$sk vs $exact")
+  }
+
   test("topK returns most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
     val rows = Profiler.topK(df, "t", "v", 2).collect()
