@@ -24,7 +24,11 @@ object PlanAudit {
     * brute-force oracle baselines for the LSH-bucketed scale paths.
     */
   val BruteForceByDesign: Set[String] =
-    Set("knn_embeddings", "neardup_cosine_embeddings",
+    Set("knn_embeddings",
+      // the pure-SQL twin of knn_embeddings: same brute-force tier,
+      // same oracle, same documented all-pairs posture
+      "knn_sql_embeddings",
+      "neardup_cosine_embeddings",
       // candidate tier IS cosineNearDupPairs (same documented block-tiled
       // all-pairs scan; swap in the LSH tier at corpus scale)
       "semantic_dedup_pairs",
