@@ -20,6 +20,20 @@ object EventOps {
 
   private val D2 = DecimalType(18, 2)
 
+  /** Precomputed (min ts, max ts) of an event frame — the control-plane
+    * input every cron-slot operator needs to size its slot expansion.
+    * Callers running SEVERAL cron queries over one events dir should
+    * compute this once ([[eventRange]]) and pass it in; otherwise each
+    * query pays its own full (column-pruned) min/max pass over events —
+    * five redundant table scans per sweep at 100 TB.
+    */
+  type TsRange = (java.sql.Timestamp, java.sql.Timestamp)
+
+  /** One-pass (min ts, max ts) of an event frame, for sharing across the
+    * cron-slot operators via their `range` parameters.
+    */
+  def eventRange(ev: DataFrame): TsRange = evRange(ev)
+
   /** R1 — sessionization: cut each user's event stream into sessions at
     * inactivity gaps (the batch analog of journey-instance assembly by
     * START/END conditions, reference demo_helper.py:1049-1064).
@@ -76,11 +90,12 @@ object EventOps {
     * LATE_START rules :1899).
     */
   def lateStarts(ev: DataFrame, cron: String, marginSeconds: Long,
-                 spark: org.apache.spark.sql.SparkSession): DataFrame =
+                 spark: org.apache.spark.sql.SparkSession,
+                 range: Option[TsRange] = None): DataFrame =
     lateStartsFromActual(
       ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(min(col("ts")).as("actual_start")),
-      cron, marginSeconds, spark)
+      cron, marginSeconds, spark, range)
 
   /** The slot-join + lateness-scoring tail of [[lateStarts]], factored
     * over a pre-aggregated `(user_id, day, actual_start)` frame so the
@@ -88,15 +103,29 @@ object EventOps {
     * the batch path score identically. Slots expand over the actual-start
     * range ±1 day — every day carrying an event carries an actual_start,
     * so day coverage equals expanding over the raw event range.
+    *
+    * `range` may carry a precomputed RAW-EVENT (min ts, max ts) — e.g.
+    * the memoized one shared by every cron query over one events dir —
+    * skipping the range pre-scan. Result-identical to computing the
+    * actual_start range here: min(actual_start) IS min(ts) (the global
+    * first event is its user's first event of that day), and
+    * max(actual_start) lies on the same calendar day as max(ts) (the
+    * user holding the last event was active that day), so the ±1-day
+    * slot expansion covers the same slot DAYS; sub-day differences can
+    * only add slots on days carrying no actual rows, which the inner
+    * day-join drops either way (EventsSpec proves the equivalence).
     */
   def lateStartsFromActual(actual: DataFrame, cron: String,
                            marginSeconds: Long,
-                           spark: org.apache.spark.sql.SparkSession)
+                           spark: org.apache.spark.sql.SparkSession,
+                           range: Option[TsRange] = None)
       : DataFrame = {
     import spark.implicits._
-    val range = actual.agg(min(col("actual_start")),
-      max(col("actual_start"))).collect()(0)
-    val (lo, hi) = (range.getTimestamp(0), range.getTimestamp(1))
+    val (lo, hi) = range.getOrElse {
+      val r = actual.agg(min(col("actual_start")),
+        max(col("actual_start"))).collect()(0)
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
     val slots = Cron.expand(cron, lo.toInstant.minusSeconds(86400),
         hi.toInstant.plusSeconds(86400))
       .map(i => java.sql.Timestamp.from(i)).toDF("expected_start")
@@ -129,9 +158,10 @@ object EventOps {
   def lateStartsCron(ev: DataFrame, cron: String, marginSeconds: Long,
                      gapSeconds: Long,
                      spark: org.apache.spark.sql.SparkSession,
-                     zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                     zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                     range: Option[TsRange] = None)
       : DataFrame = {
-    val slotDf = cronSlotsByDay(ev, cron, spark, zone)
+    val slotDf = cronSlotsByDay(ev, cron, spark, zone, range)
     val starts = withSessionId(ev, gapSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("ts"))
@@ -164,13 +194,14 @@ object EventOps {
     */
   def missedRuns(ev: DataFrame, cron: String, gapSeconds: Long,
                  spark: org.apache.spark.sql.SparkSession,
-                 zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                 zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                 range: Option[TsRange] = None)
       : DataFrame = {
     import spark.implicits._
     // ONE range scan feeds both the frame slots and the attribution
     // slots — routing through lateStartsCron would re-aggregate the full
     // event table a second time just to recompute the same range
-    val (lo, hi) = evRange(ev)
+    val (lo, hi) = range.getOrElse(evRange(ev))
     val slots = Cron.expand(cron, lo.toInstant, hi.toInstant, zone)
       .map(java.sql.Timestamp.from)
     val slotDf = slots.toDF("expected_start")
@@ -244,8 +275,9 @@ object EventOps {
 
   private def cronSlotsByDay(ev: DataFrame, cron: String,
                              spark: org.apache.spark.sql.SparkSession,
-                             zone: java.time.ZoneId): DataFrame = {
-    val (lo, hi) = evRange(ev)
+                             zone: java.time.ZoneId,
+                             range: Option[TsRange] = None): DataFrame = {
+    val (lo, hi) = range.getOrElse(evRange(ev))
     cronSlotsByDay(lo, hi, cron, spark, zone)
   }
 
@@ -281,9 +313,10 @@ object EventOps {
   def lateEndsCron(ev: DataFrame, cron: String, allowedRunSeconds: Long,
                    marginSeconds: Long, gapSeconds: Long,
                    spark: org.apache.spark.sql.SparkSession,
-                   zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                   zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                   range: Option[TsRange] = None)
       : DataFrame = {
-    val slotDf = cronSlotsByDay(ev, cron, spark, zone)
+    val slotDf = cronSlotsByDay(ev, cron, spark, zone, range)
     val runs = withSessionId(ev, gapSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("ts"), max(col("ts")).as("actual_end"))

@@ -281,11 +281,16 @@ object Profiler {
     * eager per-operation re-analysis is O(n log n) total instead of the
     * left-deep fold's O(n²) in pass count.
     */
-  private def balancedCross(dfs: Seq[DataFrame]): DataFrame =
+  private def balancedCross(dfs: Seq[DataFrame]): DataFrame = {
+    // grouped(2) of Nil is Nil → the recursion would never terminate;
+    // callers currently guarantee non-empty (require(fields.nonEmpty)
+    // upstream) but a private helper must fail loudly on its own
+    require(dfs.nonEmpty, "balancedCross of zero frames")
     if (dfs.sizeIs == 1) dfs.head
     else balancedCross(dfs.grouped(2).map { g =>
       if (g.sizeIs == 2) g.head.crossJoin(g(1)) else g.head
     }.toSeq)
+  }
 
   /** Count/sum characteristics that scale linearly with sampled rows. */
   private[profile] val ExtensiveCounts = Set("record_ct", "value_ct",
@@ -504,10 +509,12 @@ object Profiler {
   /** All non-distinct statistics of one value expression of the given
     * type, as (name, aggregate/derived expression) pairs in output
     * order (percentile and distinct slots excluded — they ride their
-    * own passes). SHARED by the melt families (c = the melted `value`
-    * column, dt = the family type) and the legacy per-column passes
-    * (c = the source column, dt = its native type) — one definition, so
-    * the two paths cannot drift numerically.
+    * own passes). Called by the per-column passes (c = the source
+    * column, dt = its native type); the melt variant that would have
+    * been the second caller (c = the melted `value` column) was built,
+    * measured, and REJECTED (see profileWith's scaladoc) — while it
+    * existed, sharing this one definition kept the two paths from
+    * drifting numerically.
     */
   private def statsPairs(c: Column, dt: DataType): Seq[(String, Column)] = {
     val isStr = dt == StringType

@@ -57,6 +57,27 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Memoized (min ts, max ts) of one events dir, keyed by (dir, file
+    * mtime) — five cron-slot queries need the range to size their slot
+    * expansion, and without sharing each pays its own full min/max pass
+    * over the event table per sweep (VERDICT r7 "What's wrong #1"). Same
+    * shape as the BPE merge cache (TextQueries): get, then putIfAbsent —
+    * the Spark job runs outside any map lock, and a lost race costs one
+    * redundant deterministic scan.
+    */
+  private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), EventOps.TsRange]
+
+  private[graft] def evRange(s: SparkSession, dir: String)
+      : Some[EventOps.TsRange] = {
+    val key = (dir, new java.io.File(s"$dir/events.parquet").lastModified())
+    Some(Option(rangeCache.get(key)).getOrElse {
+      val r = EventOps.eventRange(ev(s, dir))
+      rangeCache.putIfAbsent(key, r)
+      r
+    })
+  }
+
   // ---- R1 sessionization ---------------------------------------------------
 
   def sessions(s: SparkSession, dir: String): DataFrame =
@@ -89,7 +110,8 @@ object EventQueries {
   // ---- R2 schedule lateness ------------------------------------------------
 
   def lateStarts(s: SparkSession, dir: String): DataFrame =
-    EventOps.lateStarts(ev(s, dir), LateCron, MarginSeconds, s)
+    EventOps.lateStarts(ev(s, dir), LateCron, MarginSeconds, s,
+      evRange(s, dir))
 
   val lateStartsSql: String =
     s"""$EvCte,
@@ -110,7 +132,7 @@ object EventQueries {
 
   def lateStartsHourly(s: SparkSession, dir: String): DataFrame =
     EventOps.lateStartsCron(ev(s, dir), SubDailyCron, MarginSeconds,
-      GapSeconds, s)
+      GapSeconds, s, range = evRange(s, dir))
 
   /** DuckDB mirror: `0 *&#47;4 * * *` slots are a 4-hour generate_series
     * from a day boundary (cron fires at absolute 00/04/.../20 h, so any
@@ -139,7 +161,7 @@ object EventQueries {
 
   def lateEnds(s: SparkSession, dir: String): DataFrame =
     EventOps.lateEndsCron(ev(s, dir), SubDailyCron, AllowedRunSeconds,
-      MarginSeconds, GapSeconds, s)
+      MarginSeconds, GapSeconds, s, range = evRange(s, dir))
 
   /** LATE_END mirror of [[lateStartsHourlySql]]: same independent slot
     * derivation and ASOF attribution by run START; the end deadline is
@@ -170,7 +192,8 @@ object EventQueries {
   // ---- R2 complement: missed runs (schedule coverage) ----------------------
 
   def missedRuns(s: SparkSession, dir: String): DataFrame =
-    EventOps.missedRuns(ev(s, dir), SubDailyCron, GapSeconds, s)
+    EventOps.missedRuns(ev(s, dir), SubDailyCron, GapSeconds, s,
+      range = evRange(s, dir))
 
   /** Mirror: same independent slot series bounded to [min ts, max ts),
     * crossed with the active-user set, anti-joined against the
@@ -234,7 +257,7 @@ object EventQueries {
 
   def lateStartsTz(s: SparkSession, dir: String): DataFrame =
     EventOps.lateStartsCron(ev(s, dir), TzCron, MarginSeconds, GapSeconds,
-      s, java.time.ZoneId.of(TzZone))
+      s, java.time.ZoneId.of(TzZone), evRange(s, dir))
 
   /** DuckDB mirror derives the slots independently: 06:00 IST is 00:30
     * UTC (fixed +05:30 offset, no DST in range — DST-boundary behavior

@@ -647,21 +647,33 @@ object StreamingOps {
                               withSketch: Boolean = false): DataFrame =
     boundedDropRun(spark, s"$sfDir/events.parquet") { (drop, ckpt) =>
       val P = graft.profile.Profiler
-      var acc: Option[DataFrame] = None
+      import scala.jdk.CollectionConverters._
+      // driver state IS the profile: ~50 statistics × n_columns of plain
+      // rows, rebuilt as a literal frame each fold. Earlier rounds held
+      // the fold as a localCheckpointed DataFrame, which leaked one set
+      // of cached RDD blocks per micro-batch in a continuous run; the
+      // collected-row fold has zero cached state and resets lineage for
+      // free (the merge input is a LocalRelation, not a growing plan).
+      var acc: Option[(Seq[org.apache.spark.sql.Row],
+                       org.apache.spark.sql.types.StructType)] = None
       val q = eventStream(spark, drop).writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val bp = P.profileMergeable(batch, "events", withSketch)
-          acc = Some(acc match {
-            case None    => bp.localCheckpoint(true)
-            case Some(a) => P.mergeProfiles(a, bp).localCheckpoint(true)
-          })
+          val merged = acc match {
+            case None => bp
+            case Some((rows, schema)) =>
+              P.mergeProfiles(
+                spark.createDataFrame(rows.asJava, schema), bp)
+          }
+          acc = Some((merged.collect().toSeq, merged.schema))
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       val keep = if (withSketch) P.MergeableFields :+ "distinct_sketch"
                  else P.MergeableFields
-      acc.getOrElse(sys.error("no micro-batch arrived"))
+      val (rows, schema) = acc.getOrElse(sys.error("no micro-batch arrived"))
+      spark.createDataFrame(rows.asJava, schema)
         .select(keep.map(org.apache.spark.sql.functions.col): _*)
         .orderBy("column_name")
     }

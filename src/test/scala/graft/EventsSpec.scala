@@ -357,4 +357,33 @@ class EventsSpec extends AnyFunSuite {
     // support threshold prunes the aggregated edges, not the stream
     assert(EventOps.mineDag(fixture, 3600, 2, direct, clos).isEmpty)
   }
+
+  test("cron queries share ONE memoized range scan; passing the raw " +
+      "event range is result-identical to the per-query pre-scan") {
+    val dir = SparkTestSession.sf
+    val ev = graft.Tables.load(spark, dir, "events")
+    // day-equivalence claim of lateStartsFromActual's `range` param:
+    // raw (min ts, max ts) vs the actual_start range it would compute
+    val raw = EventOps.eventRange(ev)
+    val a = EventOps.lateStarts(ev, "0 6 * * *", 600, spark).collect()
+    val b = EventOps.lateStarts(ev, "0 6 * * *", 600, spark,
+      Some(raw)).collect()
+    assert(a.toSeq == b.toSeq)
+    val c = EventOps.lateStartsCron(ev, "0 */4 * * *", 600, 1800,
+      spark).collect()
+    val d = EventOps.lateStartsCron(ev, "0 */4 * * *", 600, 1800, spark,
+      range = Some(raw)).collect()
+    assert(c.toSeq == d.toSeq)
+    // the memo: first call may scan; the second must run ZERO Spark jobs
+    // (scoped by job group so parallel suites can't pollute the count)
+    graft.queries.EventQueries.evRange(spark, dir) // warm
+    val sc = spark.sparkContext
+    sc.setJobGroup("evrange-memo-test", "memo re-check", false)
+    try {
+      val again = graft.queries.EventQueries.evRange(spark, dir)
+      assert(sc.statusTracker.getJobIdsForGroup("evrange-memo-test").isEmpty,
+        "memoized range must not re-scan events")
+      assert(again.value == raw)
+    } finally sc.clearJobGroup()
+  }
 }

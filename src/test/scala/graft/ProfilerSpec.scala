@@ -130,24 +130,22 @@ class ProfilerSpec extends AnyFunSuite {
     assert(drift.head.getAs[Double]("delta") == -50.0)
   }
 
-  test("approx mode profiles with near-exact distincts, Expand only " +
-      "under a partial aggregate") {
+  test("approx mode profiles with near-exact distincts and no Expand " +
+      "anywhere in the plan") {
     val df = Tables.load(spark, SparkTestSession.sf, "customer")
     val approx = Profiler.profile(df, "customer", exactDistinct = false)
-    // the melt's unpivot plans as Expand feeding DIRECTLY into a partial
-    // aggregate — rows multiply only into per-task aggregation buffers,
-    // never into an exchange. The hazard shape that must never appear is
-    // an Expand whose parent is an Exchange (replicated rows shuffled),
-    // which is what a multi-countDistinct aggregate would plan.
+    // the multi-countDistinct hazard plans as Expand → partial
+    // HashAggregate → Exchange (row replication crossing a shuffle). The
+    // shipped profiler runs per-type passes with at most ONE distinct
+    // aggregate each (the melt variant, whose benign Expand-into-partial-
+    // aggregate shape a parent-of-Exchange check could not distinguish,
+    // was built, measured, and rejected — Profiler.profileWith scaladoc),
+    // so the strict assertion holds: no ExpandExec at all.
     val plan = approx.queryExecution.executedPlan
-    def hazard(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p match {
-        case e: org.apache.spark.sql.execution.exchange.Exchange =>
-          e.child.isInstanceOf[org.apache.spark.sql.execution.ExpandExec] ||
-            hazard(e.child)
-        case other => other.children.exists(hazard)
-      }
-    assert(!hazard(plan), plan.toString)
+    def hasExpand(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.ExpandExec] ||
+        p.children.exists(hasExpand)
+    assert(!hasExpand(plan), plan.toString)
     val exact = Profiler.profile(df, "customer").collect()
       .map(r => r.getAs[String]("column_name") ->
         r.getAs[Long]("distinct_ct")).toMap
