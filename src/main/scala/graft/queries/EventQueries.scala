@@ -801,6 +801,25 @@ object EventQueries {
   def streamLivenessBounded(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.livenessSummariesBounded(s, dir)
 
+  /** The PRODUCTION posture of the three monitors: the identical
+    * aggregations in UPDATE mode — each trigger emits only changed
+    * keys, and (for the time-keyed two) a watermark EVICTS closed
+    * windows from the state store, proven per run by the sentinel
+    * advance inside the update scaffold (the query FAILS if state does
+    * not shrink). Same oracles as the batch twins: the bounded gates
+    * prove the aggregation, these prove the continuous deployment
+    * story the r7 scaladoc only claimed.
+    */
+  def streamLateUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.lateStartSummariesUpdate(s, dir,
+      LateCron, MarginSeconds)
+
+  def streamVolumeUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.volumeSummariesUpdate(s, dir)
+
+  def streamLivenessUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.livenessSummariesUpdate(s, dir)
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -874,6 +893,9 @@ object EventQueries {
     "stream_late_bounded" -> (streamLateBounded _),
     "stream_volume_bounded" -> (streamVolumeBounded _),
     "stream_liveness_bounded" -> (streamLivenessBounded _),
+    "stream_late_update" -> (streamLateUpdate _),
+    "stream_volume_update" -> (streamVolumeUpdate _),
+    "stream_liveness_update" -> (streamLivenessUpdate _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -910,6 +932,9 @@ object EventQueries {
     "stream_late_bounded" -> lateStartsSql,
     "stream_volume_bounded" -> volumeAnomaliesSql,
     "stream_liveness_bounded" -> livenessSql,
+    "stream_late_update" -> lateStartsSql,
+    "stream_volume_update" -> volumeAnomaliesSql,
+    "stream_liveness_update" -> livenessSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

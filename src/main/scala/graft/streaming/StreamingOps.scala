@@ -678,6 +678,207 @@ object StreamingOps {
         .orderBy("column_name")
     }
 
+  /** Outcome of an update-mode monitor run: the folded result plus the
+    * state-store row counts before and after the watermark passed the
+    * data — the evidence that closed windows EVICT (the 100 TB contract
+    * of a continuous monitor: state is bounded by the open horizon, not
+    * by history).
+    */
+  case class UpdateRunResult(result: DataFrame, peakStateRows: Long,
+                             finalStateRows: Long)
+
+  /** UPDATE-MODE scaffold for the production posture of the streaming
+    * monitors. The r7 gates ran the monitor aggregations in COMPLETE
+    * mode, which re-emits the whole aggregate per trigger — O(full
+    * state) sink cost, acceptable only while state is control-plane-
+    * sized. A continuous deployment runs the identical aggregation in
+    * update mode: each trigger emits ONLY the keys that changed, and a
+    * watermark lets the state store evict windows the event-time
+    * horizon has passed. This scaffold proves BOTH halves:
+    *
+    *  1. the emitted updates, folded latest-wins per group key into a
+    *     final table, hash-match the same DuckDB oracle as the batch
+    *     operator (Verify-gated via the `stream_*_update` queries);
+    *  2. after the staged files drain, a driver-written SENTINEL event
+    *     (`user_id = -1`, `event_type = "__sentinel__"`, event time
+    *     ~120 days past the corpus) advances the watermark in two extra
+    *     micro-batches — the first carries the new max event time, the
+    *     second runs under the advanced watermark — and the state-store
+    *     row count (`StreamingQueryProgress.stateOperators
+    *     .numRowsTotal`) SHRINKS from its peak: closed windows left the
+    *     store (StreamingSpec asserts the counts; the update-query
+    *     wrappers also require the shrink so the driver gate itself
+    *     fails if eviction regresses).
+    *
+    * The latest-wins fold is exactly what a production upsert sink
+    * (foreachBatch → MERGE on the group key) does with update-mode
+    * output; holding it driver-side is legitimate here because monitor
+    * state is control-plane-sized by construction — (user, day) minima,
+    * (type, day) counts, one row per agent — and lets the final table
+    * feed the same batch summarize tail the complete-mode gates use.
+    * The two staged control scans (max event time for the sentinel;
+    * the raw template row) read the STAGED copy, not the source table,
+    * and exist only for the bounded harness.
+    */
+  def updateModeRun(spark: SparkSession, srcParquet: String,
+                    keys: Seq[String],
+                    build: String => DataFrame,
+                    summarize: DataFrame => DataFrame,
+                    sentinelAdvance: Boolean = true): UpdateRunResult = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    var peak = 0L
+    var fin = 0L
+    val folded = boundedDropRun(spark, srcParquet) { (drop, ckpt) =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], org.apache.spark.sql.Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      val q = build(drop).writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (schema == null) schema = batch.schema
+          val keyIdx = keys.map(batch.schema.fieldIndex)
+          batch.collect().foreach { r =>
+            acc.update(keyIdx.map(r.get), r)
+          }
+        }
+        .start()
+      def stateRows(ps: Seq[org.apache.spark.sql.streaming
+            .StreamingQueryProgress]): Seq[Long] =
+        ps.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+      try {
+        q.processAllAvailable()
+        peak = stateRows(q.recentProgress.toSeq).maxOption.getOrElse(0L)
+        if (sentinelAdvance) {
+          // sentinel: one future-dated event per extra batch, built from
+          // a staged template row so the file schema matches bit-for-bit
+          val tmpl = Files.list(Paths.get(drop)).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.minBy(_.getFileName.toString)
+          val raw = spark.read.parquet(tmpl.toString)
+          val sentDir = Files.createTempDirectory("graft-sentinel")
+          try {
+            (0 to 1).foreach { i =>
+              val out = sentDir.resolve(s"w$i").toString
+              raw.limit(1).drop("ts")
+                .crossJoin(spark.read.parquet(tmpl.toString)
+                  .agg(max(col("ts")).as("__mx")))
+                .withColumn("ts",
+                  col("__mx") + expr(s"INTERVAL ${120 + i} DAYS"))
+                .drop("__mx")
+                .withColumn("user_id", lit(-1L))
+                .withColumn("event_type", lit("__sentinel__"))
+                .select(raw.columns.map(col): _*)
+                .coalesce(1).write.mode("overwrite").parquet(out)
+              val part = Files.list(Paths.get(out)).iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .toSeq.head
+              val staged = Files.copy(part,
+                Paths.get(drop, f"zz-sentinel-$i%02d.parquet"))
+              Files.setLastModifiedTime(staged,
+                java.nio.file.attribute.FileTime
+                  .fromMillis(1500010000000L + i * 1000L))
+              q.processAllAvailable()
+            }
+          } finally {
+            val walk = Files.walk(sentDir)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }
+        fin = stateRows(q.recentProgress.toSeq).lastOption.getOrElse(0L)
+      } finally q.stop()
+      require(schema != null, "no micro-batch arrived")
+      summarize(spark.createDataFrame(acc.values.toSeq.asJava, schema))
+        .localCheckpoint(true)
+    }
+    UpdateRunResult(folded, peak, fin)
+  }
+
+  /** Production-mode R2 lateness: the per-(user, day) first-event
+    * aggregation as an update-mode windowed aggregate with the 55 h
+    * watermark, folded and scored by the SAME tail as the batch
+    * operator — gated by the `ev_late_starts` oracle — and required to
+    * EVICT closed days from the state store once the watermark passes
+    * them ([[updateModeRun]]'s sentinel). The 1-day tumbling window is
+    * the streaming form of the batch `to_date(ts)` group key: UTC day
+    * boundaries, `day = to_date(window.start)`.
+    */
+  def lateStartUpdateRun(spark: SparkSession, sfDir: String, cron: String,
+                         marginSeconds: Long,
+                         watermarkDelay: String = DefaultWatermark)
+      : UpdateRunResult =
+    updateModeRun(spark, s"$sfDir/events.parquet",
+      keys = Seq("user_id", "day"),
+      build = drop => eventStream(spark, drop)
+        .withWatermark("ts", watermarkDelay)
+        .groupBy(col("user_id"), window(col("ts"), "1 day"))
+        .agg(min(col("ts")).as("actual_start"))
+        .select(col("user_id"), to_date(col("window.start")).as("day"),
+          col("actual_start")),
+      summarize = folded => graft.events.EventOps.lateStartsFromActual(
+        folded.filter(col("user_id") >= 0), cron, marginSeconds, spark))
+
+  def lateStartSummariesUpdate(spark: SparkSession, sfDir: String,
+                               cron: String, marginSeconds: Long)
+      : DataFrame = {
+    val r = lateStartUpdateRun(spark, sfDir, cron, marginSeconds)
+    require(r.finalStateRows < r.peakStateRows,
+      s"closed days must evict: peak=${r.peakStateRows} " +
+        s"final=${r.finalStateRows}")
+    r.result
+  }
+
+  /** Production-mode R8 volume: [[windowedVolume]] (already watermarked)
+    * in update mode, folded latest-wins per (window, type), z-scored by
+    * the shared batch tail — gated by the `ev_volume_anomalies` oracle —
+    * with closed windows required to evict.
+    */
+  def volumeUpdateRun(spark: SparkSession, sfDir: String,
+                      watermarkDelay: String = DefaultWatermark)
+      : UpdateRunResult =
+    updateModeRun(spark, s"$sfDir/events.parquet",
+      keys = Seq("window_start", "event_type"),
+      build = drop => windowedVolume(eventStream(spark, drop),
+        watermarkDelay),
+      summarize = folded => graft.events.EventOps.volumeAnomaliesFromDaily(
+        folded.filter(col("event_type") =!= "__sentinel__")
+          .select(col("event_type"), to_date(col("window_start")).as("day"),
+            col("n"))))
+
+  def volumeSummariesUpdate(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val r = volumeUpdateRun(spark, sfDir)
+    require(r.finalStateRows < r.peakStateRows,
+      s"closed windows must evict: peak=${r.peakStateRows} " +
+        s"final=${r.finalStateRows}")
+    r.result
+  }
+
+  /** Production-mode R9 liveness: the running per-agent (last_seen,
+    * n_events) aggregate in update mode — each trigger emits only the
+    * agents that were seen, not the whole roster. No watermark and no
+    * eviction REQUIREMENT: liveness state is one row per agent by
+    * construction (bounded by the key space, not by time — evicting an
+    * agent would forget its last heartbeat, the opposite of the
+    * monitor's purpose), so the scale contract here is
+    * state == roster size, asserted in StreamingSpec. Gated by the
+    * `ev_liveness` oracle via the shared batch tail.
+    */
+  def livenessUpdateRun(spark: SparkSession, sfDir: String)
+      : UpdateRunResult =
+    updateModeRun(spark, s"$sfDir/events.parquet",
+      keys = Seq("user_id"),
+      build = drop => liveness(eventStream(spark, drop)),
+      summarize = folded => graft.events.EventOps.livenessFromAgg(folded),
+      sentinelAdvance = false)
+
+  def livenessSummariesUpdate(spark: SparkSession, sfDir: String)
+      : DataFrame = livenessUpdateRun(spark, sfDir).result
+
   def dagMineBounded(spark: SparkSession, sfDir: String,
                      gapSeconds: Long, minSupport: Long,
                      direct: Seq[(String, String)],

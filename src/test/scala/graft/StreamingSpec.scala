@@ -606,6 +606,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("update-mode monitors match their batch twins AND evict closed " +
+      "state once the watermark passes it") {
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    // R2 lateness: update-mode windowed min + watermark
+    val late = StreamingOps.lateStartUpdateRun(spark, SparkTestSession.sf,
+      "0 6 * * *", 600)
+    assert(sig(late.result) ==
+      sig(graft.events.EventOps.lateStarts(ev, "0 6 * * *", 600, spark)))
+    // the (user, day) state grew to the full history during replay, then
+    // the sentinel advanced the watermark past every real day — closed
+    // days must have LEFT the state store
+    assert(late.peakStateRows > 0)
+    assert(late.finalStateRows < late.peakStateRows,
+      s"peak=${late.peakStateRows} final=${late.finalStateRows}")
+    // R8 volume: update-mode windowed count + watermark
+    val vol = StreamingOps.volumeUpdateRun(spark, SparkTestSession.sf)
+    assert(sig(vol.result) == sig(graft.events.EventOps.volumeAnomalies(ev)))
+    assert(vol.finalStateRows < vol.peakStateRows,
+      s"peak=${vol.peakStateRows} final=${vol.finalStateRows}")
+    // R9 liveness: update mode, NO watermark — state is one row per
+    // agent by design (evicting would forget last heartbeats); the
+    // scale contract is state == roster size, not eviction
+    val live = StreamingOps.livenessUpdateRun(spark, SparkTestSession.sf)
+    assert(sig(live.result) ==
+      sig(graft.events.EventOps.heartbeatLiveness(ev)))
+    val roster = ev.select("user_id").distinct().count()
+    assert(live.finalStateRows == roster,
+      s"state=${live.finalStateRows} roster=$roster")
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
