@@ -780,7 +780,8 @@ object EventQueries {
        |  CAST(floor(count(*) / $DeliveryChunk.0) AS BIGINT)
        |    AS n_full_chunks,
        |  CAST(((count(*) - 1) % $DeliveryChunk) + 1 AS BIGINT)
-       |    AS min_chunk
+       |    AS min_chunk,
+       |  CAST(0 AS BIGINT) AS n_dup_keys
        |FROM a HAVING count(*) > 0""".stripMargin
 
   /** The three streaming AGGREGATION monitors (R2 lateness, R8 volume,
@@ -819,6 +820,20 @@ object EventQueries {
 
   def streamLivenessUpdate(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.livenessSummariesUpdate(s, dir)
+
+  /** CHECKPOINT-RECOVERY gates: the stream killed after 2 of 4 staged
+    * files and resumed from the SAME checkpoint — keyed session state /
+    * windowed aggregation buffers reload from the state store, committed
+    * files are skipped, and the resumed output must still hash-match the
+    * batch oracle (exactly-once through a restart, the contract a
+    * continuous deployment exercises weekly).
+    */
+  def streamSessionsRestart(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionSummariesRestart(s, dir,
+      GapSeconds)
+
+  def streamVolumeRestart(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.volumeSummariesRestart(s, dir)
 
   // ---- R10 entity search-by-name ------------------------------------------
 
@@ -896,6 +911,8 @@ object EventQueries {
     "stream_late_update" -> (streamLateUpdate _),
     "stream_volume_update" -> (streamVolumeUpdate _),
     "stream_liveness_update" -> (streamLivenessUpdate _),
+    "stream_sessions_restart" -> (streamSessionsRestart _),
+    "stream_volume_restart" -> (streamVolumeRestart _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -935,6 +952,8 @@ object EventQueries {
     "stream_late_update" -> lateStartsSql,
     "stream_volume_update" -> volumeAnomaliesSql,
     "stream_liveness_update" -> livenessSql,
+    "stream_sessions_restart" -> streamSessionsBoundedSql,
+    "stream_volume_restart" -> volumeAnomaliesSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

@@ -115,4 +115,31 @@ object Sources {
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       it.grouped(batchSize).foreach(g => send(g.toSeq))
     }
+
+  /** Idempotency key of one delivered chunk: (micro-batch id, partition
+    * id, chunk index within the partition) — deterministic for a given
+    * batch content and partitioning, so a TASK retry or an epoch replay
+    * re-sends a chunk under the SAME key and the receiving API can
+    * deduplicate (the reference wraps every POST in retries-with-backoff,
+    * dk-installer.py:1273-1281 — retries are only safe because re-sends
+    * are recognizable).
+    */
+  final case class ChunkKey(batchId: Long, partitionId: Int,
+                            chunkIndex: Int)
+
+  /** [[foreachBatched]] with per-chunk idempotency keys: chunks form per
+    * partition on the executors (the scale path — no coalesce, no
+    * driver-side rows) and each is delivered as (key, rows). Use from
+    * foreachBatch with the micro-batch id;
+    * [[graft.streaming.StreamingOps.deliverBatchedIdempotent]] adds the
+    * committed-batch ledger on top.
+    */
+  def foreachBatchedKeyed(df: DataFrame, batchSize: Int, batchId: Long)
+      (send: (ChunkKey, Seq[org.apache.spark.sql.Row]) => Unit): Unit =
+    df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.grouped(batchSize).zipWithIndex.foreach { case (g, ci) =>
+        send(ChunkKey(batchId, pid, ci), g.toSeq)
+      }
+    }
 }

@@ -311,6 +311,55 @@ object StreamingOps {
       }
       .start()
 
+  /** IDEMPOTENT chunked delivery — the replay story [[deliverBatched]]
+    * lacks. Structured Streaming's foreachBatch contract is at-least-
+    * once: a query that dies between delivering a batch and writing the
+    * commit log REPLAYS that batchId on restart, and without protection
+    * every chunk of the failed batch reaches the API twice. Two layers
+    * close the gap:
+    *
+    *  1. every chunk carries a deterministic idempotency key
+    *     (batchId, partitionId, chunkIndex) —
+    *     [[graft.sources.Sources.foreachBatchedKeyed]] — so ANY re-send
+    *     (task retry, epoch replay across driver restarts) is
+    *     recognizable at the receiving API, which dedupes on the key
+    *     exactly as the reference's retried POSTs rely on
+    *     (dk-installer.py:1273-1281);
+    *  2. a driver-side committed-batch ledger skips batchIds this
+    *     driver already delivered IN FULL — the common same-driver
+    *     replay (restart on the same checkpoint after a clean stop)
+    *     never even re-sends. The ledger is marked AFTER delivery
+    *     returns: a mid-batch failure leaves the id uncommitted, the
+    *     replay re-delivers under the same keys, and layer 1 absorbs
+    *     it. In production the ledger's durable form is the sink
+    *     system's own record of processed batch ids (e.g. a delivery
+    *     log table MERGEd in the same transaction).
+    *
+    * StreamingSpec forces a replay by deleting the checkpoint's last
+    * commit-log entry and restarting: with the ledger no chunk is
+    * re-sent; with keys alone the replayed chunks arrive under already-
+    * seen keys (never as silent duplicates).
+    */
+  def deliverBatchedIdempotent(alerts: DataFrame, batchSize: Int,
+                               checkpoint: String,
+                               committed: java.util.Set[java.lang.Long] =
+                                 java.util.concurrent.ConcurrentHashMap
+                                   .newKeySet[java.lang.Long]())
+      (send: (graft.sources.Sources.ChunkKey,
+              Seq[org.apache.spark.sql.Row]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    alerts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!committed.contains(id)) {
+          graft.sources.Sources.foreachBatchedKeyed(batch, batchSize,
+            id)(send)
+          committed.add(id)
+          ()
+        }
+      }
+      .start()
+
   /** Read a drop-folder of event parquet files as a stream (one file per
     * trigger) — the smoke path for wiring the ops above to a real file
     * source without Kafka in the container. `dir` must be a directory;
@@ -510,27 +559,36 @@ object StreamingOps {
     import spark.implicits._
     boundedDropRun(spark, s"$sfDir/events.parquet") { (drop, ckpt) =>
       val acc = spark.sparkContext
-        .collectionAccumulator[(Long, Int)]("graft-chunks")
+        .collectionAccumulator[(Long, Int, Int, Int)]("graft-chunks")
       val alerts = metricRuleAlerts(eventStream(spark, drop), eventType,
         threshold)
-      val q = alerts.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.sources.Sources.foreachBatched(batch.coalesce(1),
-            batchSize)(g => acc.add(id -> g.size))
-        }
-        .start()
+      // the production path chunks per partition (no coalesce — that is
+      // foreachBatchedKeyed's default shape); the CONTRACT under test is
+      // the deterministic ceil(n/batchSize) split the oracle computes,
+      // which needs one partition per micro-batch, so the alert stream
+      // is coalesced — chunk keys still carry the real partition id
+      val q = deliverBatchedIdempotent(
+        alerts.coalesce(1), batchSize, ckpt) { (key, g) =>
+        acc.add((key.batchId, key.partitionId, key.chunkIndex, g.size))
+      }
       try q.processAllAvailable() finally q.stop()
       import scala.jdk.CollectionConverters._
-      val rows = acc.value.asScala.toSeq
+      val sent = acc.value.asScala.toSeq
+      val rows = sent
         .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
         .map { case ((_, chunks), pos) =>
-          val sizes = chunks.map(_._2)
+          val sizes = chunks.map(_._4)
+          // idempotence invariant: no (batchId, partition, chunk) key
+          // may be delivered twice — 0 on every row, and the oracle
+          // hard-codes 0, so ANY duplicate delivery hash-fails the gate
+          val dupKeys = chunks.groupBy(c => (c._2, c._3))
+            .count(_._2.size > 1).toLong
           (pos.toLong, sizes.map(_.toLong).sum, sizes.size.toLong,
-            sizes.count(_ == batchSize).toLong, sizes.min.toLong)
+            sizes.count(_ == batchSize).toLong, sizes.min.toLong,
+            dupKeys)
         }
       rows.toDF("batch_pos", "n_rows", "n_chunks", "n_full_chunks",
-        "min_chunk").orderBy("batch_pos")
+        "min_chunk", "n_dup_keys").orderBy("batch_pos")
     }
   }
 
@@ -797,6 +855,152 @@ object StreamingOps {
     }
     UpdateRunResult(folded, peak, fin)
   }
+
+  /** CHECKPOINT-RECOVERY (exactly-once restart) scaffold — the core
+    * production contract of Structured Streaming and the failure mode a
+    * continuous 100 TB deployment hits weekly: a query dies mid-replay
+    * and must resume from its checkpoint without dropping or double-
+    * counting anything.
+    *
+    * Mechanics: the source table is re-written as `nSlices` time-sliced
+    * part files (repartitionByRange on (ts, event_id) — disjoint,
+    * name-ordered event-time ranges, the layout a real drop-folder
+    * ingestion produces); the first `stopAfter` slices are staged and
+    * drained under checkpoint C, then the query is STOPPED — simulating
+    * the restart boundary — the remaining slices are staged, and a NEW
+    * query on the SAME checkpoint drains them. The restarted query must
+    * reload keyed state (flatMapGroupsWithState rows / aggregation
+    * buffers / the watermark) from the state store and skip files the
+    * source log already committed.
+    *
+    * The sink is the driver-side idempotent fold a production MERGE sink
+    * provides: batches keyed by batchId (a replayed batch OVERWRITES its
+    * previous delivery, never appends twice — Structured Streaming's
+    * documented sink contract), concatenated in batchId order for
+    * append-mode outputs or folded latest-wins per `foldKeys` for
+    * update-mode outputs. StreamingSpec asserts the resumed run is
+    * row-identical to an uninterrupted run; the registered
+    * `stream_*_restart` queries gate the resumed output against the
+    * SAME DuckDB oracles as the batch operators.
+    */
+  def restartRun(spark: SparkSession, srcParquet: String, nSlices: Int,
+                 stopAfter: Int,
+                 build: String => DataFrame,
+                 summarize: DataFrame => DataFrame,
+                 mode: OutputMode = OutputMode.Append,
+                 foldKeys: Seq[String] = Nil): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    require(stopAfter > 0 && stopAfter < nSlices,
+      s"restart boundary must be strictly inside the replay: " +
+        s"stopAfter=$stopAfter nSlices=$nSlices")
+    val slices = Files.createTempDirectory("graft-slices")
+    val drop = Files.createTempDirectory("graft-drop")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    try {
+      spark.read.parquet(srcParquet)
+        .repartitionByRange(nSlices, col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite").parquet(slices.toString)
+      val parts = {
+        val walk = Files.list(slices)
+        try walk.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        finally walk.close()
+      }
+      def stage(fs: Seq[java.nio.file.Path], offset: Int): Unit =
+        fs.zipWithIndex.foreach { case (f, i) =>
+          val staged = Files.copy(f,
+            drop.resolve(f"staged-${offset + i}%05d.parquet"))
+          Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1500000000000L + (offset + i) * 1000L))
+        }
+      val batches = scala.collection.mutable.SortedMap
+        .empty[Long, (org.apache.spark.sql.types.StructType,
+                      Array[org.apache.spark.sql.Row])]
+      def runOnce(): Unit = {
+        val q = build(drop.toString).writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            batches(id) = (b.schema, b.collect())
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      stage(parts.take(stopAfter), 0)
+      runOnce() // run 1: dies (stops) after `stopAfter` micro-batches
+      stage(parts.drop(stopAfter), stopAfter)
+      runOnce() // run 2: SAME checkpoint — state + source log recovered
+      require(batches.nonEmpty, "no micro-batch arrived")
+      val schema = batches.head._2._1
+      val ordered = batches.toSeq.map(_._2._2)
+      val rows =
+        if (foldKeys.isEmpty) ordered.toSeq.flatten
+        else {
+          val keyIdx = foldKeys.map(schema.fieldIndex)
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], org.apache.spark.sql.Row]
+          ordered.foreach(_.foreach(r => m.update(keyIdx.map(r.get), r)))
+          m.values.toSeq
+        }
+      summarize(spark.createDataFrame(rows.asJava, schema))
+        .localCheckpoint(true)
+    } finally {
+      import scala.util.control.NonFatal
+      try rmTree(slices) catch { case NonFatal(_) => () }
+      try rmTree(drop) catch { case NonFatal(_) => () }
+      try rmTree(ckpt) catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** R1 sessionization through a mid-replay restart: the
+    * flatMapGroupsWithState sessionizer killed after `stopAfter` of
+    * `nSlices` time-sliced files and resumed from its checkpoint — the
+    * per-key (session id, last event time) state MUST come back from
+    * the state store or every session spanning the restart boundary
+    * splits/renumbers. Gated by the same oracle as
+    * `stream_sessions_bounded`.
+    */
+  def sessionSummariesRestart(spark: SparkSession, sfDir: String,
+                              gapSeconds: Long, nSlices: Int = 4,
+                              stopAfter: Int = 2): DataFrame = {
+    import spark.implicits._
+    restartRun(spark, s"$sfDir/events.parquet", nSlices, stopAfter,
+      drop => assignSessions(eventStream(spark, drop).as[SEvent],
+        gapSeconds).toDF(),
+      sink => sink
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id"))
+  }
+
+  /** R8 volume through a mid-replay restart, in UPDATE mode: the
+    * windowed-count aggregation buffers and the watermark must both
+    * recover from the checkpoint, and the latest-wins fold absorbs any
+    * replayed batch idempotently. Gated by the same oracle as
+    * `ev_volume_anomalies`.
+    */
+  def volumeSummariesRestart(spark: SparkSession, sfDir: String,
+                             nSlices: Int = 4, stopAfter: Int = 2)
+      : DataFrame =
+    restartRun(spark, s"$sfDir/events.parquet", nSlices, stopAfter,
+      drop => windowedVolume(eventStream(spark, drop)),
+      folded => graft.events.EventOps.volumeAnomaliesFromDaily(
+        folded.select(col("event_type"),
+          to_date(col("window_start")).as("day"), col("n"))),
+      OutputMode.Update,
+      foldKeys = Seq("window_start", "event_type"))
 
   /** Production-mode R2 lateness: the per-(user, day) first-event
     * aggregation as an update-mode windowed aggregate with the 55 h

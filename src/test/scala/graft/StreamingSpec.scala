@@ -640,6 +640,109 @@ class StreamingSpec extends AnyFunSuite {
       s"state=${live.finalStateRows} roster=$roster")
   }
 
+  test("checkpoint recovery: a stream killed mid-replay and restarted " +
+      "from its checkpoint converges to the uninterrupted answer") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    // sessions: flatMapGroupsWithState state (session id + last event
+    // time per user) must reload from the state store — a session
+    // spanning the restart boundary renumbers if it doesn't
+    val resumed = StreamingOps.sessionSummariesRestart(spark,
+      SparkTestSession.sf, 1800, nSlices = 4, stopAfter = 2)
+    val uninterrupted = StreamingOps.sessionSummariesBounded(spark,
+      SparkTestSession.sf, 1800)
+    assert(sig(resumed) == sig(uninterrupted))
+    assert(resumed.count() > 0)
+    // volume (update mode): windowed aggregation buffers + watermark
+    // recover; the latest-wins fold absorbs any replayed batch
+    val vResumed = StreamingOps.volumeSummariesRestart(spark,
+      SparkTestSession.sf, nSlices = 4, stopAfter = 2)
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    assert(sig(vResumed) == sig(graft.events.EventOps.volumeAnomalies(ev)))
+  }
+
+  test("idempotent chunked delivery survives a forced epoch replay: the " +
+      "ledger re-sends nothing; keys make any re-send recognizable") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-replay")
+    val drop = Files.createDirectories(work.resolve("drop"))
+    val ckpt = work.resolve("ckpt").toString
+    // two single-part files → two micro-batches (ts in the tsns layout)
+    val baseNs = ts("2024-01-01 10:00:00").getTime * 1000000L
+    (0 to 1).foreach { i =>
+      val rows = (0 until 5).map { j =>
+        val k = i * 5 + j
+        (k.toLong, baseNs + k * 60000000000L, 1L, "purchase", 50.0 + k,
+          "{}")
+      }
+      val tmp = work.resolve(s"slice$i")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val staged = Files.copy(part, drop.resolve(f"s$i%02d.parquet"))
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L +
+          i * 1000L))
+    }
+    val sent = spark.sparkContext
+      .collectionAccumulator[(Long, Int, Int)]("sent-keys")
+    def runDelivery(ledger: java.util.Set[java.lang.Long]): Unit = {
+      val alerts = StreamingOps.metricRuleAlerts(
+        StreamingOps.eventStream(spark, drop.toString), "purchase", 40.0)
+      val q = StreamingOps.deliverBatchedIdempotent(alerts.coalesce(1),
+        batchSize = 2, ckpt, ledger) { (key, g) =>
+        sent.add((key.batchId, key.partitionId, key.chunkIndex))
+      }
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination() }
+    }
+    def counts = {
+      import scala.jdk.CollectionConverters._
+      sent.value.asScala.toSeq.groupBy(identity).map { case (k, v) =>
+        k -> v.size }
+    }
+    def forceReplay(): Unit = {
+      import scala.jdk.CollectionConverters._
+      // delete the newest commit-log entry: the engine now believes the
+      // last batch was delivered to the sink but never committed — the
+      // exact crash window that causes epoch replay in production
+      val dir = work.resolve("ckpt").resolve("commits")
+      val commits = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+      val victim = commits.maxBy(_.getFileName.toString.toLong)
+      Files.delete(victim)
+      // the checksum sibling too — a stale .crc makes the re-written
+      // commit file fail its read back
+      Files.deleteIfExists(dir.resolve(s".${victim.getFileName}.crc"))
+    }
+    val ledger = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.lang.Long]()
+    runDelivery(ledger)
+    val afterRun1 = counts
+    assert(afterRun1.values.forall(_ == 1) && afterRun1.size == 6,
+      s"5 rows/batch at chunk 2 = 3 chunks x 2 batches: $afterRun1")
+    // replay with the SAME ledger (same-driver restart): nothing re-sent
+    forceReplay()
+    runDelivery(ledger)
+    assert(counts == afterRun1, "ledger must skip the replayed batch")
+    // replay with a FRESH ledger (new driver): the replayed batch's
+    // chunks go out again but ONLY under already-seen keys — the API
+    // dedupes on the key; nothing arrives as a silent new chunk
+    forceReplay()
+    runDelivery(java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.lang.Long]())
+    val afterRun3 = counts
+    assert(afterRun3.keySet == afterRun1.keySet, "no unrecognizable keys")
+    val (replayed, untouched) = afterRun3.partition(_._1._1 == 1L)
+    assert(replayed.nonEmpty && replayed.values.forall(_ == 2))
+    assert(untouched.values.forall(_ == 1))
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
