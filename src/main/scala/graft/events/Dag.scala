@@ -91,4 +91,22 @@ object Dag {
     Edge(Some("view"), Some("click")),
     Edge(Some("click"), Some("purchase")),
     Edge(Some("error"), None))
+
+  /** Three journeys evaluated CONCURRENTLY over one event stream — the
+    * reference registers several journeys at once and each instance
+    * alert carries its journey (observability_demo.py:4-40 runs three;
+    * demo_helper.py:1939-1956 scopes OUT_OF_SEQUENCE per journey).
+    * Memberships deliberately differ so per-journey scoping is
+    * exercised: the same event stream sessionizes differently under
+    * each journey's member filter.
+    */
+  val MultiJourneys: Seq[(String, Seq[Edge])] = Seq(
+    "funnel" -> Seq(
+      Edge(Some("signup"), Some("view")),
+      Edge(Some("view"), Some("click")),
+      Edge(Some("click"), Some("purchase"))),
+    "checkout" -> HalfOpenJourney,
+    "signup_flow" -> Seq(
+      Edge(Some("signup"), Some("view")),
+      Edge(Some("purchase"), None)))
 }

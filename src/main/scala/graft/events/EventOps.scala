@@ -484,6 +484,65 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** R4 for SEVERAL journeys evaluated concurrently over one event
+    * stream — the reference registers multiple journeys and each
+    * instance alert is scoped to its journey
+    * (observability_demo.py:4-40 runs three; demo_helper.py:1939-1956).
+    * Running [[outOfSequenceScoped]] once per journey would re-scan and
+    * re-shuffle the event table per journey; at 100 TB with thousands
+    * of registered journeys that is the dominant cost. Instead the
+    * journey dimension rides the keys: events join the broadcast
+    * (journey_id, member_type) dimension — each event replicates only
+    * into the journeys it belongs to — and ONE window pass partitioned
+    * by (journey_id, user_id) sessionizes every journey's scoped stream
+    * simultaneously (one hash shuffle total, however many journeys).
+    * Transitions then flag against the broadcast per-journey closure
+    * exactly as the single-journey operator does; half-open members
+    * participate in scoped adjacency but never alert (no closure row).
+    *
+    * Per-journey output is row-identical to running
+    * [[outOfSequenceScoped]] with that journey's closure and members
+    * (EventsSpec proves it) — the fused pass is an execution-shape
+    * change, not a semantic one.
+    */
+  def outOfSequenceMulti(ev: DataFrame, gapSeconds: Long,
+                         journeys: Seq[(String, Seq[Dag.Edge])],
+                         spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val memberDf = journeys
+      .flatMap { case (j, es) => Dag.members(es).map(t => (j, t)) }
+      .toDF("journey_id", "event_type")
+    val closureDf = journeys
+      .flatMap { case (j, es) =>
+        Dag.closureLocal(Dag.orderedPairs(es))
+          .map { case (a, b) => (j, a, b) } }
+      .toDF("j_id", "c_src", "c_dst")
+    val scoped = ev.join(broadcast(memberDf), "event_type")
+    val w = Window.partitionBy("journey_id", "user_id")
+      .orderBy("ts", "event_id")
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(prevTs)) >
+        gapSeconds * 1000000L, 1).otherwise(0)
+    val sess = scoped.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType))
+    val ws = Window.partitionBy("journey_id", "user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val seq = sess.withColumn("prev_type", lag(col("event_type"), 1).over(ws))
+      .filter(col("prev_type").isNotNull)
+    seq.join(broadcast(closureDf),
+        col("journey_id") === col("j_id") &&
+          seq("event_type") === col("c_src") &&
+          seq("prev_type") === col("c_dst"))
+      .select(col("journey_id"), col("user_id"), col("session_id"),
+        col("event_id"), col("ts"), col("prev_type"), col("event_type"),
+        lit("OUT_OF_SEQUENCE").as("alert_type"))
+      .orderBy("journey_id", "event_id")
+  }
+
   /** Lineage mining — infer the journey DAG from the observed event
     * stream instead of requiring it declared up front. The reference
     * only ever receives its DAGs hand-authored over the API

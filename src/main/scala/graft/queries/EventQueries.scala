@@ -427,6 +427,49 @@ object EventQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** R4 over THREE concurrently-registered journeys in ONE pass — the
+    * journey dimension rides the window keys (see
+    * EventOps.outOfSequenceMulti); the oracle evaluates each journey
+    * independently (scoped sessionization + its own closure) and unions,
+    * so a hash match proves the fused pass equals the per-journey runs.
+    */
+  def outOfSequenceMulti(s: SparkSession, dir: String): DataFrame =
+    EventOps.outOfSequenceMulti(ev(s, dir), GapSeconds,
+      Dag.MultiJourneys, s)
+
+  val outOfSequenceMultiSql: String = {
+    val perJourney = Dag.MultiJourneys.map { case (jid, edges) =>
+      val members = Dag.members(edges).map(m => s"'$m'").mkString(", ")
+      val closure = Dag.closureLocal(Dag.orderedPairs(edges))
+        .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+      s"""SELECT '$jid' AS journey_id, user_id, session_id, event_id, ts,
+         |  prev_type, event_type, 'OUT_OF_SEQUENCE' AS alert_type
+         |FROM (
+         |  SELECT *, lag(event_type) OVER (PARTITION BY user_id,
+         |      session_id ORDER BY ts, event_id) AS prev_type
+         |  FROM (
+         |    SELECT event_id, ts, user_id, event_type,
+         |      CAST(sum(nw) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |        AS BIGINT) AS session_id
+         |    FROM (
+         |      SELECT *, CASE WHEN prev IS NULL OR
+         |          date_diff('microsecond', prev, ts) >
+         |          ${GapSeconds}000000 THEN 1 ELSE 0 END AS nw
+         |      FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS prev
+         |        FROM ev WHERE event_type IN ($members))))) seq
+         |JOIN (SELECT * FROM (VALUES $closure) c(src, dst)) closure
+         |  ON seq.event_type = closure.src
+         |  AND seq.prev_type = closure.dst
+         |WHERE prev_type IS NOT NULL""".stripMargin
+    }
+    s"""$EvCte
+       |SELECT * FROM (
+       |${perJourney.mkString("\nUNION ALL\n")}
+       |) ORDER BY journey_id, event_id""".stripMargin
+  }
+
   // ---- lineage mining (north-star: lineage extraction from metadata) -------
 
   /** Mine the precedence DAG from the observed stream and classify every
@@ -918,6 +961,7 @@ object EventQueries {
     "ev_journeys_payload" -> (journeysPayload _),
     "ev_out_of_sequence" -> (outOfSequence _),
     "ev_out_of_sequence_halfopen" -> (outOfSequenceHalfOpen _),
+    "ev_oos_multi" -> (outOfSequenceMulti _),
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
     "ev_salted_rollup" -> (saltedRollup _),
@@ -959,6 +1003,7 @@ object EventQueries {
     "ev_journeys_payload" -> journeysPayloadSql,
     "ev_out_of_sequence" -> outOfSequenceSql,
     "ev_out_of_sequence_halfopen" -> outOfSequenceHalfOpenSql,
+    "ev_oos_multi" -> outOfSequenceMultiSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,
     "ev_salted_rollup" -> saltedRollupSql,

@@ -358,6 +358,26 @@ class EventsSpec extends AnyFunSuite {
     assert(EventOps.mineDag(fixture, 3600, 2, direct, clos).isEmpty)
   }
 
+  test("multi-journey OOS: one fused pass equals the per-journey " +
+      "scoped operator for every registered journey") {
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    val multi = EventOps.outOfSequenceMulti(ev, 1800, Dag.MultiJourneys,
+      spark).collect()
+      .groupBy(_.getString(0))
+      .map { case (j, rows) => j -> rows.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toSet }
+    Dag.MultiJourneys.foreach { case (jid, edges) =>
+      val single = EventOps.outOfSequenceScoped(ev, 1800,
+          Dag.edgeDf(spark, Dag.closureLocal(Dag.orderedPairs(edges))),
+          Dag.members(edges)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(multi.getOrElse(jid, Set.empty) == single,
+        s"journey $jid diverged")
+    }
+    // different memberships must really produce different scoping
+    assert(multi.values.toSet.size > 1)
+  }
+
   test("cron queries share ONE memoized range scan; passing the raw " +
       "event range is result-identical to the per-query pre-scan") {
     val dir = SparkTestSession.sf
