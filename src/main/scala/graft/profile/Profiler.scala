@@ -170,55 +170,8 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }.toSeq
     require(fields.nonEmpty, s"no profilable columns in $tableName")
-    val V = "__v"
-    def canon(f: StructField): DataFrame =
-      df.select(col(f.name).as(V))
-
-    // base passes: every non-distinct statistic of one column, flat and
-    // meta-free (see scaladoc), renamed per-column above the aggregate.
-    // In approx mode the HLL distinct sketch(es) ride in the same pass
-    // (approx_count_distinct needs no Expand).
-    val basePasses: Seq[DataFrame] = fields.map { case (f, i) =>
-      val pairs = statsPairs(col(V), f.dataType)
-      val riders: Seq[(String, Column)] = distincts match {
-        case "hll" =>
-          ("__d" -> approx_count_distinct(col(V))) +:
-            (if (f.dataType == TimestampType)
-               Seq("__dd" -> approx_count_distinct(to_date(col(V))))
-             else Seq.empty)
-        case "sketch" =>
-          Seq("__sk" -> hll_sketch_agg(
-            when(col(V).isNotNull, xxhash64(col(V)))))
-        case _ => Seq.empty
-      }
-      val aggCols = (pairs ++ riders).map { case (n, e) => e.as(n) }
-      canon(f).agg(aggCols.head, aggCols.tail: _*)
-        .select(pairs.map { case (n, _) => col(n).as(s"__s${i}_$n") } ++
-          riders.map { case (n, _) => col(n).as(s"${n}_$i") }: _*)
-    }
-    val distinctPasses: Seq[DataFrame] =
-      (if (distincts != "exact") Seq.empty
-       else fields.map { case (f, i) =>
-        canon(f).agg(countDistinct(col(V)).as("__d"))
-          .select(col("__d").as(s"__d_$i"))
-      }) ++
-      (if (distincts != "exact" && distincts != "dates") Seq.empty
-       else fields.collect {
-        case (f, i) if f.dataType == TimestampType =>
-          canon(f).agg(countDistinct(to_date(col(V))).as("__dd"))
-            .select(col("__dd").as(s"__dd_$i"))
-      })
-    val pctPasses: Seq[DataFrame] =
-      if (distincts == "none" || distincts == "sketch") Seq.empty
-      else fields.collect {
-        case (f, i) if f.dataType.isInstanceOf[NumericType] =>
-          val ps = array(lit(0.25), lit(0.5), lit(0.75))
-          df.select(col(f.name).cast(DoubleType).as(V))
-            .agg((if (exactPercentiles) percentile(col(V), ps)
-                  else approx_percentile(col(V), ps, lit(10000))).as("__q"))
-            .select(col("__q").as(s"__q_$i"))
-      }
-    val agged = balancedCross(basePasses ++ distinctPasses ++ pctPasses)
+    val agged = collectConcurrent(df.sparkSession,
+      buildPasses(df, fields, distincts, exactPercentiles))
 
     val structs = fields.map { case (f, i) =>
       val isTs = f.dataType == TimestampType
@@ -277,19 +230,124 @@ object Profiler {
       .select(keep.map(col): _*)
   }
 
-  /** Pairwise-balanced crossJoin of one-row frames: log-depth, so the
-    * eager per-operation re-analysis is O(n log n) total instead of the
-    * left-deep fold's O(n²) in pass count.
+  /** The scan passes of one profile invocation, exposed for plan-shape
+    * tests (ProfilerSpec asserts NO pass plans an Expand — since the
+    * concurrent-collect rework the passes no longer appear in the
+    * result frame's executed plan, so the fence must target them
+    * directly).
+    *
+    *  - base passes: every non-distinct statistic of one column, flat
+    *    and meta-free (see profileWith scaladoc), renamed per-column
+    *    above the aggregate; in approx mode the HLL distinct(s) ride
+    *    along (approx_count_distinct needs no Expand);
+    *  - exact distinct / distinct-date passes: one narrow pass each;
+    *  - percentile passes: one narrow ObjectHashAggregate pass per
+    *    numeric column.
     */
-  private def balancedCross(dfs: Seq[DataFrame]): DataFrame = {
-    // grouped(2) of Nil is Nil → the recursion would never terminate;
-    // callers currently guarantee non-empty (require(fields.nonEmpty)
-    // upstream) but a private helper must fail loudly on its own
-    require(dfs.nonEmpty, "balancedCross of zero frames")
-    if (dfs.sizeIs == 1) dfs.head
-    else balancedCross(dfs.grouped(2).map { g =>
-      if (g.sizeIs == 2) g.head.crossJoin(g(1)) else g.head
-    }.toSeq)
+  private[graft] def buildPasses(df: DataFrame,
+                                 fields: Seq[(StructField, Int)],
+                                 distincts: String,
+                                 exactPercentiles: Boolean)
+      : Seq[DataFrame] = {
+    val V = "__v"
+    def canon(f: StructField): DataFrame =
+      df.select(col(f.name).as(V))
+    val basePasses: Seq[DataFrame] = fields.map { case (f, i) =>
+      val pairs = statsPairs(col(V), f.dataType)
+      val riders: Seq[(String, Column)] = distincts match {
+        case "hll" =>
+          ("__d" -> approx_count_distinct(col(V))) +:
+            (if (f.dataType == TimestampType)
+               Seq("__dd" -> approx_count_distinct(to_date(col(V))))
+             else Seq.empty)
+        case "sketch" =>
+          Seq("__sk" -> hll_sketch_agg(
+            when(col(V).isNotNull, xxhash64(col(V)))))
+        case _ => Seq.empty
+      }
+      val aggCols = (pairs ++ riders).map { case (n, e) => e.as(n) }
+      canon(f).agg(aggCols.head, aggCols.tail: _*)
+        .select(pairs.map { case (n, _) => col(n).as(s"__s${i}_$n") } ++
+          riders.map { case (n, _) => col(n).as(s"${n}_$i") }: _*)
+    }
+    val distinctPasses: Seq[DataFrame] =
+      (if (distincts != "exact") Seq.empty
+       else fields.map { case (f, i) =>
+        canon(f).agg(countDistinct(col(V)).as("__d"))
+          .select(col("__d").as(s"__d_$i"))
+      }) ++
+      (if (distincts != "exact" && distincts != "dates") Seq.empty
+       else fields.collect {
+        case (f, i) if f.dataType == TimestampType =>
+          canon(f).agg(countDistinct(to_date(col(V))).as("__dd"))
+            .select(col("__dd").as(s"__dd_$i"))
+      })
+    val pctPasses: Seq[DataFrame] =
+      if (distincts == "none" || distincts == "sketch") Seq.empty
+      else fields.collect {
+        case (f, i) if f.dataType.isInstanceOf[NumericType] =>
+          val ps = array(lit(0.25), lit(0.5), lit(0.75))
+          df.select(col(f.name).cast(DoubleType).as(V))
+            .agg((if (exactPercentiles) percentile(col(V), ps)
+                  else approx_percentile(col(V), ps, lit(10000))).as("__q"))
+            .select(col("__q").as(s"__q_$i"))
+      }
+    basePasses ++ distinctPasses ++ pctPasses
+  }
+
+  /** [[buildPasses]] for a whole table, as the plan-fence entry point:
+    * profilable fields resolved exactly as profileWith resolves them.
+    */
+  private[graft] def passesFor(df: DataFrame, distincts: String,
+                               exactPercentiles: Boolean)
+      : Seq[DataFrame] =
+    buildPasses(df,
+      df.schema.fields.zipWithIndex
+        .filter { case (f, _) => isProfilable(f.dataType) }.toSeq,
+      distincts, exactPercentiles)
+
+  /** Execute the one-row passes as GENUINELY CONCURRENT Spark actions
+    * and recombine their single rows into one local-relation row —
+    * replacing the r5–r7 crossJoin recombination (a pairwise-balanced
+    * BroadcastNestedLoopJoin tree). The crossJoin tree was measured as
+    * the profile family's remaining steady-state cost (ProfilePhaseProbe:
+    * ~0.6 s plan build + ~7.4 s execution at sf0.1 lineitem, 0 Janino
+    * compiles): each BNLJ executes its STREAMED side inside the parent's
+    * stage, so the tree's left spine serializes a chain of passes however
+    * many cores are free — and on the single-row-group driver testdata
+    * every pass is a one-task stage, so the serialized spine IS the wall
+    * clock. Submitting each pass as its own action from a bounded thread
+    * pool runs them truly in parallel (the scheduler interleaves the
+    * one-task jobs across all cores), and the recombined row enters the
+    * struct/explode assembly as a LocalRelation — zero further cluster
+    * work, identical values bit-for-bit (same aggregate expressions, only
+    * the recombination operator changed).
+    *
+    * 100 TB note: concurrency here is ACROSS columns; each pass itself
+    * distributes over the table's partitions, so both axes scale — many
+    * row groups give per-pass parallelism, the pool keeps narrow passes
+    * from idling the cluster between jobs. The pool is per-invocation
+    * (cheap next to any pass) and bounded so a wide table cannot flood
+    * the scheduler.
+    */
+  private def collectConcurrent(spark: org.apache.spark.sql.SparkSession,
+                                passes: Seq[DataFrame]): DataFrame = {
+    require(passes.nonEmpty, "no passes to collect")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(passes.size, 16))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val rows = Await.result(
+        Future.sequence(passes.map(p => Future(p.collect()(0)))),
+        Duration.Inf)
+      val schema = StructType(passes.flatMap(_.schema.fields).toArray)
+      val merged = org.apache.spark.sql.Row.fromSeq(rows.flatMap(_.toSeq))
+      spark.createDataFrame(
+        java.util.Collections.singletonList(merged), schema)
+    } finally pool.shutdown()
   }
 
   /** Count/sum characteristics that scale linearly with sampled rows. */

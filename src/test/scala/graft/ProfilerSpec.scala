@@ -131,21 +131,23 @@ class ProfilerSpec extends AnyFunSuite {
   }
 
   test("approx mode profiles with near-exact distincts and no Expand " +
-      "anywhere in the plan") {
+      "in any scan pass") {
     val df = Tables.load(spark, SparkTestSession.sf, "customer")
     val approx = Profiler.profile(df, "customer", exactDistinct = false)
     // the multi-countDistinct hazard plans as Expand → partial
     // HashAggregate → Exchange (row replication crossing a shuffle). The
-    // shipped profiler runs per-type passes with at most ONE distinct
-    // aggregate each (the melt variant, whose benign Expand-into-partial-
-    // aggregate shape a parent-of-Exchange check could not distinguish,
-    // was built, measured, and rejected — Profiler.profileWith scaladoc),
-    // so the strict assertion holds: no ExpandExec at all.
-    val plan = approx.queryExecution.executedPlan
+    // shipped profiler runs per-column passes with at most ONE distinct
+    // aggregate each, so the strict assertion holds: no ExpandExec in
+    // ANY pass, in any mode. (Since the concurrent-collect rework the
+    // passes execute before the result frame exists, so the fence
+    // targets the pass plans directly via Profiler.passesFor.)
     def hasExpand(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.isInstanceOf[org.apache.spark.sql.execution.ExpandExec] ||
         p.children.exists(hasExpand)
-    assert(!hasExpand(plan), plan.toString)
+    for (mode <- Seq("exact", "hll", "dates", "none", "sketch");
+         pass <- Profiler.passesFor(df, mode, exactPercentiles = true))
+      assert(!hasExpand(pass.queryExecution.executedPlan),
+        s"$mode: ${pass.queryExecution.executedPlan}")
     val exact = Profiler.profile(df, "customer").collect()
       .map(r => r.getAs[String]("column_name") ->
         r.getAs[Long]("distinct_ct")).toMap
