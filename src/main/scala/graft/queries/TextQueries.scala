@@ -531,11 +531,27 @@ object TextQueries {
     */
   val AnnAuditMaxBucket = 300
 
-  /** Prod cap: a cell of > 64 vectors at 8-plane depth (1/256 of key
-    * space) is ≥ 16× the uniform background density of a 1 000-vector
-    * corpus — no cos ≥ 0.9 cluster, which SimSpec plants at ~20
-    * members, comes close. */
+  /** Prod cap FLOOR: a cell of > 64 vectors at 8-plane depth (1/256 of
+    * key space) is ≥ 16× the uniform background density of a
+    * 1 000-vector corpus. The effective cap is [[annProdCap]] — the
+    * same 16×-background rule made EXPLICIT in the corpus size: the
+    * round-8 sf1 recall gate (RECALL_sf1.json) measured that the fixed
+    * 64 sits BELOW the background bucket density of a 20 k-vector
+    * corpus (E[bucket] ≈ 78), so every bucket was dropped and prod
+    * recall collapsed to 0.03 even for an under-cap planted cluster. A
+    * hot-bucket cap must scale with n/2^planes or at 100 TB it deletes
+    * the detector. */
   val AnnProdMaxBucket = 64
+
+  /** Adaptive prod cap: 16 × the uniform background bucket density
+    * ceil(n / 2^planesPerBand), floored at [[AnnProdMaxBucket]] (the
+    * sf0.01 calibration — at n = 1 000 the formula reproduces exactly
+    * 64, so the driver oracle hash is unchanged). Mirrored verbatim as
+    * a scalar subquery in the oracle SQL.
+    */
+  def annProdCap(n: Long): Int =
+    math.max(AnnProdMaxBucket,
+      16 * math.ceil(n / math.pow(2, AnnProdPlanesPerBand)).toInt)
   val AnnProdTau = 0.9
   val AnnProdBands = 8
   val AnnProdPlanesPerBand = 8
@@ -547,20 +563,22 @@ object TextQueries {
       planesPerBand = AnnPlanesPerBand, seed = AnnSeed,
       maxBucket = AnnAuditMaxBucket)
 
-  def semanticDedupAnnProd(s: SparkSession, dir: String): DataFrame =
-    Curation.semanticDedupPairsAnn(docs(s, dir),
-      Tables.load(s, dir, "embeddings"), minCos = AnnProdTau,
+  def semanticDedupAnnProd(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(s, dir, "embeddings")
+    Curation.semanticDedupPairsAnn(docs(s, dir), embs,
+      minCos = AnnProdTau,
       shingleN = ShingleN, minJaccard = MinJaccard,
       dim = SimQueries.Dim, bands = AnnProdBands,
       planesPerBand = AnnProdPlanesPerBand, seed = AnnSeed,
-      maxBucket = AnnProdMaxBucket)
+      maxBucket = annProdCap(embs.count()))
+  }
 
   /** DuckDB mirror of one ANN regime: identical plane family, sign
     * convention, hot-bucket cap (QUALIFY over the banding CTE), cosine
     * round/threshold, and lexical confirm as the Spark path.
     */
   private def annSqlFor(tau: Double, bands: Int, planesPerBand: Int,
-                        maxBucket: Int, auditMod: Option[Int]): String = {
+                        maxBucket: String, auditMod: Option[Int]): String = {
     val planes = graft.sim.Similarity.lshPlanes(bands, planesPerBand,
       SimQueries.Dim, AnnSeed)
     // one struct per band; each bucket packs planesPerBand sign bits
@@ -605,12 +623,18 @@ object TextQueries {
   }
 
   lazy val semanticDedupAnnSql: String =
-    annSqlFor(SemanticTau, AnnBands, AnnPlanesPerBand, AnnAuditMaxBucket,
-      Some(AuditMod))
+    annSqlFor(SemanticTau, AnnBands, AnnPlanesPerBand,
+      AnnAuditMaxBucket.toString, Some(AuditMod))
 
+  /** The prod cap as the same adaptive formula, in-engine: the scalar
+    * subquery recomputes annProdCap from the table's own row count, so
+    * both engines derive the identical cap at ANY corpus size.
+    */
   lazy val semanticDedupAnnProdSql: String =
     annSqlFor(AnnProdTau, AnnProdBands, AnnProdPlanesPerBand,
-      AnnProdMaxBucket, None)
+      s"GREATEST($AnnProdMaxBucket, 16 * CAST(CEIL(" +
+        s"(SELECT count(*) FROM embeddings) / " +
+        s"${1 << AnnProdPlanesPerBand}.0) AS BIGINT))", None)
 
   // ---- unigram LM surprisal (CCNet-style quality signal) ------------------
 

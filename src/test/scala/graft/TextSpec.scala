@@ -813,4 +813,22 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - d2) < 5e-5)
     assert(out(0)._3 > out(1)._3) // extra rare term outranks
   }
+
+  test("adaptive prod ANN cap: 16x background density, floored at the " +
+      "sf0.01 calibration") {
+    import graft.queries.TextQueries
+    // at the sf0.01 corpus size the formula reproduces the historical
+    // fixed cap exactly — the driver oracle hash cannot move
+    assert(TextQueries.annProdCap(1000) == 64)
+    assert(TextQueries.annProdCap(1) == 64) // floor
+    // at the sf1 gate size the cap sits ABOVE background density
+    // (~n/256) — the round-8 recall gate measured that the fixed 64
+    // sat BELOW it (E[bucket] ~ 86 of 22k vectors) and dropped every
+    // bucket, prod recall 0.03 even for an under-cap planted cluster
+    val n = 22016L
+    assert(TextQueries.annProdCap(n) > n / 256)
+    assert(TextQueries.annProdCap(n) == 16 * math.ceil(n / 256.0).toInt)
+    // monotone in corpus size
+    assert(TextQueries.annProdCap(100000) > TextQueries.annProdCap(n))
+  }
 }
