@@ -878,6 +878,14 @@ object EventQueries {
   def streamVolumeRestart(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.volumeSummariesRestart(s, dir)
 
+  /** The multi-journey detector via the STREAM path — one keyed-state
+    * pass for all three journeys ((journey_id, user_id) group key) —
+    * gated by the same per-journey-union oracle as `ev_oos_multi`.
+    */
+  def streamOosMultiBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.oosMultiAlertsBounded(s, dir,
+      GapSeconds, Dag.MultiJourneys)
+
   // ---- R10 entity search-by-name ------------------------------------------
 
   def entitySearch(s: SparkSession, dir: String): DataFrame =
@@ -956,6 +964,7 @@ object EventQueries {
     "stream_liveness_update" -> (streamLivenessUpdate _),
     "stream_sessions_restart" -> (streamSessionsRestart _),
     "stream_volume_restart" -> (streamVolumeRestart _),
+    "stream_oos_multi_bounded" -> (streamOosMultiBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -998,6 +1007,7 @@ object EventQueries {
     "stream_liveness_update" -> livenessSql,
     "stream_sessions_restart" -> streamSessionsBoundedSql,
     "stream_volume_restart" -> volumeAnomaliesSql,
+    "stream_oos_multi_bounded" -> outOfSequenceMultiSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

@@ -38,6 +38,17 @@ case class SeqAlert(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
 /** One within-session adjacent transition, the lineage-mining unit. */
 case class Transition(user_id: Long, src: String, dst: String)
 
+/** An event scoped to one journey's membership (the per-journey
+  * replicated stream of the multi-journey detector).
+  */
+case class JEvent(journey_id: String, event_id: Long,
+                  ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String)
+
+case class JSeqAlert(journey_id: String, event_id: Long, user_id: Long,
+                     ts: java.sql.Timestamp, session_id: Long,
+                     prev_type: String, event_type: String)
+
 /** Structured Streaming variants of the event-analytics operators
   * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
   * streaming system whose demo backdates events up to 55 hours
@@ -259,6 +270,79 @@ object StreamingOps {
           if (sorted.nonEmpty) state.update(prev)
           out.result().iterator
       }
+  }
+
+  /** R4 for SEVERAL journeys on the STREAM — the keyed-state twin of
+    * the batch `EventOps.outOfSequenceMulti`: the journey dimension
+    * rides the GROUP KEY (journey_id, user_id), so one
+    * flatMapGroupsWithState pass evaluates every registered journey's
+    * scoped stream simultaneously; per-key state stays one (type,
+    * micros, session counter) triple and the per-journey closures ship
+    * as control-plane data inside the function closure. The upstream
+    * membership join replicates each event only into the journeys that
+    * contain its type — exactly the batch operator's broadcast member
+    * join, in streaming form.
+    */
+  def detectOutOfSequenceMulti(events: Dataset[JEvent], gapSeconds: Long,
+                               closures: Map[String,
+                                 Set[(String, String)]])
+      : Dataset[JSeqAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.journey_id, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[JEvent],
+         state: GroupState[SeqState]) =>
+          val (journey, user) = key
+          val closure = closures.getOrElse(journey, Set.empty)
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = state.getOption.orNull
+          val out = Seq.newBuilder[JSeqAlert]
+          sorted.foreach { e =>
+            val m = micros(e.ts)
+            val inSession =
+              prev != null && m - prev.lastMicros <= gapSeconds * 1000000L
+            val sid = if (inSession) prev.sessionId
+                      else (if (prev == null) 0L else prev.sessionId) + 1L
+            if (inSession && closure((e.event_type, prev.lastType)))
+              out += JSeqAlert(journey, e.event_id, user, e.ts, sid,
+                prev.lastType, e.event_type)
+            prev = SeqState(e.event_type, m, sid)
+          }
+          if (sorted.nonEmpty) state.update(prev)
+          out.result().iterator
+      }
+  }
+
+  /** Bounded END-TO-END run of the streaming multi-journey detector,
+    * shaped to (and gated by) the same oracle as the batch
+    * `ev_oos_multi`.
+    */
+  def oosMultiAlertsBounded(spark: SparkSession, sfDir: String,
+                            gapSeconds: Long,
+                            journeys: Seq[(String,
+                              Seq[graft.events.Dag.Edge])]): DataFrame = {
+    import spark.implicits._
+    val memberDf = journeys
+      .flatMap { case (j, es) => graft.events.Dag.members(es).map(j -> _) }
+      .toDF("journey_id", "event_type")
+    val closures = journeys.map { case (j, es) =>
+      j -> graft.events.Dag
+        .closureLocal(graft.events.Dag.orderedPairs(es)).toSet
+    }.toMap
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => detectOutOfSequenceMulti(
+        eventStream(spark, drop)
+          .join(broadcast(memberDf), "event_type")
+          .select(col("journey_id"), col("event_id"), col("ts"),
+            col("user_id"), col("event_type")).as[JEvent],
+        gapSeconds, closures).toDF(),
+      sink => sink
+        .select(col("journey_id"), col("user_id"), col("session_id"),
+          col("event_id"), col("ts"), col("prev_type"),
+          col("event_type"), lit("OUT_OF_SEQUENCE").as("alert_type"))
+        .orderBy("journey_id", "event_id"))
   }
 
   /** Streaming lineage mining, stage 1: emit EVERY within-session
@@ -610,11 +694,13 @@ object StreamingOps {
     * the state is control-plane-sized, which these three are by
     * construction: (user, day) minima and (type, day) counts grow with
     * the key space, not the event volume, and liveness state is one
-    * row per agent. An UNBOUNDED production deployment would run the
-    * identical aggregation in update mode with a watermark so closed
-    * days evict from the state store; the aggregation operator (and
-    * therefore this gate's evidence) is the same — only the sink
-    * contract changes.
+    * row per agent. The UNBOUNDED production posture — the identical
+    * aggregations in UPDATE mode with a watermark so closed days EVICT
+    * from the state store — is no longer a claim: it is gated by the
+    * `stream_*_update` queries ([[lateStartSummariesUpdate]] /
+    * [[volumeSummariesUpdate]] / [[livenessSummariesUpdate]]), which
+    * hash-match the same oracles and REQUIRE the measured state-store
+    * shrink ([[updateModeRun]]'s sentinel advance).
     */
   def lateStartSummariesBounded(spark: SparkSession, sfDir: String,
                                 cron: String, marginSeconds: Long)

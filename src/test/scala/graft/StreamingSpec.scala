@@ -640,6 +640,21 @@ class StreamingSpec extends AnyFunSuite {
       s"state=${live.finalStateRows} roster=$roster")
   }
 
+  test("streaming multi-journey OOS equals the batch fused pass on the " +
+      "real table") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    val streamed = StreamingOps.oosMultiAlertsBounded(spark,
+      SparkTestSession.sf, 1800, graft.events.Dag.MultiJourneys)
+    val batch = graft.events.EventOps.outOfSequenceMulti(ev, 1800,
+      graft.events.Dag.MultiJourneys, spark)
+    assert(sig(streamed) == sig(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("checkpoint recovery: a stream killed mid-replay and restarted " +
       "from its checkpoint converges to the uninterrupted answer") {
     def sig(df: org.apache.spark.sql.DataFrame) =
