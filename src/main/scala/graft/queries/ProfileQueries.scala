@@ -66,6 +66,16 @@ object ProfileQueries {
   private def streamProfileBounded(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.profileSummariesBounded(s, dir)
 
+  /** The incremental profiler killed after 2 of 4 staged files and
+    * resumed from its checkpoint, with the fold keyed by batchId so a
+    * replayed batch overwrites idempotently (see
+    * StreamingOps.profileSummariesRestart) — same full-table oracle as
+    * the uninterrupted fold: the hash proves no micro-batch was lost
+    * or double-counted across the restart.
+    */
+  private def streamProfileRestart(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.profileSummariesRestart(s, dir)
+
   private val streamProfileSql: String =
     s"""SELECT ${Profiler.MergeableFields.mkString(", ")}
        |FROM (${ProfileOracle.sql("events")})
@@ -150,6 +160,7 @@ object ProfileQueries {
     "drift_psi_lineitem" -> (driftPsi _),
     "profile_merge_lineitem" -> (profileMerge _),
     "stream_profile_bounded" -> (streamProfileBounded _),
+    "stream_profile_restart" -> (streamProfileRestart _),
     "stream_profile_hll_check" -> (streamProfileHllCheck _),
   )
 
@@ -170,6 +181,7 @@ object ProfileQueries {
       "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
     "profile_merge_lineitem" -> profileMergeSql,
     "stream_profile_bounded" -> streamProfileSql,
+    "stream_profile_restart" -> streamProfileSql,
     "stream_profile_hll_check" -> streamProfileHllCheckSql,
     "drift_psi_lineitem" -> DriftPsi.oracleSql("lineitem",
       "l_extendedprice", PsiMin, PsiMax, PsiCounts, PsiTotal),

@@ -974,7 +974,9 @@ object StreamingOps {
                  build: String => DataFrame,
                  summarize: DataFrame => DataFrame,
                  mode: OutputMode = OutputMode.Append,
-                 foldKeys: Seq[String] = Nil): DataFrame = {
+                 foldKeys: Seq[String] = Nil,
+                 mapBatch: (DataFrame, Long) => DataFrame =
+                   (b, _) => b): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     require(stopAfter > 0 && stopAfter < nSlices,
@@ -1017,7 +1019,8 @@ object StreamingOps {
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (b: DataFrame, id: Long) =>
-            batches(id) = (b.schema, b.collect())
+            val m = mapBatch(b, id)
+            batches(id) = (m.schema, m.collect())
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -1087,6 +1090,40 @@ object StreamingOps {
           to_date(col("window_start")).as("day"), col("n"))),
       OutputMode.Update,
       foldKeys = Seq("window_start", "event_type"))
+
+  /** The incremental profiler through a mid-replay restart — the
+    * restart story [[profileSummariesBounded]]'s driver fold lacks:
+    * the running merged profile lives OUTSIDE the checkpoint, so a
+    * restarted query would skip the already-committed files (source
+    * log) while a naive fold restarts empty — silently profiling only
+    * the tail. The restart-safe shape keys the fold BY BATCH ID: each
+    * micro-batch's (tiny, control-plane) per-batch profile is stored
+    * under its batchId — a replayed batch re-profiles and OVERWRITES
+    * idempotently, a production deployment MERGEs per-batch profiles
+    * into a store keyed the same way — and the final profile merges
+    * the per-batch profiles in batchId order. Gated by the SAME
+    * full-table oracle as `stream_profile_bounded`: the hash match
+    * proves no batch was lost or double-counted across the restart.
+    */
+  def profileSummariesRestart(spark: SparkSession, sfDir: String,
+                              nSlices: Int = 4, stopAfter: Int = 2)
+      : DataFrame = {
+    val P = graft.profile.Profiler
+    restartRun(spark, s"$sfDir/events.parquet", nSlices, stopAfter,
+      build = drop => eventStream(spark, drop),
+      summarize = perBatch => {
+        val ids = perBatch.select(col("__batch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        ids.map(i => perBatch.filter(col("__batch") === i)
+            .drop("__batch"))
+          .reduce(P.mergeProfiles)
+          .select(P.MergeableFields
+            .map(org.apache.spark.sql.functions.col): _*)
+          .orderBy("column_name")
+      },
+      mapBatch = (b, id) => P.profileMergeable(b, "events")
+        .withColumn("__batch", lit(id)))
+  }
 
   /** Production-mode R2 lateness: the per-(user, day) first-event
     * aggregation as an update-mode windowed aggregate with the 55 h

@@ -676,6 +676,13 @@ class StreamingSpec extends AnyFunSuite {
       SparkTestSession.sf, nSlices = 4, stopAfter = 2)
     val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
     assert(sig(vResumed) == sig(graft.events.EventOps.volumeAnomalies(ev)))
+    // incremental profiler: the batchId-keyed fold through the restart
+    // equals the uninterrupted fold (no batch lost or double-counted)
+    val pResumed = StreamingOps.profileSummariesRestart(spark,
+      SparkTestSession.sf, nSlices = 4, stopAfter = 2)
+    val pBounded = StreamingOps.profileSummariesBounded(spark,
+      SparkTestSession.sf)
+    assert(sig(pResumed) == sig(pBounded))
   }
 
   test("idempotent chunked delivery survives a forced epoch replay: the " +
