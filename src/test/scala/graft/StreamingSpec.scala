@@ -765,6 +765,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(untouched.values.forall(_ == 1))
   }
 
+  test("stateful exactly-once through the crash window: a forced epoch " +
+      "replay reloads the PRE-BATCH state version and reproduces the " +
+      "batch byte-for-byte") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // clean stop/restart (the stream_*_restart gates) proves state
+    // recovery at a COMMITTED boundary; this forces the harder window —
+    // the engine believes the last batch's sink output may or may not
+    // have landed, must reload the state store version from BEFORE that
+    // batch, and must re-emit identical rows (which the batchId-keyed
+    // fold then overwrites idempotently)
+    val work = Files.createTempDirectory("graft-state-replay")
+    val drop = Files.createDirectories(work.resolve("drop"))
+    val ckpt = work.resolve("ckpt").toString
+    val baseNs = ts("2024-01-01 10:00:00").getTime * 1000000L
+    // two slices; user 1's session SPANS the slice boundary, so a state
+    // rewind that loses (or double-advances) the carried session state
+    // renumbers rows of batch 1
+    (0 to 1).foreach { i =>
+      val rows = (0 until 6).map { j =>
+        val k = i * 6 + j
+        (k.toLong, baseNs + k * 60000000000L, 1L, "view", 1.0, "{}")
+      }
+      val tmp = work.resolve(s"slice$i")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val staged = Files.copy(part, drop.resolve(f"s$i%02d.parquet"))
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L +
+          i * 1000L))
+    }
+    val batches = scala.collection.mutable.SortedMap
+      .empty[Long, Seq[(Long, Long)]] // batchId -> (event_id, session)
+    var deliveries = 0
+    def run(): Unit = {
+      val q = StreamingOps.assignSessions(
+          StreamingOps.eventStream(spark, drop.toString).as[SEvent],
+          gapSeconds = 1800).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          deliveries += 1
+          batches(id) = b.collect().map(r =>
+            (r.getAs[Long]("event_id"), r.getAs[Long]("session_id"))).toSeq
+        }
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination() }
+    }
+    run()
+    val firstPass = batches.toMap
+    val deliveriesBefore = deliveries
+    // forced crash window: drop the newest commit-log entry (+ crc)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val dir = work.resolve("ckpt").resolve("commits")
+      val commits = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+      val victim = commits.maxBy(_.getFileName.toString.toLong)
+      Files.delete(victim)
+      Files.deleteIfExists(dir.resolve(s".${victim.getFileName}.crc"))
+    }
+    run()
+    // the replay really happened...
+    assert(deliveries > deliveriesBefore, "batch 1 must have re-run")
+    // ...and reproduced byte-identical output: same batches, same rows,
+    // same session numbering across the slice-spanning session
+    assert(batches.toMap == firstPass)
+    // and the final numbering equals the batch operator (sessions carry
+    // across the boundary: 12 one-minute events = one session)
+    val all = batches.values.flatten.toSeq.sortBy(_._1)
+    assert(all.map(_._1) == (0L until 12L))
+    assert(all.map(_._2).distinct == Seq(1L),
+      s"one spanning session expected: $all")
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
