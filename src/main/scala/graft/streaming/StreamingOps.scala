@@ -873,6 +873,57 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     var peak = 0L
     var fin = 0L
+    // WATERMARKED aggregations assume the drop folder receives files in
+    // (approximate) EVENT-TIME order — the property a real ingestion
+    // pipeline provides. The raw sf1 scale layout violates it: each
+    // part file is a full-time-range REPLICA, so from the second
+    // trigger on, most rows sit behind the already-advanced GLOBAL
+    // watermark and would be dropped (per-key-disjoint files only
+    // excuse per-key state, never a global watermark). Stage a
+    // TIME-SLICED rewrite instead — same trigger count (one slice per
+    // input part file), name order = time order, exactly like
+    // [[restartRun]]'s staging.
+    val sliced = Files.createTempDirectory("graft-timeslice")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    val folded = try {
+      val src = Paths.get(srcParquet)
+      val nSlices =
+        if (!Files.isDirectory(src)) 1
+        else {
+          val walk = Files.list(src)
+          try walk.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet")).max(1)
+          finally walk.close()
+        }
+      spark.read.parquet(srcParquet)
+        .repartitionByRange(nSlices, col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite").parquet(sliced.toString)
+      updateModeRunStaged(spark, sliced.toString, keys, build, summarize,
+        sentinelAdvance, r => { peak = r._1; fin = r._2 })
+    } finally {
+      import scala.util.control.NonFatal
+      try rmTree(sliced) catch { case NonFatal(_) => () }
+    }
+    UpdateRunResult(folded, peak, fin)
+  }
+
+  private def updateModeRunStaged(spark: SparkSession, srcParquet: String,
+                                  keys: Seq[String],
+                                  build: String => DataFrame,
+                                  summarize: DataFrame => DataFrame,
+                                  sentinelAdvance: Boolean,
+                                  record: ((Long, Long)) => Unit)
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    var peak = 0L
+    var fin = 0L
     val folded = boundedDropRun(spark, srcParquet) { (drop, ckpt) =>
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[Seq[Any], org.apache.spark.sql.Row]
@@ -939,7 +990,8 @@ object StreamingOps {
       summarize(spark.createDataFrame(acc.values.toSeq.asJava, schema))
         .localCheckpoint(true)
     }
-    UpdateRunResult(folded, peak, fin)
+    record((peak, fin))
+    folded
   }
 
   /** CHECKPOINT-RECOVERY (exactly-once restart) scaffold — the core
