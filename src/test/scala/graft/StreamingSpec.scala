@@ -640,6 +640,52 @@ class StreamingSpec extends AnyFunSuite {
       s"state=${live.finalStateRows} roster=$roster")
   }
 
+  test("update-mode staging is layout-independent: full-time-range " +
+      "replica part files cannot ride the global watermark") {
+    // Regression for the sf1-layout defect UpdateSf1Check caught at
+    // scale: when every part file spans the FULL time range (disjoint
+    // by key, not by time), a straight file-per-trigger replay puts
+    // most of files 2..n behind the already-advanced GLOBAL watermark
+    // and the update-mode aggregation silently drops them —
+    // per-key-disjoint files excuse per-key state, never a global
+    // watermark. updateModeRun must therefore re-slice its input by
+    // event time regardless of the incoming layout. Spec-scale fence:
+    // rewrite the real events table hash-partitioned by user (3 full-
+    // range replicas) and require the update-mode monitor to still
+    // equal its batch twin.
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replica-layout")
+    try {
+      ev.repartition(3, col("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val nFiles = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files
+          .list(java.nio.file.Paths.get(s"$dir/events.parquet"))
+        try walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+      assert(nFiles == 3, s"layout must be multi-file, got $nFiles")
+      val late = StreamingOps.lateStartUpdateRun(spark, dir.toString,
+        "0 6 * * *", 600)
+      assert(sig(late.result) ==
+        sig(graft.events.EventOps.lateStarts(ev, "0 6 * * *", 600, spark)))
+      assert(late.finalStateRows < late.peakStateRows)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("streaming multi-journey OOS equals the batch fused pass on the " +
       "real table") {
     def sig(df: org.apache.spark.sql.DataFrame) =
