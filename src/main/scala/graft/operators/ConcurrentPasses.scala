@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Executes a set of ONE-ROW aggregate passes as genuinely concurrent
+  * Spark actions and recombines their single rows into one
+  * LocalRelation row — the shared recombination engine behind the
+  * profiler (Profiler.profileWith) and the quality evaluator
+  * (TestEvaluator.run), replacing their former crossJoin recombination
+  * (a pairwise BroadcastNestedLoopJoin tree).
+  *
+  * Why not crossJoin: each BNLJ executes its STREAMED side inside the
+  * parent's stage, so a crossJoin tree's left spine serializes the
+  * passes however many cores are free — and on single-row-group inputs
+  * every pass is a one-task stage, so the serialized spine IS the wall
+  * clock (measured in PROFILE_COST_r8.md: ~7.4 s execution at sf0.1
+  * lineitem collapsing to ~2.5 s under concurrent actions, values
+  * bit-identical). Submitting each pass as its own action from a
+  * bounded thread pool lets the scheduler interleave the jobs across
+  * all cores, and the recombined row enters downstream assembly as a
+  * LocalRelation — zero further cluster work.
+  *
+  * 100 TB note: concurrency here is ACROSS passes (columns/measures);
+  * each pass itself distributes over the table's partitions, so both
+  * axes scale — many row groups give per-pass parallelism, the pool
+  * keeps narrow passes from idling the cluster between jobs. The pool
+  * is per-invocation (cheap next to any pass) and bounded so a wide
+  * table cannot flood the scheduler.
+  *
+  * CONTRACT — callers become EAGER: every pass executes (and this call
+  * blocks) at DataFrame-construction time, not at first action.
+  * Failures therefore surface at construction. The await is bounded by
+  * `spark.graft.passTimeoutSec` (default 86400 s) so a wedged executor
+  * cannot hang the driver thread forever.
+  */
+object ConcurrentPasses {
+
+  /** Collect each one-row pass concurrently; return the concatenated
+    * single row and its schema (pass order preserved).
+    */
+  def collectRow(spark: SparkSession,
+                 passes: Seq[DataFrame]): (StructType, Row) = {
+    require(passes.nonEmpty, "no passes to collect")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val timeout = Duration(
+      spark.conf.getOption("spark.graft.passTimeoutSec")
+        .map(_.toLong).getOrElse(86400L), SECONDS)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(passes.size, 16))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val rows = Await.result(
+        Future.sequence(passes.map(p => Future(p.collect()(0)))),
+        timeout)
+      val schema = StructType(passes.flatMap(_.schema.fields).toArray)
+      (schema, Row.fromSeq(rows.flatMap(_.toSeq)))
+    } finally pool.shutdown()
+  }
+
+  /** [[collectRow]] wrapped back into a one-row LocalRelation frame. */
+  def collectOneRow(spark: SparkSession,
+                    passes: Seq[DataFrame]): DataFrame = {
+    val (schema, row) = collectRow(spark, passes)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+}

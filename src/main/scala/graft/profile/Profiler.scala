@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * demo/input_data/data_tests.csv — Baseline_Ct / Baseline_Value_Ct /
   * Baseline_Unique_Ct / Baseline_Avg / Baseline_SD / Baseline_Sum / min-max
   * dates / value lengths) as per-column Spark `agg()` passes: one struct
-  * of ~50 statistics per input column, recombined by one-row crossJoins,
-  * then `explode` to one profile row per column.
+  * of ~50 statistics per input column, the one-row passes executed as
+  * concurrent Spark actions and recombined into one LocalRelation row
+  * (graft.operators.ConcurrentPasses — the r8 rework that replaced the
+  * serializing crossJoin/BNLJ spine), then `explode` to one profile row
+  * per column.
   *
   * Scale notes (100 TB): every pass is a column-pruned scan + a one-row
   * partial-aggregate shuffle, so for an unfiltered table total bytes
@@ -82,6 +85,12 @@ object Profiler {
   /** Profile every (profilable) column of `df` in one aggregate pass.
     * Output: one row per column, ordered by column_name (deterministic for
     * the oracle hash compare).
+    *
+    * EAGER: the scan passes execute (concurrently) at call time — the
+    * returned frame is a small LocalRelation-backed result, not a lazy
+    * plan over `df` (ConcurrentPasses contract). Failures surface here,
+    * not at the first downstream action; callers that only want the
+    * pass PLANS use [[passesFor]]/[[passesForTable]].
     */
   def profile(df: DataFrame, tableName: String,
               exactDistinct: Boolean = true): DataFrame =
@@ -170,9 +179,20 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }.toSeq
     require(fields.nonEmpty, s"no profilable columns in $tableName")
-    val agged = collectConcurrent(df.sparkSession,
-      buildPasses(df, fields, distincts, exactPercentiles))
+    val agged = graft.operators.ConcurrentPasses.collectOneRow(
+      df.sparkSession, buildPasses(df, fields, distincts, exactPercentiles))
+    assemble(agged, tableName, fields, distincts)
+  }
 
+  /** Recombine the collected one-row pass results into the profile
+    * frame: one struct of ~50 statistics per column, exploded to one
+    * row per column. Split out of [[profileWith]] so the fused
+    * approx-check ([[approxCheckFused]]) can assemble BOTH modes from
+    * one shared set of collected passes.
+    */
+  private def assemble(agged: DataFrame, tableName: String,
+                       fields: Seq[(StructField, Int)],
+                       distincts: String): DataFrame = {
     val structs = fields.map { case (f, i) =>
       val isTs = f.dataType == TimestampType
       val isNum = f.dataType.isInstanceOf[NumericType]
@@ -248,11 +268,20 @@ object Profiler {
                                  fields: Seq[(StructField, Int)],
                                  distincts: String,
                                  exactPercentiles: Boolean)
-      : Seq[DataFrame] = {
-    val V = "__v"
-    def canon(f: StructField): DataFrame =
-      df.select(col(f.name).as(V))
-    val basePasses: Seq[DataFrame] = fields.map { case (f, i) =>
+      : Seq[DataFrame] =
+    basePasses(df, fields, distincts) ++
+      distinctPasses(df, fields, distincts) ++
+      (if (distincts == "none" || distincts == "sketch") Seq.empty
+       else pctPasses(df, fields, exactPercentiles))
+
+  private val V = "__v"
+  private def canon(df: DataFrame, f: StructField): DataFrame =
+    df.select(col(f.name).as(V))
+
+  private def basePasses(df: DataFrame, fields: Seq[(StructField, Int)],
+                         distincts: String): Seq[DataFrame] = {
+    def canon(f: StructField): DataFrame = Profiler.canon(df, f)
+    fields.map { case (f, i) =>
       val pairs = statsPairs(col(V), f.dataType)
       val riders: Seq[(String, Column)] = distincts match {
         case "hll" =>
@@ -270,30 +299,33 @@ object Profiler {
         .select(pairs.map { case (n, _) => col(n).as(s"__s${i}_$n") } ++
           riders.map { case (n, _) => col(n).as(s"${n}_$i") }: _*)
     }
-    val distinctPasses: Seq[DataFrame] =
-      (if (distincts != "exact") Seq.empty
-       else fields.map { case (f, i) =>
-        canon(f).agg(countDistinct(col(V)).as("__d"))
-          .select(col("__d").as(s"__d_$i"))
-      }) ++
-      (if (distincts != "exact" && distincts != "dates") Seq.empty
-       else fields.collect {
-        case (f, i) if f.dataType == TimestampType =>
-          canon(f).agg(countDistinct(to_date(col(V))).as("__dd"))
-            .select(col("__dd").as(s"__dd_$i"))
-      })
-    val pctPasses: Seq[DataFrame] =
-      if (distincts == "none" || distincts == "sketch") Seq.empty
-      else fields.collect {
-        case (f, i) if f.dataType.isInstanceOf[NumericType] =>
-          val ps = array(lit(0.25), lit(0.5), lit(0.75))
-          df.select(col(f.name).cast(DoubleType).as(V))
-            .agg((if (exactPercentiles) percentile(col(V), ps)
-                  else approx_percentile(col(V), ps, lit(10000))).as("__q"))
-            .select(col("__q").as(s"__q_$i"))
-      }
-    basePasses ++ distinctPasses ++ pctPasses
   }
+
+  private def distinctPasses(df: DataFrame,
+                             fields: Seq[(StructField, Int)],
+                             distincts: String): Seq[DataFrame] =
+    (if (distincts != "exact") Seq.empty
+     else fields.map { case (f, i) =>
+      canon(df, f).agg(countDistinct(col(V)).as("__d"))
+        .select(col("__d").as(s"__d_$i"))
+    }) ++
+    (if (distincts != "exact" && distincts != "dates") Seq.empty
+     else fields.collect {
+      case (f, i) if f.dataType == TimestampType =>
+        canon(df, f).agg(countDistinct(to_date(col(V))).as("__dd"))
+          .select(col("__dd").as(s"__dd_$i"))
+    })
+
+  private def pctPasses(df: DataFrame, fields: Seq[(StructField, Int)],
+                        exactPercentiles: Boolean): Seq[DataFrame] =
+    fields.collect {
+      case (f, i) if f.dataType.isInstanceOf[NumericType] =>
+        val ps = array(lit(0.25), lit(0.5), lit(0.75))
+        df.select(col(f.name).cast(DoubleType).as(V))
+          .agg((if (exactPercentiles) percentile(col(V), ps)
+                else approx_percentile(col(V), ps, lit(10000))).as("__q"))
+          .select(col("__q").as(s"__q_$i"))
+    }
 
   /** [[buildPasses]] for a whole table, as the plan-fence entry point:
     * profilable fields resolved exactly as profileWith resolves them.
@@ -306,48 +338,56 @@ object Profiler {
         .filter { case (f, _) => isProfilable(f.dataType) }.toSeq,
       distincts, exactPercentiles)
 
-  /** Execute the one-row passes as GENUINELY CONCURRENT Spark actions
-    * and recombine their single rows into one local-relation row —
-    * replacing the r5–r7 crossJoin recombination (a pairwise-balanced
-    * BroadcastNestedLoopJoin tree). The crossJoin tree was measured as
-    * the profile family's remaining steady-state cost (ProfilePhaseProbe:
-    * ~0.6 s plan build + ~7.4 s execution at sf0.1 lineitem, 0 Janino
-    * compiles): each BNLJ executes its STREAMED side inside the parent's
-    * stage, so the tree's left spine serializes a chain of passes however
-    * many cores are free — and on the single-row-group driver testdata
-    * every pass is a one-task stage, so the serialized spine IS the wall
-    * clock. Submitting each pass as its own action from a bounded thread
-    * pool runs them truly in parallel (the scheduler interleaves the
-    * one-task jobs across all cores), and the recombined row enters the
-    * struct/explode assembly as a LocalRelation — zero further cluster
-    * work, identical values bit-for-bit (same aggregate expressions, only
-    * the recombination operator changed).
+  /** Fused exact-vs-approx audit gate: ProfileCompare.approxCheck over
+    * BOTH profile modes of one table computed from ONE shared set of
+    * base scans (the r8 verdict's "What's wrong #2": running the exact
+    * and approx pipelines in full pays a full extra table scan per
+    * audit at 100 TB, even though the two modes ride IDENTICAL base
+    * passes by construction).
     *
-    * 100 TB note: concurrency here is ACROSS columns; each pass itself
-    * distributes over the table's partitions, so both axes scale — many
-    * row groups give per-pass parallelism, the pool keeps narrow passes
-    * from idling the cluster between jobs. The pool is per-invocation
-    * (cheap next to any pass) and bounded so a wide table cannot flood
-    * the scheduler.
+    * Pass set (each pass collected once, concurrently):
+    *  - SHARED base passes in "hll" form — the ~50 per-column stats
+    *    (bit-identical expressions in both modes) with the HLL
+    *    distinct riders attached; the riders are the approx side's
+    *    distinct estimates and adding an aggregate to an agg() does
+    *    not perturb its siblings, so the exact side reads the same
+    *    stats values a rider-free pass would produce;
+    *  - exact countDistinct / distinct-date passes (renamed __ed/__edd
+    *    so they can coexist with the riders in one merged row);
+    *  - exact and approx percentile passes (TypedImperative — these
+    *    genuinely differ per mode and stay separate).
+    * Both profile frames are then assembled from selections of the one
+    * merged LocalRelation row — values bit-identical to two standalone
+    * profile() runs, one table scan per column instead of two.
     */
-  private def collectConcurrent(spark: org.apache.spark.sql.SparkSession,
-                                passes: Seq[DataFrame]): DataFrame = {
-    require(passes.nonEmpty, "no passes to collect")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(passes.size, 16))
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    try {
-      val rows = Await.result(
-        Future.sequence(passes.map(p => Future(p.collect()(0)))),
-        Duration.Inf)
-      val schema = StructType(passes.flatMap(_.schema.fields).toArray)
-      val merged = org.apache.spark.sql.Row.fromSeq(rows.flatMap(_.toSeq))
-      spark.createDataFrame(
-        java.util.Collections.singletonList(merged), schema)
-    } finally pool.shutdown()
+  def approxCheckFused(df: DataFrame, tableName: String): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.zipWithIndex.filter {
+      case (f, _) => isProfilable(f.dataType)
+    }.toSeq
+    require(fields.nonEmpty, s"no profilable columns in $tableName")
+    val shared = basePasses(df, fields, "hll")
+    val exactD = distinctPasses(df, fields, "exact").map { p =>
+      p.select(p.columns.map(c => col(c).as("__e" + c.stripPrefix("__"))): _*)
+    }
+    val exactQ = pctPasses(df, fields, exactPercentiles = true).map { p =>
+      p.select(p.columns.map(c => col(c).as("__e" + c.stripPrefix("__"))): _*)
+    }
+    val approxQ = pctPasses(df, fields, exactPercentiles = false)
+    val merged = graft.operators.ConcurrentPasses.collectOneRow(
+      spark, shared ++ exactD ++ exactQ ++ approxQ)
+    val statCols = fields.flatMap { case (f, i) =>
+      merged.columns.filter(_.startsWith(s"__s${i}_")) }.map(col)
+    val exactSide = merged.select(statCols ++
+      merged.columns.filter(_.startsWith("__e"))
+        .map(c => col(c).as("__" + c.stripPrefix("__e"))): _*)
+    val approxSide = merged.select(statCols ++
+      merged.columns.filter(c =>
+        c.startsWith("__d_") || c.startsWith("__dd_") ||
+          c.startsWith("__q_")).map(col): _*)
+    ProfileCompare.approxCheck(
+      assemble(exactSide, tableName, fields, "exact"),
+      assemble(approxSide, tableName, fields, "hll"))
   }
 
   /** Count/sum characteristics that scale linearly with sampled rows. */

@@ -469,13 +469,32 @@ object TestEvaluator {
 
   /** Run all tests against one table: one base aggregation pass for plain
     * measures plus one narrow pass per distinct expression (see class doc),
-    * all one-row results crossJoined back together.
+    * the one-row passes executed as CONCURRENT Spark actions and their
+    * rows recombined into one LocalRelation row
+    * (graft.operators.ConcurrentPasses — the same rework that removed
+    * the Profiler's serializing crossJoin/BNLJ spine in r8; values
+    * bit-identical, only the recombination operator changed). EAGER:
+    * the passes execute at call time; callers that only want the pass
+    * PLANS use [[suitePasses]].
     */
   def run(df: DataFrame, defs: Seq[TestDef],
           approxDistinct: Boolean = false): DataFrame = {
     require(defs.nonEmpty)
-    val compiled = defs.map(compile(_, approxDistinct))
-    val indexed = compiled.zipWithIndex
+    val indexed = defs.map(compile(_, approxDistinct)).zipWithIndex
+    val agged = graft.operators.ConcurrentPasses.collectOneRow(
+      df.sparkSession, suitePasses(df, indexed))
+    assemble(agged, indexed)
+  }
+
+  /** The aggregation passes one suite evaluation runs (base pass first),
+    * exposed for plan-shape fences: QualitySpec asserts NO pass plans an
+    * Expand — since the concurrent-collect rework the passes no longer
+    * appear in the result frame's executed plan, so the fence must
+    * target them directly (same pattern as Profiler.passesFor).
+    */
+  private[graft] def suitePasses(df: DataFrame,
+                                 indexed: Seq[(Compiled, Int)])
+      : Seq[DataFrame] = {
     val byKey = indexed.groupBy(_._1.distinctKey)
     val plain = byKey.getOrElse(None, Seq.empty)
     val distinctGroups = byKey.collect { case (Some(k), ms) => k -> ms }
@@ -501,7 +520,16 @@ object TestEvaluator {
           df.agg(aggs.head, aggs.tail: _*)
       }
     }
-    val agged = distinctPasses.foldLeft(basePass)(_.crossJoin(_))
+    basePass +: distinctPasses
+  }
+
+  /** Recombine the collected one-row measures (columns `__m_<i>` +
+    * `__rc`) into the per-test result frame. Split out of [[run]] so
+    * the fused approx-check ([[approxCheckFused]]) can assemble BOTH
+    * modes from one shared set of collected passes.
+    */
+  private def assemble(agged: DataFrame,
+                       indexed: Seq[(Compiled, Int)]): DataFrame = {
     // Per-test structs carry only literals + the measure reference; the
     // status/message/result_expr logic is applied ONCE generically after
     // the explode (keyed by the test's comparison family). Inlining that
@@ -581,6 +609,57 @@ object TestEvaluator {
       .select(col("column_name"), col("test_type"), col("exact_status"),
         col("approx_status"), col("exact_measure"), col("approx_measure"))
       .orderBy("column_name", "test_type")
+  }
+
+  /** Fused exact-vs-approx audit gate: [[approxCheck]] over BOTH
+    * evaluation modes of one suite computed from ONE shared base scan
+    * (the r8 verdict's "What's wrong #2" applied to the dq tier: the
+    * two modes ride identical plain measures by construction, so
+    * running both pipelines in full pays a full extra table scan per
+    * audit at 100 TB).
+    *
+    * One fused base pass carries the plain measures (bit-identical
+    * Column trees in both modes), the approx mode's HLL sketch
+    * measures (plain aggregates — no Expand, no extra pass), and the
+    * shared row count; the exact mode's countDistinct passes remain
+    * the only extra scans (narrow, one column each). Both result
+    * frames are then assembled from selections of the one merged
+    * LocalRelation row — values bit-identical to two standalone
+    * [[run]] calls.
+    */
+  def approxCheckFused(df: DataFrame, defs: Seq[TestDef]): DataFrame = {
+    require(defs.nonEmpty)
+    val exactIdx = defs.map(compile(_)).zipWithIndex
+    val approxIdx = defs.map(compile(_, approxDistinct = true)).zipWithIndex
+    val distinctIdxs = exactIdx.collect {
+      case (t, i) if t.distinctKey.isDefined => i
+    }.toSet
+    // fused base pass: exact plain measures (≡ approx plain measures)
+    // as __m_i, approx sketch measures for the distinct-backed tests
+    // as __am_i, plus the shared row count
+    val fusedBase = {
+      val aggs = approxIdx.map { case (t, i) =>
+        t.measure.as(if (distinctIdxs(i)) s"__am_$i" else s"__m_$i")
+      } :+ count(lit(1)).cast(D).as("__rc")
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    // the exact mode's distinct passes, unchanged (suitePasses emits the
+    // base pass first; drop it — the fused base above replaces it)
+    val exactDistinct = suitePasses(df, exactIdx).tail
+    val merged = graft.operators.ConcurrentPasses.collectOneRow(
+      df.sparkSession, fusedBase +: exactDistinct)
+    val exactSide = merged.select(merged.columns.collect {
+      case c if !c.startsWith("__am_") => col(c)
+    }: _*)
+    val approxSide = merged.select(merged.columns.collect {
+      case c if c.startsWith("__am_") =>
+        col(c).as("__m_" + c.stripPrefix("__am_"))
+      case c if !c.startsWith("__m_") || {
+        val i = c.stripPrefix("__m_").toInt; !distinctIdxs(i)
+      } => col(c)
+    }: _*)
+    approxCheck(assemble(exactSide, exactIdx),
+      assemble(approxSide, approxIdx))
   }
 
   /** Typed zero-row oracle for [[approxCheck]]. */

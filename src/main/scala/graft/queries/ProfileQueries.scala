@@ -137,13 +137,13 @@ object ProfileQueries {
       Profiler.profile(Tables.load(s, dir, "lineitem"), "lineitem",
         exactDistinct = false)),
     // expected-empty violation gate over the HLL mode (r5 verdict #1):
-    // puts the approx tier under the driver's row/hash compare
-    "profile_approx_check_lineitem" -> ((s: SparkSession, dir: String) => {
-      val li = Tables.load(s, dir, "lineitem")
-      ProfileCompare.approxCheck(
-        Profiler.profile(li, "lineitem"),
-        Profiler.profile(li, "lineitem", exactDistinct = false))
-    }),
+    // puts the approx tier under the driver's row/hash compare. FUSED
+    // (r8 verdict #1b): both modes' profiles assemble from ONE shared
+    // set of base scans — the exact countDistinct and the per-mode
+    // percentile passes are the only extra work
+    "profile_approx_check_lineitem" -> ((s: SparkSession, dir: String) =>
+      Profiler.approxCheckFused(Tables.load(s, dir, "lineitem"),
+        "lineitem")),
     "profile_sampled_lineitem" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, concat, lit}
       // md5-drawn 10% subset on the (l_orderkey, l_linenumber) row key +

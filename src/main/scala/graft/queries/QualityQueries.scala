@@ -90,12 +90,12 @@ object QualityQueries {
     // sketch error flips two bands there — that tier's sketch error is
     // gated at the source instead (profile_approx_check_lineitem's
     // max(2, 10%) per-column bound over the same table).
-    "dq_approx_check_lineitem" -> ((s: SparkSession, dir: String) => {
-      val li = Tables.load(s, dir, "lineitem")
-      TestEvaluator.approxCheck(
-        TestEvaluator.run(li, Suites.lineitem),
-        TestEvaluator.run(li, Suites.lineitem, approxDistinct = true))
-    }),
+    // FUSED (r8 verdict #1b): one shared base scan serves both modes —
+    // plain measures ride identical Column trees, so the fused pass
+    // computes them once and forks only the exact countDistinct passes
+    "dq_approx_check_lineitem" -> ((s: SparkSession, dir: String) =>
+      TestEvaluator.approxCheckFused(Tables.load(s, dir, "lineitem"),
+        Suites.lineitem)),
     "dq_autogen_documents" -> (autogenDocs _),
     "hygiene_customer" -> hygiene("customer") _,
     "hygiene_orders" -> hygiene("orders") _,
