@@ -66,13 +66,33 @@ object EventQueries {
     * redundant deterministic scan.
     */
   private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), EventOps.TsRange]
+    (String, Long, Long, Int), EventOps.TsRange]
+
+  /** Content-tracking cache key: a directory's own mtime does not change
+    * when an existing part file is rewritten IN PLACE (and is 0 while
+    * the path is momentarily missing), so keying on it could serve a
+    * stale, narrower range — a stale hi under-expands the cron slot
+    * series and silently drops late-start/missed-run rows past
+    * stale-hi+1 (r8 advice). Key on (max part mtime, total size, part
+    * count) instead, which any rewrite disturbs.
+    */
+  private def contentKey(dir: String): (String, Long, Long, Int) = {
+    val p = new java.io.File(s"$dir/events.parquet")
+    val parts = Option(p.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).toSeq)
+      .getOrElse(if (p.isFile) Seq(p) else Seq.empty)
+    (dir, parts.map(_.lastModified()).maxOption.getOrElse(0L),
+      parts.map(_.length()).sum, parts.size)
+  }
 
   private[graft] def evRange(s: SparkSession, dir: String)
       : Some[EventOps.TsRange] = {
-    val key = (dir, new java.io.File(s"$dir/events.parquet").lastModified())
+    val key = contentKey(dir)
     Some(Option(rangeCache.get(key)).getOrElse {
       val r = EventOps.eventRange(ev(s, dir))
+      // bound the memo: corpus rewrites must not grow it without limit —
+      // a sweep touches a handful of dirs, so 64 entries is generous
+      if (rangeCache.size >= 64) rangeCache.clear()
       rangeCache.putIfAbsent(key, r)
       r
     })

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * FLOORS (process exits nonzero on violation): under-cap minhash
   * families ≥ 0.95; under-cap semantic cluster ≥ 0.95; ann_rp
   * recall@10 for planted-cluster queries ≥ 0.9 (the high-cos regime the
-  * operator targets). The over-cap families (nd_cap 600, cl_cap 100)
+  * operator targets). The over-cap families (GenPlant.TextFamilies:
+  * nd_cap 600, cl_cap 2000 — EmbClusters mirrors the 2000)
   * are REPORTED, not floored — degraded recall there is the documented
   * price of the hot-bucket caps, and this artifact is what makes the
   * price a measured number instead of a scaladoc claim.
