@@ -917,15 +917,15 @@ object StreamingOps {
     *     wrappers also require the shrink so the driver gate itself
     *     fails if eviction regresses).
     *
-    * The latest-wins fold is exactly what a production upsert sink
-    * (foreachBatch → MERGE on the group key) does with update-mode
-    * output; holding it driver-side is legitimate here because monitor
-    * state is control-plane-sized by construction — (user, day) minima,
-    * (type, day) counts, one row per agent — and lets the final table
-    * feed the same batch summarize tail the complete-mode gates use.
-    * The two staged control scans (max event time for the sentinel;
-    * the raw template row) read the STAGED copy, not the source table,
-    * and exist only for the bounded harness.
+    * The latest-wins fold is a STORAGE-BACKED MERGE sink
+    * ([[ParquetMergeSink]], r9 — previously a driver LinkedHashMap
+    * fold): each trigger's changed keys are written distributedly as a
+    * batchId-keyed parquet delta inside foreachBatch (replay
+    * overwrites its own delivery — idempotent), and the final table is
+    * the key-compacted latest-wins read. The driver holds O(1) data
+    * rows end to end. The two staged control scans (max event time for
+    * the sentinel; the raw template row) read the STAGED copy, not the
+    * source table, and exist only for the bounded harness.
     */
   def updateModeRun(spark: SparkSession, srcParquet: String,
                     keys: Seq[String],
@@ -975,18 +975,16 @@ object StreamingOps {
     var peak = 0L
     var fin = 0L
     val folded = boundedDropRun(spark, srcParquet) { (drop, ckpt) =>
-      val acc = scala.collection.mutable.LinkedHashMap
-        .empty[Seq[Any], org.apache.spark.sql.Row]
-      var schema: org.apache.spark.sql.types.StructType = null
+      // storage-backed keyed upsert: changed rows land as batchId-keyed
+      // parquet deltas (distributed write — the driver never collects a
+      // data row), merged latest-wins per key at read time
+      val sinkDir = Files.createTempDirectory("graft-mergesink")
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, keys)
       val q = build(drop).writeStream
         .outputMode(OutputMode.Update)
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (schema == null) schema = batch.schema
-          val keyIdx = keys.map(batch.schema.fieldIndex)
-          batch.collect().foreach { r =>
-            acc.update(keyIdx.map(r.get), r)
-          }
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          sink.merge(batch, id)
         }
         .start()
       def stateRows(ps: Seq[org.apache.spark.sql.streaming
@@ -1045,9 +1043,8 @@ object StreamingOps {
         }
         fin = stateRows(q.recentProgress.toSeq).lastOption.getOrElse(0L)
       } finally q.stop()
-      require(schema != null, "no micro-batch arrived")
-      summarize(spark.createDataFrame(acc.values.toSeq.asJava, schema))
-        .localCheckpoint(true)
+      try summarize(sink.read()).localCheckpoint(true)
+      finally rmTreeQuiet(sinkDir)
     }
     record((peak, fin))
     folded
