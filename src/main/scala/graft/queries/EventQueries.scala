@@ -995,6 +995,19 @@ object EventQueries {
   def streamVolumeRestart(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.volumeSummariesRestart(s, dir)
 
+  /** Trigger.AvailableNow catch-up drains with an injected mid-drain
+    * failure + checkpoint recovery (r8 verdict missing #3) — one
+    * stateless-state session query, one stateful update-mode monitor
+    * through the storage-backed MERGE sink, both under their batch
+    * twins' oracles.
+    */
+  def streamSessionsAvailableNow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionSummariesAvailableNow(s, dir,
+      GapSeconds)
+
+  def streamLivenessAvailableNow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.livenessSummariesAvailableNow(s, dir)
+
   /** The multi-journey detector via the STREAM path — one keyed-state
     * pass for all three journeys ((journey_id, user_id) group key) —
     * gated by the same per-journey-union oracle as `ev_oos_multi`.
@@ -1080,6 +1093,8 @@ object EventQueries {
     "stream_volume_update" -> (streamVolumeUpdate _),
     "stream_liveness_update" -> (streamLivenessUpdate _),
     "stream_sessions_restart" -> (streamSessionsRestart _),
+    "stream_sessions_availablenow" -> (streamSessionsAvailableNow _),
+    "stream_liveness_availablenow" -> (streamLivenessAvailableNow _),
     "stream_volume_restart" -> (streamVolumeRestart _),
     "stream_oos_multi_bounded" -> (streamOosMultiBounded _),
     "ev_journeys" -> (journeys _),
@@ -1125,6 +1140,8 @@ object EventQueries {
     "stream_volume_update" -> volumeAnomaliesSql,
     "stream_liveness_update" -> livenessSql,
     "stream_sessions_restart" -> streamSessionsBoundedSql,
+    "stream_sessions_availablenow" -> streamSessionsBoundedSql,
+    "stream_liveness_availablenow" -> livenessSql,
     "stream_volume_restart" -> volumeAnomaliesSql,
     "stream_oos_multi_bounded" -> outOfSequenceMultiSql,
     "ev_journeys" -> journeysSql,

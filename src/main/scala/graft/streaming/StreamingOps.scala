@@ -1169,6 +1169,117 @@ object StreamingOps {
     folded
   }
 
+  /** Trigger.AvailableNow drain — the production CATCH-UP posture
+    * (r8 verdict missing #3): bounded backfill of a folder, then stop.
+    * Unlike the test-only `processAllAvailable()` drain, AvailableNow
+    * snapshots the available input at start, batches it through the
+    * source's own read limits (maxFilesPerTrigger=1 here → one slice
+    * per trigger, same cadence as the bounded gates), and TERMINATES
+    * the query when caught up — `awaitTermination()` returns instead of
+    * blocking forever. Restart semantics differ from the drain too:
+    * a mid-drain failure leaves the source log's committed prefix, and
+    * a NEW AvailableNow run on the same checkpoint must resume exactly
+    * where the failed one stopped.
+    *
+    * This runner bakes that failure INTO the gate: when `failAtBatch`
+    * is set, run 1 throws inside foreachBatch at that batchId (after
+    * earlier batches committed) and run 2 must recover — skip the
+    * committed prefix, reprocess the failed batch exactly once, drain
+    * the rest, terminate. The sink is the batchId-keyed idempotent fold
+    * (append) or the storage-backed [[ParquetMergeSink]] (update), so a
+    * replayed batch overwrites its own delivery. Registered as the
+    * `stream_*_availablenow` queries under the SAME DuckDB oracles as
+    * the batch twins.
+    */
+  def availableNowRun(spark: SparkSession, srcParquet: String,
+                      nSlices: Int,
+                      build: String => DataFrame,
+                      summarize: DataFrame => DataFrame,
+                      mode: OutputMode = OutputMode.Append,
+                      updateKeys: Seq[String] = Nil,
+                      failAtBatch: Option[Long] = None): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val sliced = stagedTimeSliced(spark, srcParquet, nSlices)
+    boundedDropRun(spark, sliced) { (drop, ckpt) =>
+      val sinkDir = Files.createTempDirectory("graft-mergesink")
+      val useSink = updateKeys.nonEmpty
+      val sink = new ParquetMergeSink(spark, sinkDir.toString,
+        if (useSink) updateKeys else Seq("__none"))
+      val batches = scala.collection.mutable.SortedMap
+        .empty[Long, (org.apache.spark.sql.types.StructType,
+                      Array[org.apache.spark.sql.Row])]
+      def runOnce(fail: Option[Long]): Unit = {
+        val q = build(drop).writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (fail.contains(id))
+              throw new RuntimeException(
+                s"injected mid-drain failure at batch $id")
+            if (useSink) sink.merge(b, id)
+            else batches(id) = (b.schema, b.collect())
+          }
+          .start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if fail.nonEmpty => // the injected mid-drain death
+        } finally if (q.isActive) q.stop()
+      }
+      failAtBatch.foreach(f => runOnce(Some(f)))
+      runOnce(None)
+      try {
+        val folded =
+          if (useSink) sink.read()
+          else {
+            require(batches.nonEmpty, "no micro-batch arrived")
+            val schema = batches.head._2._1
+            spark.createDataFrame(
+              batches.toSeq.flatMap(_._2._2).asJava, schema)
+          }
+        summarize(folded).localCheckpoint(true)
+      } finally rmTreeQuiet(sinkDir)
+    }
+  }
+
+  /** R1 sessionization drained under Trigger.AvailableNow with an
+    * injected mid-drain failure + recovery — gated by the same oracle
+    * as `stream_sessions_bounded`.
+    */
+  def sessionSummariesAvailableNow(spark: SparkSession, sfDir: String,
+                                   gapSeconds: Long, nSlices: Int = 4,
+                                   failAtBatch: Long = 2L): DataFrame = {
+    import spark.implicits._
+    availableNowRun(spark, s"$sfDir/events.parquet", nSlices,
+      drop => assignSessions(eventStream(spark, drop).as[SEvent],
+        gapSeconds).toDF(),
+      sink => sink
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id"),
+      failAtBatch = Some(failAtBatch))
+  }
+
+  /** R9 liveness monitor (stateful update-mode aggregation) drained
+    * under Trigger.AvailableNow through the storage-backed MERGE sink,
+    * with an injected mid-drain failure + recovery — a replayed batch
+    * must overwrite its own delta, never append twice. Gated by the
+    * `ev_liveness` oracle via the shared batch tail.
+    */
+  def livenessSummariesAvailableNow(spark: SparkSession, sfDir: String,
+                                    nSlices: Int = 4,
+                                    failAtBatch: Long = 2L): DataFrame =
+    availableNowRun(spark, s"$sfDir/events.parquet", nSlices,
+      drop => liveness(eventStream(spark, drop)),
+      folded => graft.events.EventOps.livenessFromAgg(folded),
+      mode = OutputMode.Update,
+      updateKeys = Seq("user_id"),
+      failAtBatch = Some(failAtBatch))
+
   /** CHECKPOINT-RECOVERY (exactly-once restart) scaffold — the core
     * production contract of Structured Streaming and the failure mode a
     * continuous 100 TB deployment hits weekly: a query dies mid-replay

@@ -731,6 +731,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(sig(pResumed) == sig(pBounded))
   }
 
+  test("Trigger.AvailableNow: the catch-up drain terminates on its own, " +
+      "and a mid-drain death resumes from the checkpoint to the " +
+      "uninterrupted answer") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    // sessions, append path: run 1 commits batches 0-1, dies at 2; the
+    // recovery AvailableNow run must skip the committed prefix, replay
+    // batch 2 exactly once, drain 3, and TERMINATE (awaitTermination
+    // returning IS the trigger's contract — a hung drain times the
+    // suite out rather than passing)
+    val failed = StreamingOps.sessionSummariesAvailableNow(spark,
+      SparkTestSession.sf, 1800, nSlices = 4, failAtBatch = 2L)
+    val clean = StreamingOps.availableNowRun(spark,
+      s"${SparkTestSession.sf}/events.parquet", 4,
+      drop => {
+        import spark.implicits._
+        StreamingOps.assignSessions(
+          StreamingOps.eventStream(spark, drop).as[graft.streaming.SEvent],
+          1800).toDF()
+      },
+      sink => sink.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id"))
+    assert(sig(failed) == sig(clean))
+    val bounded = StreamingOps.sessionSummariesBounded(spark,
+      SparkTestSession.sf, 1800)
+    assert(sig(failed) == sig(bounded))
+    assert(failed.count() > 0)
+    // liveness, update path through the storage-backed MERGE sink: the
+    // replayed batch overwrites its own delta, so the recovered drain
+    // equals the batch twin
+    val lFailed = StreamingOps.livenessSummariesAvailableNow(spark,
+      SparkTestSession.sf, nSlices = 4, failAtBatch = 2L)
+    val lBatch = graft.queries.EventQueries.queries("ev_liveness")(
+      spark, SparkTestSession.sf)
+    assert(sig(lFailed) == sig(lBatch))
+  }
+
   test("idempotent chunked delivery survives a forced epoch replay: the " +
       "ledger re-sends nothing; keys make any re-send recognizable") {
     import spark.implicits._
