@@ -27,6 +27,7 @@ object SparkEntry {
     (SimQueries.queries, SimQueries.oracles),
     (MediaQueries.queries, MediaQueries.oracles),
     (ConfigQueries.queries, ConfigQueries.oracles),
+    (RecallQueries.queries, RecallQueries.oracles),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

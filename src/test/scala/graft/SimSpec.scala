@@ -380,4 +380,45 @@ class SimSpec extends AnyFunSuite {
     assert(kept.toSet ==
       Set((1L, 0L, 1L), (1L, 2L, 2L), (0L, 3L, 1L), (0L, 4L, 2L)))
   }
+  test("planted-recall driver gate: empty on the registered configs, " +
+      "and the measurement genuinely fires under a broken cap") {
+    import org.apache.spark.sql.functions.col
+    // the registered gate, exactly as the driver runs it: no violation
+    // rows on the shipped cap/banding constants
+    val out = graft.queries.RecallQueries.recallCheckPlanted(spark,
+      SparkTestSession.sf)
+    assert(out.collect().isEmpty,
+      "planted under-cap recall must meet its floors: " +
+        out.collect().mkString("; "))
+    // non-vacuity: the same planted cluster measured through a BROKEN
+    // cap (maxBucket = 1 deletes every bucket) recovers nothing — a
+    // regression of this shape flips the driver gate, not a hand tool
+    val docs = graft.Tables.load(spark, SparkTestSession.sf, "documents")
+    val emb = graft.Tables.load(spark, SparkTestSession.sf, "embeddings")
+    import graft.queries.{SimQueries, TextQueries}
+    import graft.tools.GenPlant
+    import spark.implicits._
+    val planted = GenPlant.EmbClusters.filter(_._1 == 3).flatMap {
+      case (f, size, noise) => (0 until size).map { j =>
+        (GenPlant.idOf(f, j), GenPlant.memberVec(f, j, noise).toSeq, f) }
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+    val plantedTexts = GenPlant.TextFamilies.filter(_._2 == 3).flatMap {
+      case (_, f, size, nW, vocab, edits) => (0 until size).map { j =>
+        val t = GenPlant.memberWords(f, j, nW, vocab, edits).mkString(" ")
+        (GenPlant.idOf(f, j), t, "en", "planted", t.length.toLong) }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val broken = graft.text.Curation.semanticDedupPairsAnn(
+        docs.unionByName(plantedTexts), emb.unionByName(planted),
+        minCos = TextQueries.AnnProdTau, shingleN = TextQueries.ShingleN,
+        minJaccard = TextQueries.MinJaccard, dim = SimQueries.Dim,
+        bands = TextQueries.AnnProdBands,
+        planesPerBand = TextQueries.AnnProdPlanesPerBand,
+        seed = TextQueries.AnnSeed, maxBucket = 1)
+      .filter(col("id_a") >= GenPlant.PlantBase).count()
+    assert(broken < 120 * 0.95,
+      s"a cap of 1 must gut recall on the 120 planted pairs, got $broken")
+  }
+
 }
