@@ -47,6 +47,13 @@ object ConcurrentPasses {
     val timeout = Duration(
       spark.conf.getOption("spark.graft.passTimeoutSec")
         .map(_.toLong).getOrElse(86400L), SECONDS)
+    // pool bound 16: measured optimum on local[32] — a pool as wide as
+    // the core count (32) oversubscribes (each in-flight pass holds a
+    // driver submission thread AND an executor task slot; profile
+    // passes are one-task jobs on single-row-group inputs, and 32-wide
+    // submission measured ~15% SLOWER than 16-wide), while narrower
+    // pools leave cores idle between waves. On many-row-group inputs
+    // each pass fans out anyway and queued jobs wait in the scheduler.
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(passes.size, 16))
     implicit val ec: ExecutionContext =

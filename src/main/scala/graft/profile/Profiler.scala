@@ -370,12 +370,20 @@ object Profiler {
     val exactD = distinctPasses(df, fields, "exact").map { p =>
       p.select(p.columns.map(c => col(c).as("__e" + c.stripPrefix("__"))): _*)
     }
-    val exactQ = pctPasses(df, fields, exactPercentiles = true).map { p =>
-      p.select(p.columns.map(c => col(c).as("__e" + c.stripPrefix("__"))): _*)
+    // exact AND approx percentiles fused into ONE ObjectHashAggregate
+    // pass per numeric column — both are TypedImperative aggregates, so
+    // they ride the same scan (one pass per column instead of two; at
+    // 100 TB that is one less full pass over every numeric column)
+    val pctBoth = fields.collect {
+      case (f, i) if f.dataType.isInstanceOf[NumericType] =>
+        val ps = array(lit(0.25), lit(0.5), lit(0.75))
+        df.select(col(f.name).cast(DoubleType).as(V))
+          .agg(percentile(col(V), ps).as("__q"),
+            approx_percentile(col(V), ps, lit(10000)).as("__aq"))
+          .select(col("__q").as(s"__eq_$i"), col("__aq").as(s"__q_$i"))
     }
-    val approxQ = pctPasses(df, fields, exactPercentiles = false)
     val merged = graft.operators.ConcurrentPasses.collectOneRow(
-      spark, shared ++ exactD ++ exactQ ++ approxQ)
+      spark, shared ++ exactD ++ pctBoth)
     val statCols = fields.flatMap { case (f, i) =>
       merged.columns.filter(_.startsWith(s"__s${i}_")) }.map(col)
     val exactSide = merged.select(statCols ++

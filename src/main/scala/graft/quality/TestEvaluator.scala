@@ -495,20 +495,39 @@ object TestEvaluator {
   private[graft] def suitePasses(df: DataFrame,
                                  indexed: Seq[(Compiled, Int)])
       : Seq[DataFrame] = {
-    val byKey = indexed.groupBy(_._1.distinctKey)
-    val plain = byKey.getOrElse(None, Seq.empty)
-    val distinctGroups = byKey.collect { case (Some(k), ms) => k -> ms }
-      .toSeq.sortBy(_._1)
-    // base pass always exists: plain measures + the row count that the
-    // count-family warning band needs
-    val baseAggs = plain.map { case (t, i) => t.measure.as(s"__m_$i") } :+
-      count(lit(1)).cast(D).as("__rc")
-    val basePass = df.agg(baseAggs.head, baseAggs.tail: _*)
-    val distinctPasses = distinctGroups.map { case (key, ms) =>
+    val plain = indexed.filter(_._1.distinctKey.isEmpty)
+    // plain measures split into ONE PASS PER COLUMN (plus the row-count
+    // pass the count-family warning band needs, which always exists):
+    // the generated autogen suites put ~100 aggregates on one table, and
+    // a single agg() compiles an update method past the JVM's ~8 KB JIT
+    // threshold — it runs interpreted (the same wide-agg pathology the
+    // Profiler's per-column passes solved; measured here:
+    // dq_approx_lineitem 4.4 s → per-column split ~2 s at sf0.1). Each
+    // pass scans only the column(s) its measures reference (Catalyst
+    // prunes), and the passes execute concurrently.
+    val rcPass = df.agg(count(lit(1)).cast(D).as("__rc"))
+    val basePasses = plain.groupBy(_._1.d.column).toSeq.sortBy(_._1)
+      .map { case (_, ms) =>
+        val aggs = ms.map { case (t, i) => t.measure.as(s"__m_$i") }
+        df.agg(aggs.head, aggs.tail: _*)
+      }
+    // date-family distinct groups aggregate the distinct-DATES relation:
+    // the identical distinct() subplans across the date:/month:/week:
+    // groups of one column collapse to a single reused exchange
+    (rcPass +: basePasses) ++ distinctSuitePasses(df, indexed)
+  }
+
+  /** Only the distinct-expression passes of a compiled suite (the
+    * non-shared work the fused approx-check forks). Mirrors the
+    * distinct-group construction in [[suitePasses]].
+    */
+  private def distinctSuitePasses(df: DataFrame,
+                                  indexed: Seq[(Compiled, Int)])
+      : Seq[DataFrame] = {
+    val groups = indexed.groupBy(_._1.distinctKey)
+      .collect { case (Some(k), ms) => k -> ms }.toSeq.sortBy(_._1)
+    groups.map { case (key, ms) =>
       key.split(":", 2) match {
-        // date-family groups aggregate the distinct-DATES relation: the
-        // identical distinct() subplans across the date:/month:/week:
-        // groups of one column collapse to a single reused exchange
         case Array(k, c) if Set("date", "month", "week")(k) &&
             ms.forall(_._1.dateMeasure.isDefined) =>
           val dates = df.select(to_date(col(c)).as("__v")).distinct()
@@ -520,7 +539,6 @@ object TestEvaluator {
           df.agg(aggs.head, aggs.tail: _*)
       }
     }
-    basePass +: distinctPasses
   }
 
   /** Recombine the collected one-row measures (columns `__m_<i>` +
@@ -634,20 +652,21 @@ object TestEvaluator {
     val distinctIdxs = exactIdx.collect {
       case (t, i) if t.distinctKey.isDefined => i
     }.toSet
-    // fused base pass: exact plain measures (≡ approx plain measures)
-    // as __m_i, approx sketch measures for the distinct-backed tests
-    // as __am_i, plus the shared row count
-    val fusedBase = {
-      val aggs = approxIdx.map { case (t, i) =>
-        t.measure.as(if (distinctIdxs(i)) s"__am_$i" else s"__m_$i")
-      } :+ count(lit(1)).cast(D).as("__rc")
-      df.agg(aggs.head, aggs.tail: _*)
-    }
-    // the exact mode's distinct passes, unchanged (suitePasses emits the
-    // base pass first; drop it — the fused base above replaces it)
-    val exactDistinct = suitePasses(df, exactIdx).tail
+    // fused base passes, one per column (see suitePasses on why a
+    // single wide agg runs interpreted): exact plain measures (≡ approx
+    // plain measures) as __m_i, approx sketch measures for the
+    // distinct-backed tests as __am_i, plus the shared row-count pass
+    val rcPass = df.agg(count(lit(1)).cast(D).as("__rc"))
+    val fusedBase = approxIdx.groupBy(_._1.d.column).toSeq.sortBy(_._1)
+      .map { case (_, ms) =>
+        val aggs = ms.map { case (t, i) =>
+          t.measure.as(if (distinctIdxs(i)) s"__am_$i" else s"__m_$i") }
+        df.agg(aggs.head, aggs.tail: _*)
+      }
+    // the exact mode's distinct passes are the only non-shared scans
+    val exactDistinct = distinctSuitePasses(df, exactIdx)
     val merged = graft.operators.ConcurrentPasses.collectOneRow(
-      df.sparkSession, fusedBase +: exactDistinct)
+      df.sparkSession, (rcPass +: fusedBase) ++ exactDistinct)
     val exactSide = merged.select(merged.columns.collect {
       case c if !c.startsWith("__am_") => col(c)
     }: _*)

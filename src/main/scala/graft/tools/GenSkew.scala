@@ -41,9 +41,42 @@ object GenSkew {
       .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(", ")
     println(s"[genskew] events rewritten, top user rows: $top")
 
+    // documents: one dominant BOILERPLATE family at ~10% of rows — the
+    // web-crawl regime the doc-family operators must survive (r8 verdict
+    // #7). A deterministic md5 draw selects members; their text becomes
+    // a shared ~60-word template with ONE per-doc deterministic edit
+    // (bigram Jaccard vs the base ≈ 0.87 — firmly in near-dup range, so
+    // the family lands in the SAME minhash band buckets and stresses
+    // the hot-bucket caps), and the 1/100 core keeps the unedited
+    // template byte-identical (an exact-dup heavy hitter for the
+    // hash-groupBy tier and the collapse guard). The family also gets
+    // one dominant source domain (mixture/rollup skew) and its shingle
+    // document frequencies spike (BM25/TF-IDF skew). n_chars stays
+    // consistent with the rewritten text.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    val words = (0 until 60).map(i => s"'bpw${i % 40}'").mkString(", ")
+    val boiler = expr(
+      s"""concat_ws(' ', transform(array($words), (w, i) ->
+         |  CASE WHEN i = CAST(doc_id % 60 AS INT) AND doc_id % 100 != 0
+         |       THEN concat('bpr', CAST(doc_id % 97 AS STRING))
+         |       ELSE w END))""".stripMargin)
+    val isBoiler = draw % 10 === 0
+    docs
+      .withColumn("text", when(isBoiler, boiler).otherwise(col("text")))
+      .withColumn("source",
+        when(isBoiler, lit("boilerplate.crawl")).otherwise(col("source")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val nBoiler = spark.read.parquet(s"$out/documents.parquet")
+      .filter(col("source") === "boilerplate.crawl").count()
+    println(s"[genskew] documents rewritten, boilerplate family: " +
+      s"$nBoiler rows")
+
     // remaining tables: hard-link the uniform parts (no data copy)
     val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "documents", "embeddings")
+      "orders", "lineitem", "embeddings")
     tables.foreach { t =>
       val from = new java.io.File(s"$src/$t.parquet")
       val to = new java.io.File(s"$out/$t.parquet")
