@@ -117,6 +117,19 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     Files.move(tmp, root.resolve(f"base-$uptoBatch%09d"))
   }
 
+  /** APPEND-mode read: every delivered row, batchId-ordered, WITHOUT
+    * key compaction — the storage twin of concatenating batches. Replay
+    * idempotence still holds (a re-delivered batch overwrote its own
+    * delta), there is just no per-key latest-wins to apply.
+    */
+  def readAll(): DataFrame = {
+    val parts = list("base-") ++ list("delta-")
+    require(parts.nonEmpty, s"MERGE sink at $dir received no batch")
+    spark.read.parquet(parts.map(_.toString): _*)
+      .orderBy(col("__batch_id"))
+      .drop("__batch_id", "__pri")
+  }
+
   /** Number of base/delta directories currently on disk (spec hook for
     * the compaction bound).
     */

@@ -1297,15 +1297,16 @@ object StreamingOps {
     * buffers / the watermark) from the state store and skip files the
     * source log already committed.
     *
-    * The sink is the driver-side idempotent fold a production MERGE sink
-    * provides: batches keyed by batchId (a replayed batch OVERWRITES its
-    * previous delivery, never appends twice — Structured Streaming's
-    * documented sink contract), concatenated in batchId order for
-    * append-mode outputs or folded latest-wins per `foldKeys` for
-    * update-mode outputs. StreamingSpec asserts the resumed run is
-    * row-identical to an uninterrupted run; the registered
-    * `stream_*_restart` queries gate the resumed output against the
-    * SAME DuckDB oracles as the batch operators.
+    * The sink is the storage-backed [[ParquetMergeSink]] (r9 — was a
+    * driver-side fold): batches land as batchId-keyed parquet deltas (a
+    * replayed batch OVERWRITES its previous delivery, never appends
+    * twice — Structured Streaming's documented sink contract),
+    * concatenated in batchId order for append-mode outputs or key-
+    * compacted latest-wins per `foldKeys` for update-mode outputs, with
+    * the driver holding O(1) data rows. StreamingSpec asserts the
+    * resumed run is row-identical to an uninterrupted run; the
+    * registered `stream_*_restart` queries gate the resumed output
+    * against the SAME DuckDB oracles as the batch operators.
     */
   def restartRun(spark: SparkSession, srcParquet: String, nSlices: Int,
                  stopAfter: Int,
@@ -1347,16 +1348,21 @@ object StreamingOps {
             java.nio.file.attribute.FileTime
               .fromMillis(1500000000000L + (offset + i) * 1000L))
         }
-      val batches = scala.collection.mutable.SortedMap
-        .empty[Long, (org.apache.spark.sql.types.StructType,
-                      Array[org.apache.spark.sql.Row])]
+      // storage-backed sink (r9, replacing the driver-side batch fold):
+      // every delivered batch lands as a batchId-keyed parquet delta —
+      // a batch replayed across the restart boundary OVERWRITES its
+      // previous delivery — and the final table is the key-compacted
+      // latest-wins read (update mode) or the batchId-ordered
+      // concatenation (append mode). Driver holds O(1) data rows.
+      val sinkDir = Files.createTempDirectory("graft-mergesink")
+      val sink = new ParquetMergeSink(spark, sinkDir.toString,
+        if (foldKeys.nonEmpty) foldKeys else Seq("__none"))
       def runOnce(): Unit = {
         val q = build(drop.toString).writeStream
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (b: DataFrame, id: Long) =>
-            val m = mapBatch(b, id)
-            batches(id) = (m.schema, m.collect())
+            sink.merge(mapBatch(b, id), id)
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -1365,20 +1371,10 @@ object StreamingOps {
       runOnce() // run 1: dies (stops) after `stopAfter` micro-batches
       stage(parts.drop(stopAfter), stopAfter)
       runOnce() // run 2: SAME checkpoint — state + source log recovered
-      require(batches.nonEmpty, "no micro-batch arrived")
-      val schema = batches.head._2._1
-      val ordered = batches.toSeq.map(_._2._2)
-      val rows =
-        if (foldKeys.isEmpty) ordered.toSeq.flatten
-        else {
-          val keyIdx = foldKeys.map(schema.fieldIndex)
-          val m = scala.collection.mutable.LinkedHashMap
-            .empty[Seq[Any], org.apache.spark.sql.Row]
-          ordered.foreach(_.foreach(r => m.update(keyIdx.map(r.get), r)))
-          m.values.toSeq
-        }
-      summarize(spark.createDataFrame(rows.asJava, schema))
+      try summarize(
+          if (foldKeys.isEmpty) sink.readAll() else sink.read())
         .localCheckpoint(true)
+      finally rmTreeQuiet(sinkDir)
     } finally {
       import scala.util.control.NonFatal
       try rmTree(drop) catch { case NonFatal(_) => () }
