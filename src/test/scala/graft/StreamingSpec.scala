@@ -946,4 +946,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema contract"))
     assert(e.getMessage.contains("ts"))
   }
+  test("time-sliced staging is memoized per (source content, nSlices): " +
+      "a second gate on the same corpus stages ZERO Spark jobs, and a " +
+      "content rewrite invalidates the entry") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-stagecache")
+    val src = work.resolve("events.parquet").toString
+    val ev = graft.Tables.load(spark, SparkTestSession.sf, "events")
+    ev.limit(2000).write.mode("overwrite").parquet(src)
+    val first = StreamingOps.stagedTimeSliced(spark, src, 3)
+    val sc = spark.sparkContext
+    sc.setJobGroup("stage-memo-test", "memo re-check", false)
+    val second = try {
+      val d = StreamingOps.stagedTimeSliced(spark, src, 3)
+      assert(sc.statusTracker.getJobIdsForGroup("stage-memo-test").isEmpty,
+        "memoized staging must not re-run the rewrite")
+      d
+    } finally sc.clearJobGroup()
+    assert(second == first, "same content+nSlices must share one dir")
+    // different slice count = different replay cadence -> its own entry
+    assert(StreamingOps.stagedTimeSliced(spark, src, 2) != first)
+    // in-place rewrite of the source (same file count, same dir mtime
+    // hazard the content key exists for) must invalidate
+    Thread.sleep(1100) // mtime granularity
+    ev.limit(2500).write.mode("overwrite").parquet(src)
+    assert(StreamingOps.stagedTimeSliced(spark, src, 3) != first,
+      "content rewrite must not serve the stale staged dir")
+  }
+
 }
