@@ -167,6 +167,54 @@ object SimQueries {
       |  CAST(NULL AS DOUBLE) AS recall_at_k
       |WHERE false""".stripMargin
 
+  /** PQ geometry: 8 subspaces × 256 codes over the 64-dim embeddings —
+    * 8 bytes + one stored norm per vector (~24× smaller than the raw
+    * floats), ADC shortlist 10×K, exact re-rank (Similarity.knnPq).
+    */
+  val PqM = 8
+  val PqCodes = 256
+  val PqShortlist = 10 * K
+
+  /** Per-query recall floor for the PQ gate. The ADC shortlist is 10×K
+    * and the re-rank is exact, so missing a truth neighbor requires the
+    * quantized dot to rank it below 100 others — SimSpec measures ≥0.9
+    * aggregate on this corpus; the per-query violation threshold sits
+    * at 0.5 to flag catastrophic codebook/LUT regressions without
+    * tripping on a single adversarial query.
+    */
+  val PqRecallFloor = 0.5
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnPq(e, e.filter(col("vec_id") < NQueries),
+      "vec_id", "embedding", K, m = PqM, codes = PqCodes,
+      shortlist = PqShortlist)
+  }
+
+  /** Expected-empty driver gate for the PQ tier — same contract shape
+    * as [[annIvfRecallCheck]]: one row per query whose recall@K against
+    * the oracle-checked brute-force top-K falls below [[PqRecallFloor]],
+    * with hits counted by rounded cosine (rank-tie tolerance). PQ
+    * codebooks have no exact SQL rendering, so this gate is what makes
+    * the tier hash-checkable.
+    */
+  def annPqRecallCheck(s: SparkSession, dir: String): DataFrame = {
+    val exact = knn(s, dir).select(col("query_id"), col("cos_sim"))
+    val pq = annPq(s, dir).select(col("query_id"), col("cos_sim"))
+      .distinct()
+    val hits = exact.join(pq, Seq("query_id", "cos_sim"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 4)
+          .as("recall_at_k"))
+      .filter(col("recall_at_k") < PqRecallFloor)
+      .orderBy("query_id")
+  }
+
+  val annPqRecallCheckSql: String = annIvfRecallCheckSql
+
   /** Cosine threshold for the exact near-dup pair tier. */
   val NearDupTau = 0.4
 
@@ -417,6 +465,8 @@ object SimQueries {
     "ann_lsh_embeddings" -> (annLsh _),
     "ann_ivf_embeddings" -> (annIvf _),
     "ann_ivf_recall_check" -> (annIvfRecallCheck _),
+    "ann_pq_embeddings" -> (annPq _),
+    "ann_pq_recall_check" -> (annPqRecallCheck _),
     "ann_rp_embeddings" -> (annRp _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
   )
@@ -432,6 +482,7 @@ object SimQueries {
     "knn_sql_embeddings" -> knnSql,
     "ann_lsh_embeddings" -> annLshSql,
     "ann_ivf_recall_check" -> annIvfRecallCheckSql,
+    "ann_pq_recall_check" -> annPqRecallCheckSql,
     "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
   )

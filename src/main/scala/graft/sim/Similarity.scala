@@ -599,4 +599,197 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** Deterministic Lloyd's k-means on a driver-side sample — the PQ
+    * codebook trainer. Init picks k distinct points by a seeded shuffle
+    * of the sample; iterations are plain assignment/mean steps, so the
+    * result is a pure function of (sample, k, iters, seed). An emptied
+    * cluster keeps its previous centroid.
+    */
+  private[graft] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                           seed: Long): Array[Array[Double]] = {
+    require(pts.length >= k, s"need >= $k training points, got ${pts.length}")
+    val rng = new scala.util.Random(seed)
+    var cents = rng.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone()).toArray
+    val d = pts(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cents(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    cents
+  }
+
+  /** Train PQ codebooks on a seeded sample of the corpus: the vector
+    * space split into `m` contiguous subspaces, one `codes`-centroid
+    * k-means per subspace. Returns codebooks(sub)(code)(subDim).
+    * Training is bounded (`trainLimit` collected rows) and deterministic
+    * — the 100 TB posture trains on a sample regardless of corpus size,
+    * and m·codes·subDim doubles (8·256·8 here) are control-plane data.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, codes: Int,
+              iters: Int, seed: Long,
+              trainLimit: Int = 8192): Array[Array[Array[Double]]] = {
+    val total = corpus.count()
+    val fraction =
+      math.min(1.0, trainLimit.toDouble / math.max(1L, total))
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .sample(withReplacement = false, fraction, seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(_.slice(s * sub, (s + 1) * sub))
+      // a tiny corpus may have fewer than `codes` points — shrink the
+      // codebook rather than fail (encode/ADC only index what exists)
+      lloyd(pts, math.min(codes, pts.length), iters, seed + s)
+    }
+  }
+
+  /** Product-quantized top-k cosine ANN with asymmetric-distance
+    * shortlisting and EXACT re-rank — the memory-bounded third scale
+    * path next to [[knnRp]]/[[knnLsh]]/[[knnIvf]] (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * method):
+    *
+    *  1. TRAIN: [[pqTrain]] on a bounded seeded sample (control-plane).
+    *  2. ENCODE: one corpus pass stores, per vector, `m` byte codes
+    *     (nearest sub-centroid per subspace) + its true norm — 8 bytes
+    *     + 1 double per vector here vs 64 floats: a ~24× compression
+    *     that keeps a 100 TB corpus' index in cluster memory. The
+    *     argmin over m·codes sub-centroids is a tight loop over a
+    *     broadcast codebook (mapPartitions — the honest tool for a
+    *     2048-way argmin; an expression tree that size de-codegens).
+    *  3. ADC SHORTLIST: each partition scans its codes once, scoring
+    *     every vector against each query with m table lookups from the
+    *     query's precomputed sub-dot LUT (approx dot = Σ_s
+    *     lut(s)(code_s); approx cos divides by the stored true norm).
+    *     Per-partition bounded heaps keep `shortlist` candidates per
+    *     query — partition count × nQueries × shortlist rows total,
+    *     never the corpus.
+    *  4. EXACT RE-RANK: the global shortlist (one window) joins back to
+    *     the raw vectors (equi-join on id) and exact cosine ranks the
+    *     final top-k — output shape and tie-breaks identical to
+    *     [[knnBruteForce]], so recall@k is measurable against the
+    *     brute-force oracle tier.
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, m: Int = 8, codes: Int = 256,
+            iters: Int = 5, seed: Long = 7L, shortlist: Int = 100,
+            trainLimit: Int = 8192): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqTrain(corpus, vecCol, m, codes, iters, seed, trainLimit)
+    val sub = books(0)(0).length
+    val bBooks = spark.sparkContext.broadcast(books)
+    // queries are the small broadcast side, as in every knn* sibling
+    val qRows = queries.select(col(idCol).cast(LongType).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "no query vectors")
+    // per-query LUT: lut(s)(c) = dot(q_sub(s), centroid(s)(c))
+    val luts = qRows.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val lut = Array.tabulate(m) { s =>
+        books(s).map { cent =>
+          var acc = 0.0; var j = 0
+          while (j < sub) { acc += qv(s * sub + j) * cent(j); j += 1 }
+          acc
+        }
+      }
+      (qid, qn, lut)
+    }
+    val bLuts = spark.sparkContext.broadcast(luts)
+    val encoded = corpus
+      .select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bk = bBooks.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val cs = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            val cents = bk(s)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var dist = 0.0; var j = 0
+              while (j < sub) {
+                val t = v(s * sub + j) - cents(c)(j); dist += t * t; j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            cs(s) = best.toByte
+            s += 1
+          }
+          (id, cs, math.sqrt(v.map(x => x * x).sum))
+        }
+      }
+    val candidates = encoded.mapPartitions { it =>
+      val ls = bLuts.value
+      // bounded per-query heaps: (approxCos, id) min-heaps of size
+      // `shortlist` — partition output is queries × shortlist rows
+      val heaps = ls.map { case (qid, _, _) =>
+        qid -> scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))
+      }.toMap
+      it.foreach { case (id, cs, nrm) =>
+        ls.foreach { case (qid, qn, lut) =>
+          if (id != qid && nrm > 0 && qn > 0) {
+            var acc = 0.0; var s = 0
+            while (s < m) { acc += lut(s)(cs(s) & 0xff); s += 1 }
+            val approx = acc / (qn * nrm)
+            val h = heaps(qid)
+            if (h.size < shortlist) h.enqueue((approx, id))
+            else if (approx > h.head._1) { h.dequeue(); h.enqueue((approx, id)) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (a, id) => (qid, id, a) }
+      }
+    }.toDF("query_id", "neighbor_id", "approx_cos")
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val short = candidates
+      .withColumn("__r", row_number().over(wS))
+      .filter(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qDf = queries.select(col(idCol).cast(LongType).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val cDf = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val exact = short.join(cDf, "neighbor_id").join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -421,4 +421,34 @@ class SimSpec extends AnyFunSuite {
       s"a cap of 1 must gut recall on the 120 planted pairs, got $broken")
   }
 
+  test("PQ ANN: codebook training is deterministic, codes are 8 bytes " +
+      "per vector, and ADC-shortlist + exact re-rank holds >= 0.9 " +
+      "aggregate recall vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    // deterministic trainer: same inputs -> bit-identical codebooks
+    val b1 = Similarity.pqTrain(e, "embedding", 8, 256, 5, 7L)
+    val b2 = Similarity.pqTrain(e, "embedding", 8, 256, 5, 7L)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ==
+      b2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(b1.length == 8 && b1(0)(0).length == 8,
+      "8 subspaces of dim 8 over the 64-dim embeddings")
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = tops(Similarity.knnBruteForce(e, q, "vec_id",
+      "embedding", 10))
+    val pq = tops(Similarity.knnPq(e, q, "vec_id", "embedding", 10))
+    val recalls = brute.map { case (qid, truth) =>
+      pq.getOrElse(qid, Set.empty).count(truth).toDouble / truth.size }
+    val agg = recalls.sum / recalls.size
+    assert(agg >= 0.9, s"aggregate PQ recall@10 $agg below 0.9 " +
+      s"(per-query: ${recalls.mkString(", ")})")
+    // the registered driver gate is empty on this corpus too
+    assert(graft.queries.SimQueries.annPqRecallCheck(spark,
+      SparkTestSession.sf).collect().isEmpty)
+  }
+
 }
