@@ -36,6 +36,10 @@ object PlanAudit {
       // recall check against exact truth cannot avoid the exact tier it
       // audits (SimQueries.annIvfRecallCheck; bounded to NQueries rows)
       "ann_ivf_recall_check",
+      // recall checks compare an ANN tier against the brute-force
+      // oracle top-K BY DEFINITION — the all-pairs side is the truth
+      // set, on NQueries query rows only
+      "ann_pq_recall_check",
       // the user×slot coverage FRAME is the semantics, not an accident:
       // a broadcast cross of two control-plane-sized sides (distinct
       // pipelines × driver-expanded cron slots), both orders of
