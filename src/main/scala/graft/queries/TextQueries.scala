@@ -128,6 +128,18 @@ object TextQueries {
       d.filter(col("doc_id") < BenchSplit), "text", "doc_id", ShingleN)
   }
 
+  /** The Bloom-prefiltered twin: bit-identical output by construction
+    * (no false negatives; false positives die in the exact verify join),
+    * so it shares [[contaminationSql]] — the DuckDB oracle knows nothing
+    * about the bitset and must not.
+    */
+  def contaminationBloomDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = docs(s, dir)
+    TextOps.contaminationBloom(d.filter(col("doc_id") >= BenchSplit),
+      d.filter(col("doc_id") < BenchSplit), "text", "doc_id", ShingleN)
+  }
+
   val contaminationSql: String =
     s"""$ShCte,
        |bench AS (SELECT DISTINCT shingle FROM sh
@@ -996,6 +1008,35 @@ object TextQueries {
        |FROM occ JOIN cts USING (wh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- duplicated-block removal (C4 line-dedup posture) --------------------
+
+  def blockDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedupCut(docs(s, dir), "text", "doc_id", SpanN)
+
+  /** Mirror of [[Dedup.blockDedupCut]]: same non-overlapping blocking
+    * (list_slice is 1-based inclusive, like Spark's slice), same global
+    * first-occurrence rank on md5(block) ordered by (doc_id, pos), same
+    * position-ordered reassembly (string_agg skips the NULLed removed
+    * blocks exactly as concat_ws does).
+    */
+  val blockDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |    AS ws FROM documents),
+       |blk AS (SELECT doc_id, CAST(u.b AS BIGINT) AS pos,
+       |    array_to_string(list_slice(ws,
+       |      CAST(u.b AS BIGINT) * $SpanN + 1,
+       |      CAST(u.b AS BIGINT) * $SpanN + $SpanN), ' ') AS block
+       |  FROM w, unnest(range(0,
+       |    CAST(ceil(len(ws) / ${SpanN}.0) AS BIGINT))) AS u(b)),
+       |ranked AS (SELECT doc_id, pos, block, row_number() OVER (
+       |    PARTITION BY md5(block) ORDER BY doc_id, pos) AS rn FROM blk)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+       |    ORDER BY pos), '') AS text_deduped
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- mixture-plan execution (deterministic downsampling) ----------------
 
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -1324,6 +1365,7 @@ object TextQueries {
     "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
+    "block_dedup_documents" -> (blockDedup _),
     "split_leakage_documents" -> (splitLeakage _),
     "stream_curate_bounded" -> (curatedStreamBounded _),
     "repetition_documents" -> (repetition _),
@@ -1332,6 +1374,7 @@ object TextQueries {
     "dedup_exact_documents" -> (dedupExact _),
     "neardup_ngram_documents" -> (neardupNgram _),
     "contamination_documents" -> (contaminationDocs _),
+    "contamination_bloom_documents" -> (contaminationBloomDocs _),
     "dedup_clusters_documents" -> (dedupClusters _),
     "pii_redact_customer" -> (piiRedactCustomer _),
     "neardup_minhash_documents" -> (neardupMinhash _),
@@ -1366,6 +1409,7 @@ object TextQueries {
     "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
+    "block_dedup_documents" -> blockDedupSql,
     "split_leakage_documents" -> splitLeakageSql,
     "stream_curate_bounded" -> curatedStreamSql,
     "repetition_documents" -> repetitionSql,
@@ -1378,6 +1422,7 @@ object TextQueries {
     "fingerprint_documents" -> fingerprintSql,
     "sample_stratified_documents" -> sampleStratifiedSql,
     "contamination_documents" -> contaminationSql,
+    "contamination_bloom_documents" -> contaminationSql,
     "dedup_clusters_documents" -> dedupClustersSql,
     "pii_redact_customer" -> piiRedactSql,
     "langid_documents" -> langIdSql,

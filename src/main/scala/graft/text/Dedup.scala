@@ -269,6 +269,52 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Corpus-wide duplicated-block REMOVAL — the cutting counterpart of
+    * [[spanDupStats]] and the re-expression of C4's line-level exact
+    * dedup ("we removed any three-sentence span occurring more than
+    * once"; Raffel et al. 2020 §2.2) for corpora without line structure:
+    * each document's words are partitioned into consecutive
+    * non-overlapping `n`-word blocks, a block whose text occurs anywhere
+    * else in the corpus keeps only its GLOBAL first occurrence (min
+    * (doc, position) — deterministic, engine-neutral), and each document
+    * is reassembled from its surviving blocks in position order.
+    * Non-overlapping blocks are what make the cut well-defined in one
+    * declarative pass: removing overlapping windows needs an ordered
+    * sweep per duplicate chain (Lee et al. 2022 build a suffix array;
+    * their §4.1 ExactSubstr), which is a different cost class — the
+    * block posture is the standard approximation (paragraph/line dedup
+    * in C4/Dolma) and loses only cuts that straddle a block boundary.
+    *
+    * Scale shape: explode ≈ one row per n words → ONE window on the
+    * 16-byte block hash (rank = global first-occurrence order) → per-doc
+    * aggregate that reassembles. The shuffle carries (id, pos, hash) +
+    * the block text once; no pair explosion, no self-join. The final
+    * per-doc collect_list is bounded by document length — the same
+    * in-row bound every per-doc text op here lives with.
+    */
+  def blockDedupCut(df: DataFrame, textCol: String, idCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1)
+    val blocks = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("words"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(words) / ${n}.0) as int)" +
+          s" - 1), b -> concat_ws(' ', slice(words, b * $n + 1, $n)))"))
+        .as(Seq("pos", "block")))
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col(idCol), col("pos"))
+    blocks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN " +
+            "struct(pos, block) END)), s -> s.block)"))
+          .as("text_deduped"))
+      .orderBy(idCol)
+  }
+
   /** Exact-Jaccard verification of candidate pairs, on HASHED shingles:
     * sets are packed as one xxhash64-per-shingle array per document, so
     * each candidate pair is ONE row and the intersection is an in-row

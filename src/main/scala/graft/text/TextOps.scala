@@ -191,6 +191,43 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** [[contamination]] with a Bloom-prefiltered membership probe — the
+    * same output, bit for bit, by a different scale posture. The exact
+    * path broadcasts the benchmark's distinct shingle STRINGS; at a
+    * 10^8-shingle benchmark that is gigabytes per executor. Here the
+    * corpus side is gated by a [[graft.functions.Bloom]] bitset
+    * (~1.2 bytes/shingle at fpp=1%, codegen'd probe, NO false negatives),
+    * and only the surviving candidates — true hits plus an fpp-sized
+    * sliver — reach an exact verify join that is free to SHUFFLE on the
+    * shingle key instead of broadcasting (candidate volume ≈ hit volume,
+    * not corpus volume). False positives die in the verify join, so the
+    * result equals [[contamination]] exactly and rides the same oracle.
+    * Per-doc totals (`n_shingles`) come from a separate pre-filter
+    * aggregate with map-side combine — the denominator must count ALL
+    * shingles, not just candidates.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val cs = Dedup.shingles(corpus, textCol, idCol, n)
+    val bs = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+      .localCheckpoint(true) // one computation feeds build + verify
+    val bloom = graft.functions.Bloom.buildCounted(bs, "shingle", fpp)
+    val totals = cs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.filter(bloom.mightContain(col("shingle")))
+      .join(bs.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast(DoubleType)
+          / col("n_shingles"), 4).as("contamination"))
+      .orderBy(idCol)
+  }
+
   /** Corpus vocabulary: the `limit` most frequent whitespace tokens by
     * total occurrence count — the frequency table a tokenizer build
     * starts from. One explode + one count shuffle + TakeOrdered top-k

@@ -771,6 +771,39 @@ class TextSpec extends AnyFunSuite {
     assert(out(11L) == ((3L, 0L, 0.0)))
   }
 
+  test("block dedup cuts later occurrences and reassembles in order") {
+    // 4-word blocks; doc 1 owns block X=«a b c d» first; doc 2 repeats X
+    // at block position 1 and AGAIN at position 2 — only doc 1's copy
+    // survives; doc 3 is untouched; doc 4's tail block is shorter than n
+    // and distinct, so it survives.
+    val df = Seq(
+      (1L, "a b c d p q r s"),
+      (2L, "m n o p a b c d a b c d"),
+      (3L, "w x y z"),
+      (4L, "e f g h ii jj")).toDF("doc_id", "text")
+    val out = Dedup.blockDedupCut(df, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_deduped"))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d p q r s")))
+    assert(out(2L) == ((3L, 2L, "m n o p")))
+    assert(out(3L) == ((1L, 0L, "w x y z")))
+    assert(out(4L) == ((2L, 0L, "e f g h ii jj")))
+  }
+
+  test("block dedup: first occurrence is global (doc_id, pos) order") {
+    // the duplicated block appears at pos 1 of doc 10 and pos 0 of doc
+    // 11 — doc 10 wins because doc order dominates position order
+    val df = Seq(
+      (10L, "h1 h2 h3 h4 dup1 dup2 dup3 dup4"),
+      (11L, "dup1 dup2 dup3 dup4 t1 t2 t3 t4")).toDF("doc_id", "text")
+    val out = Dedup.blockDedupCut(df, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_deduped")).toMap
+    assert(out(10L) == "h1 h2 h3 h4 dup1 dup2 dup3 dup4")
+    assert(out(11L) == "t1 t2 t3 t4")
+  }
+
   test("repetition signals saturate on looping boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now"),
