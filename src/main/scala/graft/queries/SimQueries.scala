@@ -453,6 +453,103 @@ object SimQueries {
        |SELECT *, n_nan > 0 OR norm = 0 OR dim_ct <> $Dim AS degenerate
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // ---- corpus clustering (k-means) ----------------------------------------
+
+  val KmK = 8
+  val KmIters = 10
+  val KmSeed = 20260815L
+
+  /** Corpus partitioning by deterministic k-means — the clustering pass
+    * SemDeDup-style semantic curation and domain discovery start from.
+    * Centroids have no exact SQL rendering (rows-only here); the
+    * CONTRACT is hash-gated by [[kmeansPurityCheck]].
+    */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+      KmK, KmIters, KmSeed)
+
+  /** Expected-empty driver gate for the clustering tier, two invariant
+    * classes over the GenPlant planted clusters (merged into the sweep
+    * corpus; the operator still runs distributed over everything):
+    *
+    *  - `argmin_violation`: a planted member whose assigned cluster is
+    *    not the nearest centroid under an INDEPENDENT driver-side
+    *    recomputation (same IEEE operation order as the plan literals,
+    *    so the comparison is exact, eps 0) — catches expression /
+    *    tie-break drift in the distributed assignment.
+    *  - `family_split` / `family_merge`: a planted family (pairwise
+    *    cos ≈ 0.9975 — a ball of radius ≈ noise) assigned to more than
+    *    one cluster, or the two families (near-orthogonal base
+    *    directions) collapsed into one — catches trainer regressions
+    *    (sample starvation, empty-cluster handling) that leave
+    *    centroids unable to separate even planted structure.
+    */
+  def kmeansPurityCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.tools.GenPlant
+    val e = emb(s, dir).unionByName(
+      GenPlant.plantedEmbeddings(s)
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val cents = Similarity.kmeansTrain(e, "embedding", KmK, KmIters,
+      KmSeed)
+    val planted = Similarity.kmeansAssignWith(e, "vec_id", "embedding",
+        cents)
+      .filter(col("vec_id") >= GenPlant.PlantBase)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val vecs: Map[Long, Array[Double]] = GenPlant.EmbClusters.flatMap {
+      case (f, size, noise) => (0 until size).map { j =>
+        GenPlant.idOf(f, j) ->
+          GenPlant.memberVec(f, j, noise).map(_.toDouble)
+      }
+    }.toMap
+    // driver-side argmin mirroring the plan literals' operation order:
+    // |c|² as a pre-summed constant, dot accumulated left-to-right,
+    // ties to the lower cluster id
+    val c2 = cents.map(c => c.map(x => x * x).sum)
+    def argmin(v: Array[Double]): Long = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        var dotVc = 0.0; var j = 0
+        while (j < v.length) { dotVc += v(j) * cents(i)(j); j += 1 }
+        val d = c2(i) - 2.0 * dotVc
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best.toLong
+    }
+    val argminViolations = planted.collect {
+      case (id, cl) if cl != argmin(vecs(id)) =>
+        ("argmin_violation", id, cl, argmin(vecs(id)))
+    }.toSeq
+    val famOf = (id: Long) =>
+      ((id - GenPlant.PlantBase) / GenPlant.FamilyStride).toInt
+    val byFam = planted.groupBy(p => famOf(p._1))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val splitViolations = byFam.collect {
+      case (f, cls) if cls.size != 1 =>
+        ("family_split", f.toLong, cls.size.toLong, 1L)
+    }.toSeq
+    val mergeViolations =
+      if (byFam.size == GenPlant.EmbClusters.size &&
+          byFam.values.flatten.toSet.size < byFam.size)
+        Seq(("family_merge", -1L, byFam.values.flatten.toSet.size.toLong,
+          byFam.size.toLong))
+      else Seq.empty
+    val vacuous =
+      if (planted.isEmpty) Seq(("vacuous_truth", -1L, 0L, 0L))
+      else Seq.empty
+    (argminViolations ++ splitViolations ++ mergeViolations ++ vacuous)
+      .toDF("check", "subject", "got", "want")
+      .orderBy("check", "subject")
+  }
+
+  val kmeansPurityCheckSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS check, CAST(NULL AS BIGINT) AS subject,
+      |  CAST(NULL AS BIGINT) AS got, CAST(NULL AS BIGINT) AS want
+      |WHERE false""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rp_embeddings" -> (randomProjection _),
     "diversity_sample_embeddings" -> (diversitySample _),
@@ -469,6 +566,8 @@ object SimQueries {
     "ann_pq_recall_check" -> (annPqRecallCheck _),
     "ann_rp_embeddings" -> (annRp _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
+    "kmeans_assign_embeddings" -> (kmeansAssign _),
+    "kmeans_purity_check" -> (kmeansPurityCheck _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,5 +584,6 @@ object SimQueries {
     "ann_pq_recall_check" -> annPqRecallCheckSql,
     "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
+    "kmeans_purity_check" -> kmeansPurityCheckSql,
   )
 }

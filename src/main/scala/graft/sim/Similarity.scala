@@ -563,6 +563,64 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  // ---- corpus clustering (k-means) ---------------------------------------
+
+  /** Deterministic k-means centroids for corpus clustering — the
+    * train-on-a-bounded-sample posture every sketch here uses ([[pqTrain]],
+    * [[knnIvf]]): a seeded Bernoulli sample is collected (control-plane,
+    * ≤ `trainLimit` rows regardless of corpus size) and [[lloydPp]]
+    * (k-means++ init) runs on the driver, so the result is a pure
+    * function of (corpus, k, iters,
+    * seed) with none of MLlib's parallel-reduction nondeterminism. At
+    * 100 TB the sample bound IS the design: clustering quality saturates
+    * in the thousands of training points while the ASSIGNMENT — the part
+    * that must scale — stays a narrow distributed projection.
+    */
+  def kmeansTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
+                  seed: Long,
+                  trainLimit: Int = 8192): Array[Array[Double]] = {
+    val total = corpus.count()
+    val fraction =
+      math.min(1.0, trainLimit.toDouble / math.max(1L, total))
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .sample(withReplacement = false, fraction, seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    lloydPp(sample, k, iters, seed)
+  }
+
+  /** Assign every vector to its nearest centroid (squared euclidean;
+    * ties break to the lower cluster id) — the SemDeDup/domain-discovery
+    * partitioning pass (Abbas et al. 2023 cluster first, then prune
+    * within clusters). Centroids embed as plan literals, so assignment
+    * is one codegen'd argmin projection over the [[dot]] expression — no
+    * shuffle, no join, embarrassingly parallel; the output's
+    * (cluster_id) grouping key is what downstream within-cluster ops
+    * shuffle on. `dist2` is exact squared distance
+    * |v|² + |c|² − 2·v·c, rounded for engine-neutral output.
+    */
+  def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
+                       cents: Array[Array[Double]]): DataFrame = {
+    val v = asDouble(col(vecCol))
+    def cellDist(c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, array(c.map(lit).toSeq: _*))
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cellDist(c).as("d"), lit(i).as("cluster"))
+    }.toSeq: _*))
+    df.select(col(idCol),
+        element_at(ranked, 1).as("best"), dot(v, v).as("vv"))
+      .select(col(idCol),
+        col("best")("cluster").cast(LongType).as("cluster_id"),
+        round(col("vv") + col("best")("d"), 4).as("dist2"))
+      .orderBy(idCol)
+  }
+
+  /** [[kmeansTrain]] + [[kmeansAssignWith]] in one call. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int, seed: Long,
+                   trainLimit: Int = 8192): DataFrame =
+    kmeansAssignWith(df, idCol, vecCol,
+      kmeansTrain(df, vecCol, k, iters, seed, trainLimit))
+
   /** ANN via fixed hamming-1 multiprobe LSH: corpus bucketed once; each
     * query probes its own bucket and every bucket at hamming distance 1
     * (planes+1 probes), then exact cosine ranks the candidates. Join key
@@ -612,8 +670,68 @@ object Similarity {
                            seed: Long): Array[Array[Double]] = {
     require(pts.length >= k, s"need >= $k training points, got ${pts.length}")
     val rng = new scala.util.Random(seed)
-    var cents = rng.shuffle(pts.indices.toVector).take(k)
+    val cents = rng.shuffle(pts.indices.toVector).take(k)
       .map(i => pts(i).clone()).toArray
+    lloydIterate(pts, cents, iters)
+  }
+
+  /** Deterministic k-means++ (D²-weighted) init + Lloyd — the CORPUS
+    * clustering trainer ([[kmeansTrain]]). Shuffle init is fine for PQ
+    * subspace codebooks (256 codes over dense 8-dim projections — any
+    * spread works) but collapses on clustered full-space data: two
+    * random seeds landing in one tight mass leave Lloyd stuck splitting
+    * it while distinct clusters merge (the classic local minimum, seen
+    * directly in SimSpec's blob fixture). D² sampling (Arthur &
+    * Vassilvitskii 2007) picks each next seed with probability
+    * proportional to squared distance from the chosen set — seeded rng,
+    * cumulative-scan draw, so still a pure function of
+    * (sample, k, iters, seed).
+    */
+  private[graft] def lloydPp(pts: Array[Array[Double]], k: Int,
+                             iters: Int, seed: Long): Array[Array[Double]] = {
+    require(pts.length >= k, s"need >= $k training points, got ${pts.length}")
+    val rng = new scala.util.Random(seed)
+    val dim = pts(0).length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    val chosen = new Array[Array[Double]](k)
+    chosen(0) = pts(rng.nextInt(pts.length)).clone()
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < pts.length) {
+        val d = sq(pts(i), chosen(c - 1))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      val total = d2.sum
+      if (total == 0.0) {
+        // all remaining points coincide with chosen seeds — any pick do
+        chosen(c) = pts(rng.nextInt(pts.length)).clone()
+      } else {
+        var r = rng.nextDouble() * total
+        var p = 0
+        while (p < pts.length - 1 && r >= d2(p)) { r -= d2(p); p += 1 }
+        chosen(c) = pts(p).clone()
+      }
+      c += 1
+    }
+    lloydIterate(pts, chosen, iters)
+  }
+
+  /** The shared Lloyd iteration body: assignment/mean steps from the
+    * given initial centroids; an emptied cluster keeps its previous
+    * centroid. Mutates nothing it is handed.
+    */
+  private def lloydIterate(pts: Array[Array[Double]],
+                           init: Array[Array[Double]],
+                           iters: Int): Array[Array[Double]] = {
+    val k = init.length
+    var cents = init
     val d = pts(0).length
     for (_ <- 1 to iters) {
       val sums = Array.fill(k)(new Array[Double](d))

@@ -451,4 +451,64 @@ class SimSpec extends AnyFunSuite {
       SparkTestSession.sf).collect().isEmpty)
   }
 
+  test("k-means: deterministic training, blob recovery, and tie-exact " +
+      "argmin assignment") {
+    // three well-separated blobs on coordinate axes in 8 dims
+    def blob(axis: Int, n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { j =>
+        val v = Array.fill(8)(0.001f * ((axis * 31 + j * 7) % 5))
+        v(axis) = 1.0f + 0.01f * (j % 3)
+        ((axis * 100 + j).toLong, v)
+      }
+    val pts = (blob(0, 40) ++ blob(3, 40) ++ blob(6, 40))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(pts, "vec_id", "embedding",
+      k = 3, iters = 10, seed = 11L, trainLimit = 1000)
+    val rows = out.collect()
+    assert(rows.length == 120)
+    val byBlob = rows.groupBy(_.getAs[Long]("vec_id") / 100)
+      .view.mapValues(_.map(_.getAs[Long]("cluster_id")).toSet).toMap
+    // each blob lands in exactly one cluster; the three clusters differ
+    byBlob.values.foreach(cls => assert(cls.size == 1, s"split: $byBlob"))
+    assert(byBlob.values.flatten.toSet.size == 3, s"merged: $byBlob")
+    // deterministic end to end
+    val again = Similarity.kmeansAssign(pts, "vec_id", "embedding",
+      k = 3, iters = 10, seed = 11L, trainLimit = 1000).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // assignment matches a driver-side argmin over the same centroids
+    val cents = Similarity.kmeansTrain(pts, "embedding", 3, 10, 11L, 1000)
+    val c2 = cents.map(c => c.map(x => x * x).sum)
+    val vecsById = pts.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val v = vecsById(r.getLong(0))
+      val dists = cents.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += v(j) * cents(i)(j); j += 1 }
+        c2(i) - 2.0 * d
+      }
+      assert(dists(r.getAs[Long]("cluster_id").toInt) == dists.min)
+    }
+  }
+
+  test("k-means purity gate: empty on the sweep corpus, non-vacuous " +
+      "under a broken trainer") {
+    val gate = graft.queries.SimQueries.kmeansPurityCheck(spark,
+      SparkTestSession.sf).collect()
+    assert(gate.isEmpty, gate.mkString("; "))
+    // non-vacuity: one centroid cannot separate the two planted
+    // families — the merge/split invariants must fire
+    import graft.tools.GenPlant
+    val e = graft.Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .unionByName(GenPlant.plantedEmbeddings(spark)
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val oneCent = Similarity.kmeansTrain(e, "embedding", 1, 2, 11L)
+    val collapsed = Similarity.kmeansAssignWith(e, "vec_id", "embedding",
+        oneCent)
+      .filter(col("vec_id") >= GenPlant.PlantBase)
+      .select("cluster_id").distinct().count()
+    assert(collapsed == 1L,
+      "k=1 must collapse the planted families into one cluster")
+  }
+
 }
