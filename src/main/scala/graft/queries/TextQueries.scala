@@ -585,6 +585,93 @@ object TextQueries {
       maxBucket = annProdCap(embs.count()))
   }
 
+  // ---- semantic dedup, cluster-pruned tier (SemDeDup) ---------------------
+
+  /** Cluster count for the kmeans dedup tier, adaptive like
+    * [[annProdCap]]: ~1k vectors per cluster keeps within-cluster pair
+    * volume Σ m² ≈ n·m linear-ish in corpus size (the SemDeDup k-scales-
+    * with-n posture), floored at 16 so small corpora still partition.
+    */
+  def kmDedupK(n: Long): Int =
+    math.max(16, math.ceil(n / 1024.0).toInt)
+
+  /** The registered kmeans tier runs in the PROD regime (cos ≥
+    * [[AnnProdTau]], like `semantic_dedup_ann_prod`): cluster pruning
+    * is a high-cosine instrument — τ = 0.9 pairs are genuinely CLOSE in
+    * euclidean space and co-cluster; the harness corpus' τ ≈ 0.4 "near"
+    * dups sit at ~60° where a Voronoi boundary between them is the
+    * normal case, not the failure case (measured: recall 0.26 at τ=0.4
+    * vs 1.0 on planted high-cos clusters — same shallow-regime split
+    * the LSH tier documents on [[Similarity.cosineNearDupPairsLsh]]).
+    */
+  def semanticDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(s, dir, "embeddings")
+    Curation.semanticDedupPairsKmeans(docs(s, dir), embs,
+      minCos = AnnProdTau, shingleN = ShingleN, minJaccard = MinJaccard,
+      k = kmDedupK(embs.count()), iters = 10, seed = AnnSeed)
+  }
+
+  /** Expected-empty gate fencing the rows-only kmeans tier (centroids
+    * have no SQL rendering — the ann_ivf gate pattern):
+    *
+    *  - `not_in_exact`: an emitted pair between AUDIT-SAMPLE ids (both
+    *    even — the slice the oracle-checked exact tier covers) whose
+    *    (cos_sim, jaccard, agree) row is absent from the exact tier
+    *    (τ ≥ 0.9 pairs are a fortiori τ ≥ 0.4 pairs, scored by the
+    *    same codegen'd math) — catches cosine/verify drift.
+    *  - `recall_below_floor`: planted ground truth, the non-vacuous
+    *    leg. The GenPlant cl_norm family (16 members, pairwise cos ≈
+    *    0.9975, family-private vocabulary) is merged into the corpus;
+    *    the tier must recover ≥ [[KmDedupRecallFloor]] of its 120
+    *    within-family pairs — a trainer/assignment/cap regression that
+    *    splits even a radius-0.05 ball trips this.
+    *  - `vacuous_truth`: the planted truth going missing surfaces
+    *    instead of passing.
+    */
+  val KmDedupRecallFloor = 0.95
+
+  def semanticDedupKmeansCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.tools.GenPlant
+    val plantedE = GenPlant.plantedEmbeddings(s)
+      .filter(col("label") === 3)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val plantedD = GenPlant.plantedDocs(s)
+      .filter(col("doc_id") >= GenPlant.idOf(3, 0) &&
+        col("doc_id") < GenPlant.idOf(4, 0))
+    val embs = Tables.load(s, dir, "embeddings").unionByName(plantedE)
+    val d = docs(s, dir).unionByName(plantedD
+      .select(docs(s, dir).columns.map(col): _*))
+    val km = Curation.semanticDedupPairsKmeans(d, embs,
+        minCos = AnnProdTau, shingleN = ShingleN,
+        minJaccard = MinJaccard, k = kmDedupK(embs.count()), iters = 10,
+        seed = AnnSeed)
+      .localCheckpoint(true)
+    val subsetViol = km
+      .filter(col("id_a") < GenPlant.PlantBase &&
+        pmod(col("id_a"), lit(AuditMod)) === 0 &&
+        pmod(col("id_b"), lit(AuditMod)) === 0)
+      .join(semanticDedup(s, dir),
+        Seq("id_a", "id_b", "cos_sim", "jaccard", "agree"), "left_anti")
+      .select(lit("not_in_exact").as("check"), col("id_a"), col("id_b"))
+    val size3 = GenPlant.EmbClusters.find(_._1 == 3).get._2
+    val truth = size3.toLong * (size3 - 1) / 2
+    val hit = km.filter(col("id_a") >= GenPlant.PlantBase &&
+      col("id_b") < GenPlant.idOf(4, 0)).count()
+    val extra =
+      if (truth == 0L) Seq(("vacuous_truth", -1L, -1L))
+      else if (hit.toDouble / truth < KmDedupRecallFloor)
+        Seq(("recall_below_floor", hit, truth))
+      else Seq.empty[(String, Long, Long)]
+    subsetViol.unionByName(extra.toDF("check", "id_a", "id_b"))
+      .orderBy("check", "id_a", "id_b")
+  }
+
+  val semanticDedupKmeansCheckSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS check, CAST(NULL AS BIGINT) AS id_a,
+      |  CAST(NULL AS BIGINT) AS id_b
+      |WHERE false""".stripMargin
+
   /** DuckDB mirror of one ANN regime: identical plane family, sign
     * convention, hot-bucket cap (QUALIFY over the banding CTE), cosine
     * round/threshold, and lexical confirm as the Spark path.
@@ -1353,6 +1440,8 @@ object TextQueries {
     "semantic_dedup_pairs" -> (semanticDedup _),
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
     "semantic_dedup_ann_prod" -> (semanticDedupAnnProd _),
+    "semantic_dedup_kmeans_prod" -> (semanticDedupKmeans _),
+    "semantic_dedup_kmeans_check" -> (semanticDedupKmeansCheck _),
     "lm_surprisal_documents" -> (lmSurprisal _),
     "importance_weights_documents" -> (importanceWeights _),
     "mixture_plan_documents" -> (mixturePlan _),
@@ -1399,6 +1488,7 @@ object TextQueries {
     "semantic_dedup_pairs" -> semanticDedupSql,
     "semantic_dedup_ann_pairs" -> semanticDedupAnnSql,
     "semantic_dedup_ann_prod" -> semanticDedupAnnProdSql,
+    "semantic_dedup_kmeans_check" -> semanticDedupKmeansCheckSql,
     "lm_surprisal_documents" -> lmSurprisalSql,
     "importance_weights_documents" -> importanceWeightsSql,
     "mixture_plan_documents" -> mixturePlanSql,

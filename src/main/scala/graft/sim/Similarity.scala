@@ -601,17 +601,79 @@ object Similarity {
   def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
                        cents: Array[Array[Double]]): DataFrame = {
     val v = asDouble(col(vecCol))
-    def cellDist(c: Array[Double]): Column =
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, array(c.map(lit).toSeq: _*))
-    val ranked = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(cellDist(c).as("d"), lit(i).as("cluster"))
-    }.toSeq: _*))
     df.select(col(idCol),
-        element_at(ranked, 1).as("best"), dot(v, v).as("vv"))
+        nearestCentroid(v, cents).as("best"), dot(v, v).as("vv"))
       .select(col(idCol),
         col("best")("cluster").cast(LongType).as("cluster_id"),
         round(col("vv") + col("best")("d"), 4).as("dist2"))
       .orderBy(idCol)
+  }
+
+  /** struct(d, cluster) of the nearest centroid to `v` — d is squared
+    * distance up to the per-row |v|² constant (|c|² − 2·v·c), which is
+    * enough for the argmin; ties break to the lower cluster id via the
+    * struct sort. Shared by [[kmeansAssignWith]] and
+    * [[cosineNearDupPairsKmeans]] so their partitionings cannot drift.
+    */
+  private def nearestCentroid(v: Column,
+                              cents: Array[Array[Double]]): Column = {
+    def cellDist(c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, array(c.map(lit).toSeq: _*))
+    element_at(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cellDist(c).as("d"), lit(i).as("cluster"))
+    }.toSeq: _*)), 1)
+  }
+
+  /** SemDeDup-shaped candidate tier for the near-dup pair ladder
+    * (exact [[cosineNearDupPairs]] / LSH [[cosineNearDupPairsLsh]] /
+    * this): vectors are partitioned by deterministic k-means
+    * ([[kmeansTrain]]) and only WITHIN-cluster pairs are scored with the
+    * exact codegen'd cosine — precisely Abbas et al. 2023's "cluster
+    * with k-means, dedup inside each cluster". Candidate volume is
+    * Σ cluster², controlled by k (their production setting is k in the
+    * tens of thousands, putting ~10³ vectors per cluster at 10⁸ corpus
+    * size); `maxCluster` is the same guard rail as the LSH tier's
+    * hot-bucket cap for degenerate dense regions. One shuffle on
+    * cluster_id; assignment itself is the shuffle-free argmin
+    * projection. Recall < 1 by design (a pair straddling a cluster
+    * boundary is lost — the documented SemDeDup trade); measured in
+    * SimSpec against the exact tier, and the registered query is fenced
+    * by a subset-consistency gate.
+    */
+  def cosineNearDupPairsKmeans(df: DataFrame, idCol: String,
+                               vecCol: String, tau: Double, k: Int,
+                               iters: Int = 10, seed: Long = 7L,
+                               trainLimit: Int = 8192,
+                               maxCluster: Int = 0): DataFrame = {
+    val cents = kmeansTrain(df, vecCol, k, iters, seed, trainLimit)
+    val keyed0 = df
+      .select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cluster",
+        nearestCentroid(col("v"), cents)("cluster").cast(LongType))
+    val keyed =
+      if (maxCluster <= 0) keyed0
+      else {
+        val keyedM = keyed0.localCheckpoint(true)
+        val hot = keyedM.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("__cs"))
+          .filter(col("__cs") > maxCluster)
+          .select(col("cluster"))
+        keyedM.join(broadcast(hot), Seq("cluster"), "left_anti")
+      }
+    keyed.select(col("cluster"), col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(keyed.select(col("cluster"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("raw"))
+      // same half-ulp-of-rounding margin as the exact tier
+      .filter(col("raw") >= tau - 5e-5)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy("id_a", "id_b")
   }
 
   /** [[kmeansTrain]] + [[kmeansAssignWith]] in one call. */

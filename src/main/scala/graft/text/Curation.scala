@@ -205,6 +205,29 @@ object Curation {
         minCos, dim, bands, planesPerBand, seed, maxBucket),
       docs, docIdCol, textCol, shingleN, minJaccard)
 
+  /** [[semanticDedupPairs]] with the CLUSTER-PRUNED candidate tier —
+    * the full SemDeDup recipe (Abbas et al. 2023): deterministic
+    * k-means partitions the embedding space, candidates are
+    * within-cluster pairs only (Similarity.cosineNearDupPairsKmeans),
+    * then the same exact-cosine + lexical-Jaccard confirmation. Same
+    * output schema as the exact tier; every emitted pair is by
+    * construction a pair the exact tier also emits (same cosine, same
+    * Jaccard) — the registered subset gate holds that invariant.
+    */
+  def semanticDedupPairsKmeans(docs: DataFrame, vecs: DataFrame,
+                               docIdCol: String = "doc_id",
+                               vecIdCol: String = "vec_id",
+                               textCol: String = "text",
+                               vecCol: String = "embedding",
+                               minCos: Double = 0.4, shingleN: Int = 2,
+                               minJaccard: Double = 0.4, k: Int = 16,
+                               iters: Int = 10, seed: Long = 7L,
+                               maxCluster: Int = 0): DataFrame =
+    confirmPairsLexically(
+      graft.sim.Similarity.cosineNearDupPairsKmeans(vecs, vecIdCol,
+        vecCol, minCos, k, iters, seed, maxCluster = maxCluster),
+      docs, docIdCol, textCol, shingleN, minJaccard)
+
   /** The lexical verification tier shared by both semantic-dedup
     * variants: each candidate `(id_a, id_b, cos_sim)` row gains the
     * exact word-shingle Jaccard of the two texts and the `agree` flag.

@@ -491,6 +491,47 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans-pruned near-dup tier: exact subset of the exact tier, " +
+      "planted high-cos recall 1.0, and an empty registered gate") {
+    import graft.queries.TextQueries
+    import graft.tools.GenPlant
+    val e = graft.Tables.load(spark, SparkTestSession.sf, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // subset property holds at ANY tau: within-cluster scoring is the
+    // exact tier's math over a pruned candidate set
+    val exact = pairSet(Similarity.cosineNearDupPairs(e, "vec_id",
+      "embedding", 0.4))
+    val km04 = pairSet(Similarity.cosineNearDupPairsKmeans(e, "vec_id",
+      "embedding", 0.4, k = 16, iters = 10, seed = 7L))
+    assert(exact.nonEmpty)
+    assert(km04.subsetOf(exact),
+      s"cluster tier invented pairs: ${km04.diff(exact)}")
+    // the tier's TARGET regime: planted cos ~ 0.9975 cluster merged
+    // into the corpus is recovered completely at the prod threshold
+    val planted = GenPlant.plantedEmbeddings(spark)
+      .filter(col("label") === 3)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .select("vec_id", "embedding")
+    val merged = e.select("vec_id", "embedding").unionByName(planted)
+    val kmHi = pairSet(Similarity.cosineNearDupPairsKmeans(merged,
+      "vec_id", "embedding", 0.9, k = 16, iters = 10, seed = 7L))
+      .filter(_._1 >= GenPlant.PlantBase)
+    val size3 = GenPlant.EmbClusters.find(_._1 == 3).get._2
+    assert(kmHi.size == size3 * (size3 - 1) / 2,
+      s"planted recall ${kmHi.size}/${size3 * (size3 - 1) / 2}")
+    // hot-cluster cap of 1 guts the planted recall — the gate's floor
+    // leg is measuring something real
+    val capped = pairSet(Similarity.cosineNearDupPairsKmeans(merged,
+      "vec_id", "embedding", 0.9, k = 16, iters = 10, seed = 7L,
+      maxCluster = 1)).count(_._1 >= GenPlant.PlantBase)
+    assert(capped == 0, s"maxCluster=1 should gut recall, got $capped")
+    val gate = TextQueries.semanticDedupKmeansCheck(spark,
+      SparkTestSession.sf).collect()
+    assert(gate.isEmpty, gate.mkString("; "))
+  }
+
   test("k-means purity gate: empty on the sweep corpus, non-vacuous " +
       "under a broken trainer") {
     val gate = graft.queries.SimQueries.kmeansPurityCheck(spark,
