@@ -42,6 +42,50 @@ object ConcurrentPasses {
   def collectRow(spark: SparkSession,
                  passes: Seq[DataFrame]): (StructType, Row) = {
     require(passes.nonEmpty, "no passes to collect")
+    val rows = awaitAll(spark, passes)
+    val schema = StructType(passes.flatMap(_.schema.fields).toArray)
+    (schema, Row.fromSeq(rows.flatMap(_.toSeq)))
+  }
+
+  /** [[collectRow]] wrapped back into a one-row LocalRelation frame. */
+  def collectOneRow(spark: SparkSession,
+                    passes: Seq[DataFrame]): DataFrame = {
+    val (schema, row) = collectRow(spark, passes)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
+  /** The passes of SEVERAL independent groups through ONE shared pool —
+    * one one-row frame per group, each identical to what
+    * [[collectOneRow]] would return for that group alone. This is the
+    * wall-clock fix for callers that profile multiple frames back to
+    * back (merge-law queries, partition-sliced lakes): N sequential
+    * collectOneRow calls serialize at the POOL level even though every
+    * pass inside each call is concurrent; one flattened submission
+    * makes the total ≈ the slowest pass wave, not the sum of groups.
+    */
+  def collectOneRowGroups(spark: SparkSession,
+                          groups: Seq[Seq[DataFrame]]): Seq[DataFrame] = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty),
+      "no passes to collect")
+    val flat = groups.flatten
+    val rows = awaitAll(spark, flat)
+    val byGroup = groups.foldLeft((Seq.empty[Seq[Row]], rows)) {
+      case ((acc, rest), g) =>
+        val (h, t) = rest.splitAt(g.size)
+        (acc :+ h, t)
+    }._1
+    groups.zip(byGroup).map { case (g, rs) =>
+      val schema = StructType(g.flatMap(_.schema.fields).toArray)
+      spark.createDataFrame(
+        java.util.Collections.singletonList(Row.fromSeq(rs.flatMap(_.toSeq))),
+        schema)
+    }
+  }
+
+  /** One row per pass, all passes in flight on one bounded pool. */
+  private def awaitAll(spark: SparkSession,
+                       passes: Seq[DataFrame]): Seq[Row] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val timeout = Duration(
@@ -58,20 +102,9 @@ object ConcurrentPasses {
       .newFixedThreadPool(math.min(passes.size, 16))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    try {
-      val rows = Await.result(
-        Future.sequence(passes.map(p => Future(p.collect()(0)))),
-        timeout)
-      val schema = StructType(passes.flatMap(_.schema.fields).toArray)
-      (schema, Row.fromSeq(rows.flatMap(_.toSeq)))
-    } finally pool.shutdown()
-  }
-
-  /** [[collectRow]] wrapped back into a one-row LocalRelation frame. */
-  def collectOneRow(spark: SparkSession,
-                    passes: Seq[DataFrame]): DataFrame = {
-    val (schema, row) = collectRow(spark, passes)
-    spark.createDataFrame(
-      java.util.Collections.singletonList(row), schema)
+    try Await.result(
+      Future.sequence(passes.map(p => Future(p.collect()(0)))),
+      timeout)
+    finally pool.shutdown()
   }
 }

@@ -327,6 +327,38 @@ object Profiler {
           .select(col("__q").as(s"__q_$i"))
     }
 
+  /** Several profiles through ONE shared pass pool — each result
+    * bit-identical to `profile(df, name, exactDistinct)` run alone, but
+    * the wall clock is ≈ the widest pass wave instead of the sum of
+    * inputs: sequential profile() calls are each EAGER (the
+    * ConcurrentPasses contract), so profiling two halves of a table
+    * back to back serializes the two pools even on an idle cluster.
+    * This is the partition-sliced-lake posture — profile every slice
+    * concurrently, then [[mergeProfiles]] — and what the merge-law
+    * query uses.
+    */
+  def profileMany(inputs: Seq[(DataFrame, String)],
+                  exactDistinct: Boolean = true): Seq[DataFrame] = {
+    require(inputs.nonEmpty, "no inputs to profile")
+    val distincts = if (exactDistinct) "exact" else "hll"
+    val spark = inputs.head._1.sparkSession
+    val fieldsPer = inputs.map { case (df, name) =>
+      val fs = df.schema.fields.zipWithIndex.filter {
+        case (f, _) => isProfilable(f.dataType)
+      }.toSeq
+      require(fs.nonEmpty, s"no profilable columns in $name")
+      fs
+    }
+    val groups = inputs.zip(fieldsPer).map { case ((df, _), fs) =>
+      buildPasses(df, fs, distincts, exactPercentiles = exactDistinct)
+    }
+    val aggeds = graft.operators.ConcurrentPasses
+      .collectOneRowGroups(spark, groups)
+    inputs.zip(fieldsPer).zip(aggeds).map {
+      case (((_, name), fs), agged) => assemble(agged, name, fs, distincts)
+    }
+  }
+
   /** [[buildPasses]] for a whole table, as the plan-fence entry point:
     * profilable fields resolved exactly as profileWith resolves them.
     */

@@ -45,11 +45,13 @@ object ProfileQueries {
   private def profileMerge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val li = Tables.load(s, dir, "lineitem")
-    Profiler.mergeProfiles(
-      Profiler.profile(li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0),
-        "lineitem"),
-      Profiler.profile(li.filter(pmod(col("l_orderkey"), lit(4)) === 0),
-        "lineitem"))
+    // both halves' passes ride ONE shared pool (profileMany): two
+    // sequential eager profile() calls would serialize their pools and
+    // double the wall clock of what is conceptually one scan's work
+    val Seq(pa, pb) = Profiler.profileMany(Seq(
+      li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0) -> "lineitem",
+      li.filter(pmod(col("l_orderkey"), lit(4)) === 0) -> "lineitem"))
+    Profiler.mergeProfiles(pa, pb)
   }
 
   private val profileMergeSql: String =
