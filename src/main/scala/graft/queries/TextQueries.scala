@@ -836,6 +836,167 @@ object TextQueries {
       sink => sink.select("content_hash").orderBy("content_hash"))
   }
 
+  /** Streaming benchmark decontamination — the ingest-path twin of
+    * [[contaminationBloomDocs]], under the SAME DuckDB oracle: the
+    * Bloom bitset is built ONCE from the benchmark (control-plane,
+    * before the stream starts), then every micro-batch runs a fully
+    * STATELESS pipeline — in-row distinct shingles, explode, the
+    * codegen'd Bloom probe as a plain filter, and a stream-static
+    * verify join against the exact benchmark shingle set. Per-document
+    * totals assemble in `summarize` over the drained sink (each doc
+    * lives wholly in one batch, so no cross-batch state is ever
+    * needed — the reason this monitor can run without watermarks).
+    * Sink rows are one base row per doc + one row per VERIFIED
+    * contaminated shingle (bloom-gated, so the fpp sliver never reaches
+    * the sink); the production path would land them in the
+    * ParquetMergeSink keyed by (doc_id, shingle) instead of the
+    * bounded-gate memory sink.
+    */
+  def contaminationStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, explode, expr, max, round, size, split, sum, trim}
+    val all = Tables.load(s, dir, "documents")
+    val schema = all.schema
+    val bench = all.filter(col("doc_id") < BenchSplit)
+    val bs = Dedup.shingles(bench, "text", "doc_id", ShingleN)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val bloom = graft.functions.Bloom.buildCounted(bs, "shingle", 0.01)
+    val joined = (0 until ShingleN).map(j => s"words[i + $j]")
+      .mkString(", ")
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val withSh = s.readStream.schema(schema).parquet(drop)
+          .filter(col("doc_id") >= BenchSplit)
+          .select(col("doc_id"),
+            split(trim(col("text")), "\\s+").as("words"))
+          .filter(size(col("words")) >= ShingleN)
+          .select(col("doc_id"), array_distinct(expr(
+            s"transform(slice(words, 1, size(words) - ${ShingleN - 1})," +
+              s" (w, i) -> concat_ws(' ', $joined))")).as("shs"))
+        val base = withSh.select(col("doc_id"),
+          size(col("shs")).cast("long").as("n_shingles"),
+          lit(0L).as("hit"))
+        val hits = withSh
+          .select(col("doc_id"), explode(col("shs")).as("shingle"))
+          .filter(bloom.mightContain(col("shingle")))
+          .join(bs, "shingle") // stream-static exact verify
+          .select(col("doc_id"),
+            lit(null).cast("long").as("n_shingles"), lit(1L).as("hit"))
+        base.unionByName(hits)
+      },
+      sink => sink.groupBy(col("doc_id"))
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          sum(col("hit")).as("n_contaminated"))
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_shingles"),
+            4).as("contamination"))
+        .orderBy("doc_id"))
+  }
+
+  /** Streaming ingest dedup — the micro-batch twin of
+    * [[dedupIncremental]] ([[graft.text.Dedup.incremental]]), under the
+    * SAME DuckDB oracle. This is the production shape of daily-ingest
+    * dedup at 100 TB: the corpus side reduces to artifacts a warehouse
+    * materializes ONCE and reuses every batch — the content-hash index,
+    * the stop-shingle hot list (df > maxDf), the capped shingle
+    * postings with per-doc sizes — and each micro-batch of NEW
+    * documents classifies itself against them through fully STATELESS
+    * stream-static joins (exact: left-outer on content hash; hot
+    * removal: left-outer + null filter, the stream-static spelling of
+    * anti; near: inner join against the postings). No watermark and no
+    * streaming state: every document lives wholly in one batch, and
+    * per-(batch-doc, corpus-doc) intersection counting happens over
+    * the drained evidence rows in `summarize` (production lands the
+    * same per-batch aggregation in foreachBatch → ParquetMergeSink
+    * keyed by doc_id; the bounded gate keeps the memory-sink posture
+    * of its siblings). Sink volume is one row per surviving shingle
+    * plus one per posting match — batch-sized, never corpus-sized.
+    */
+  def neardupStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, coalesce, conv, count, explode, expr, md5, size, split, substring, trim, when}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+    val all = Tables.load(s, dir, "documents")
+    val schema = all.schema
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100
+    val corpus = all.filter(bucket < IncrSplit)
+    // Corpus-side artifacts, materialized once before the stream starts.
+    val ch = corpus
+      .select(md5(Dedup.normalize(col("text"))).as("content_hash"))
+      .distinct().withColumn("is_exact", lit(true)).localCheckpoint(true)
+    val shC = Dedup.shingles(corpus, "text", "doc_id", ShingleN)
+      .localCheckpoint(true)
+    val hot = shC.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > Dedup.DefaultMaxDf)
+      .select(col("shingle"), lit(true).as("is_hot")).localCheckpoint(true)
+    val shCk = shC.join(broadcast(hot.select("shingle")),
+      Seq("shingle"), "left_anti")
+    val szC = shCk.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val postings = shCk.select(col("shingle"), col("doc_id").as("corpus_id"))
+      .join(szC.select(col("doc_id").as("corpus_id"), col("nc")),
+        "corpus_id")
+      .localCheckpoint(true)
+    val joined = (0 until ShingleN).map(j => s"words[i + $j]")
+      .mkString(", ")
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val batchDocs = s.readStream.schema(schema).parquet(drop)
+          .filter(bucket >= IncrSplit)
+        val base = batchDocs
+          .select(col("doc_id"),
+            md5(Dedup.normalize(col("text"))).as("content_hash"))
+          .join(ch, Seq("content_hash"), "left_outer")
+          .select(col("doc_id"), lit("base").as("kind"),
+            coalesce(col("is_exact"), lit(false)).as("is_exact"),
+            lit(null).cast(LongType).as("corpus_id"),
+            lit(null).cast(LongType).as("nc"))
+        val sh = batchDocs
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+          .filter(size(col("words")) >= ShingleN)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            s"transform(slice(words, 1, size(words) - ${ShingleN - 1}), " +
+              s"(w, i) -> concat_ws(' ', $joined))"))).as("shingle"))
+          .join(hot, Seq("shingle"), "left_outer")
+          .filter(col("is_hot").isNull)
+        val shRows = sh.select(col("doc_id"), lit("sh").as("kind"),
+          lit(null).cast(BooleanType).as("is_exact"),
+          lit(null).cast(LongType).as("corpus_id"),
+          lit(null).cast(LongType).as("nc"))
+        val hits = sh.join(postings, Seq("shingle"))
+          .select(col("doc_id"), lit("hit").as("kind"),
+            lit(null).cast(BooleanType).as("is_exact"),
+            col("corpus_id"), col("nc"))
+        base.unionByName(shRows).unionByName(hits)
+      },
+      sink => {
+        // The three evidence families all derive from ONE memory-sink
+        // view, so every join below is a self-join — re-alias the keys
+        // (fresh ExprIds) to keep the references unambiguous.
+        val base = sink.filter(col("kind") === "base")
+          .select(col("doc_id"), col("is_exact"))
+        val nb = sink.filter(col("kind") === "sh")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+          .select(col("doc_id").as("nb_doc"), col("nb"))
+        val inter = sink.filter(col("kind") === "hit")
+          .groupBy(col("doc_id"), col("corpus_id"), col("nc"))
+          .agg(count(lit(1)).as("i"))
+          .select(col("doc_id").as("i_doc"), col("nc"), col("i"))
+        val j = col("i").cast(DoubleType) /
+          (col("nb") + col("nc") - col("i"))
+        val near = inter.join(nb, col("i_doc") === col("nb_doc"))
+          .filter(j >= MinJaccard)
+          .select(col("i_doc").as("near_doc")).distinct()
+          .withColumn("is_near", lit(true))
+        base.join(near, col("doc_id") === col("near_doc"), "left_outer")
+          .select(col("doc_id"),
+            when(col("is_exact"), "exact_dup")
+              .when(col("is_near"), "near_dup")
+              .otherwise("new").as("status"))
+          .orderBy("doc_id")
+      })
+  }
+
   /** Batch mirror of the stream's admitted content set: the funnel's s1
     * (language) + s2 (quality) filters, exact-deduped to distinct
     * normalized-content hashes. Lazy — interpolates vals declared later
@@ -1457,6 +1618,8 @@ object TextQueries {
     "block_dedup_documents" -> (blockDedup _),
     "split_leakage_documents" -> (splitLeakage _),
     "stream_curate_bounded" -> (curatedStreamBounded _),
+    "stream_decontam_bounded" -> (contaminationStreamBounded _),
+    "stream_neardup_bounded" -> (neardupStreamBounded _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -1502,6 +1665,8 @@ object TextQueries {
     "block_dedup_documents" -> blockDedupSql,
     "split_leakage_documents" -> splitLeakageSql,
     "stream_curate_bounded" -> curatedStreamSql,
+    "stream_decontam_bounded" -> contaminationSql,
+    "stream_neardup_bounded" -> dedupIncrementalSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,

@@ -48,6 +48,20 @@ class BloomSpec extends AnyFunSuite {
     assert(probes.filter(bloom.mightContain(col("k"))).count() == 0L)
   }
 
+  test("streaming decontamination equals the batch operator row for row") {
+    val stream = graft.queries.TextQueries
+      .contaminationStreamBounded(spark, SparkTestSession.sf)
+      .collect().map(_.toSeq).toSeq
+    val d = graft.Tables.load(spark, SparkTestSession.sf, "documents")
+    val batch = graft.text.TextOps.contamination(
+        d.filter(col("doc_id") >= graft.queries.TextQueries.BenchSplit),
+        d.filter(col("doc_id") < graft.queries.TextQueries.BenchSplit),
+        "text", "doc_id", graft.queries.TextQueries.ShingleN)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("bloom contamination is bit-identical to the exact path") {
     // overlap-heavy corpus: benchmark docs share phrases with some
     // corpus docs, others are disjoint; several fpp-bait docs share

@@ -932,6 +932,19 @@ class StreamingSpec extends AnyFunSuite {
       s"one spanning session expected: $all")
   }
 
+  test("streaming ingest dedup equals the batch incremental classifier " +
+    "row for row") {
+    val stream = graft.queries.TextQueries
+      .neardupStreamBounded(spark, SparkTestSession.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TextQueries.dedupIncremental(
+        spark, SparkTestSession.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(batch.exists(_.last != "new")) // non-vacuous: dup classes fire
+    assert(stream == batch)
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
