@@ -244,6 +244,47 @@ object SimQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cross-split semantic leakage — the embedding-space twin of the
+    * text-shingle `split_leakage_documents` gate: an eval-split
+    * (val/test) vector whose cosine against some TRAIN vector clears
+    * the near-dup threshold is a leaked evaluation item (the model will
+    * be scored on what it trained on). Splits ride the SAME md5-bucket
+    * law as the document splits ([[graft.text.Curation.deterministicSplit]],
+    * here on vec_id), the pair scan is the audit-scoped exact tier
+    * ([[Similarity.crossCosinePairs]]: train side distributed, eval
+    * tiles broadcast — eval sets are small at production scale), and
+    * the oracle mirrors both the bucket law and the cosine fold.
+    */
+  def semanticLeakage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val e = emb(s, dir).filter(pmod(col("vec_id"),
+      lit(TextQueries.AuditMod)) === 0)
+    val bucket = conv(substring(md5(col("vec_id").cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100
+    Similarity.crossCosinePairs(
+        e.filter(bucket < 80), e.filter(bucket >= 80),
+        "vec_id", "embedding", NearDupTau)
+      .select(col("id_a").as("train_id"), col("id_b").as("eval_id"),
+        col("cos_sim"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  val semanticLeakageSql: String = {
+    val cos = "list_inner_product(a.ve, b.ve) / " +
+      "(sqrt(list_inner_product(a.ve, a.ve)) * " +
+      "sqrt(list_inner_product(b.ve, b.ve)))"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT
+       |      % 100 AS bucket
+       |  FROM embeddings WHERE vec_id % ${TextQueries.AuditMod} = 0)
+       |SELECT train_id, eval_id, cos_sim FROM (
+       |  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+       |    round($cos, 4) AS cos_sim
+       |  FROM v a, v b WHERE a.bucket < 80 AND b.bucket >= 80)
+       |WHERE cos_sim >= $NearDupTau
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   /** Snapshot split for the drift detector: the standing store vs the
     * newly landed slice (vec_id mod 3 — mirrored in the oracle).
     */
@@ -566,6 +607,7 @@ object SimQueries {
     "ann_pq_recall_check" -> (annPqRecallCheck _),
     "ann_rp_embeddings" -> (annRp _),
     "neardup_cosine_embeddings" -> (neardupCosine _),
+    "semantic_leakage_embeddings" -> (semanticLeakage _),
     "kmeans_assign_embeddings" -> (kmeansAssign _),
     "kmeans_purity_check" -> (kmeansPurityCheck _),
   )
@@ -584,6 +626,7 @@ object SimQueries {
     "ann_pq_recall_check" -> annPqRecallCheckSql,
     "ann_rp_embeddings" -> annRpSql,
     "neardup_cosine_embeddings" -> neardupCosineSql,
+    "semantic_leakage_embeddings" -> semanticLeakageSql,
     "kmeans_purity_check" -> kmeansPurityCheckSql,
   )
 }

@@ -1421,6 +1421,27 @@ object TextQueries {
        |SELECT source, doc_id, n_toks, off, off // $PackBudget AS bin
        |FROM o ORDER BY source, doc_id""".stripMargin
 
+  /** Export shard fan-out / shuffle seed (mirrored in the oracle). */
+  val ShardN = 8
+  val ShardSeed = 42L
+
+  def shardPlan(s: SparkSession, dir: String): DataFrame =
+    Curation.shardPlan(docs(s, dir), nShards = ShardN, seed = ShardSeed)
+
+  val shardPlanSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_toks,
+       |  md5('$ShardSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |sh AS (SELECT doc_id, n_toks, skey,
+       |  ('0x' || substr(skey, 1, 6))::BIGINT % $ShardN AS shard FROM t)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER w AS BIGINT) AS pos, n_toks,
+       |  CAST(sum(n_toks) OVER w AS BIGINT) AS cum_toks
+       |FROM sh WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)
+       |ORDER BY shard, pos""".stripMargin
+
   /** Per-language stratified sample on a deterministic md5 draw — the
     * same hash-not-random posture as Curation.mixtureSample (salted so
     * the draw is independent of every other selection), so the sample is
@@ -1597,6 +1618,7 @@ object TextQueries {
     "split_assign_documents" -> (splitAssign _),
     "top_quality_per_lang" -> (topQualityPerLang _),
     "pack_sequences_documents" -> (packSequences _),
+    "shard_plan_documents" -> (shardPlan _),
     "chunk_documents" -> (chunkDocs _),
     "semantic_dedup_pairs" -> (semanticDedup _),
     "semantic_dedup_ann_pairs" -> (semanticDedupAnn _),
@@ -1647,6 +1669,7 @@ object TextQueries {
     "split_assign_documents" -> splitAssignSql,
     "top_quality_per_lang" -> topQualityPerLangSql,
     "pack_sequences_documents" -> packSequencesSql,
+    "shard_plan_documents" -> shardPlanSql,
     "chunk_documents" -> chunkDocsSql,
     "semantic_dedup_pairs" -> semanticDedupSql,
     "semantic_dedup_ann_pairs" -> semanticDedupAnnSql,

@@ -327,6 +327,39 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-corpus exact cosine pairs ≥ `tau` — the semantic-LEAKAGE
+    * shape: every (corpus, probe) pair whose embeddings are closer than
+    * the threshold, with the PROBE side tiled and broadcast. At
+    * production scale the probe side is the held-out eval set —
+    * thousands of items against a 100 TB train corpus — so broadcasting
+    * probe tiles keeps the corpus distributed and scanned exactly once
+    * per tile; same eager per-block materialization as
+    * [[cosineNearDupPairs]] to bound peak broadcast memory to one tile.
+    */
+  def crossCosinePairs(corpus: DataFrame, probes: DataFrame,
+                       idCol: String, vecCol: String, tau: Double,
+                       nBlocks: Int = 4): DataFrame = {
+    require(nBlocks >= 1)
+    val cv = corpus.select(col(idCol).cast(LongType).as("id_a"),
+        asDouble(col(vecCol)).as("va"))
+      .withColumn("na", norm(col("va")))
+    val pv = probes.select(col(idCol).cast(LongType).as("id_b"),
+        asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val raw = (0 until nBlocks).map { b =>
+      val tile = pv.filter(pmod(col("id_b"), lit(nBlocks)) === b)
+      cv.crossJoin(broadcast(tile))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("raw"))
+        .filter(col("raw") >= tau - 5e-5)
+        .localCheckpoint(true)
+    }.reduce(_ unionAll _)
+    raw.select(col("id_a"), col("id_b"),
+        round(col("raw"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
   /** ANN tier of the near-dup pair ladder — banded sign-bit LSH
     * (OR-of-ANDs amplification): `bands` independent signatures of
     * `planesPerBand` hyperplane sign bits each; two vectors are

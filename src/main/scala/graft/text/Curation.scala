@@ -504,6 +504,37 @@ object Curation {
     * the property a reproducible pipeline needs. Pure per-row expression:
     * no shuffle, no state, embarrassingly parallel.
     */
+  /** Deterministic training-export shard plan — the last stage of a
+    * corpus pipeline before the trainer reads it: a seeded GLOBAL
+    * shuffle (md5 of seed:id — a new seed reshuffles the corpus; the
+    * same seed reproduces the exact order across runs, engines, and
+    * partition counts) assigns every document a shard and a position,
+    * plus a running token total inside the shard. Physical shape is
+    * one hash exchange on `shard` and one in-partition sort — exactly
+    * what `write.partitionBy(shard)` needs at 1000 executors: no
+    * global sort, no driver involvement, shards sort independently.
+    * `cum_toks` is what lets a trainer cut each shard at a token
+    * budget without re-scanning the text.
+    */
+  def shardPlan(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", nShards: Int = 8,
+                seed: Long = 42L): DataFrame = {
+    require(nShards >= 1)
+    val w = Window.partitionBy("shard").orderBy("skey", idCol)
+    docs.select(col(idCol),
+        size(TextOps.words(col(textCol))).cast(LongType).as("n_toks"))
+      .withColumn("skey",
+        md5(concat_ws(":", lit(seed), col(idCol).cast(StringType))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 6), 16, 10).cast(LongType)
+          % nShards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .select(col(idCol), col("shard"), col("pos"), col("n_toks"),
+        col("cum_toks"))
+      .orderBy("shard", "pos")
+  }
+
   def deterministicSplit(df: DataFrame, idCol: String = "doc_id",
                          trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val bucket = (conv(substring(md5(col(idCol).cast(StringType)), 1, 6),

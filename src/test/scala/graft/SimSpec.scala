@@ -552,4 +552,42 @@ class SimSpec extends AnyFunSuite {
       "k=1 must collapse the planted families into one cluster")
   }
 
+  test("cross-split semantic leakage: every pair crosses the boundary " +
+    "and the pair set equals the brute-force cross filter") {
+    import graft.queries.SimQueries
+    val out = SimQueries.semanticLeakage(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 6), 16) % 100
+    }
+    out.foreach { case (a, b, _) =>
+      assert(bucket(a) < 80 && bucket(b) >= 80)
+    }
+    // brute-force mirror over the audit scope
+    val e = graft.Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .filter(col("vec_id") % graft.queries.TextQueries.AuditMod === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expect = (for {
+      (ia, va) <- e if bucket(ia) < 80
+      (ib, vb) <- e if bucket(ib) >= 80
+      c = BigDecimal(cos(va, vb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= SimQueries.NearDupTau
+    } yield (ia, ib, c)).sortBy(p => (p._1, p._2))
+    assert(out.toSeq == expect.toSeq)
+  }
 }

@@ -864,4 +864,26 @@ class TextSpec extends AnyFunSuite {
     // monotone in corpus size
     assert(TextQueries.annProdCap(100000) > TextQueries.annProdCap(n))
   }
+
+  test("shard plan: a permutation with dense per-shard positions, exact " +
+    "running token sums, repartition-stable, and seed-sensitive") {
+    import graft.text.Curation
+    val d = graft.Tables.load(spark, SparkTestSession.sf, "documents")
+    val plan = Curation.shardPlan(d, nShards = 4, seed = 7L).collect()
+    assert(plan.map(_.getLong(0)).distinct.length == d.count()) // 1:1
+    plan.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_.getLong(2))
+      assert(byPos.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+      // cum_toks is the running sum of n_toks in position order
+      val cums = byPos.scanLeft(0L)(_ + _.getLong(3)).drop(1)
+      assert(byPos.map(_.getLong(4)).toSeq == cums.toSeq)
+    }
+    // deterministic under physical layout changes
+    val re = Curation.shardPlan(d.repartition(13), nShards = 4, seed = 7L)
+      .collect()
+    assert(re.map(_.toSeq).toSeq == plan.map(_.toSeq).toSeq)
+    // a different seed is a different global order
+    val other = Curation.shardPlan(d, nShards = 4, seed = 8L).collect()
+    assert(other.map(_.toSeq).toSeq != plan.map(_.toSeq).toSeq)
+  }
 }
