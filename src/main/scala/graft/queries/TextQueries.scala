@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.Tables
 import graft.text.{Curation, Dedup, TextOps}
@@ -997,6 +997,223 @@ object TextQueries {
       })
   }
 
+  /** Fused streaming ingest front door — ONE stream runs every
+    * admission check a production ingest applies to new documents, the
+    * way the multi-journey fusion runs every journey in one pass:
+    * language + quality (pure column exprs shared with the batch
+    * funnel), benchmark decontamination (Bloom-prefiltered,
+    * stream-static exact verify), and the standing-corpus index checks
+    * (exact content hash; capped-shingle near-dup), plus within-stream
+    * exact dedup resolved deterministically (smallest doc_id keeps, the
+    * funnel's s3 law). One streaming query, one checkpoint, one
+    * delivery — versus three separate streams each with their own
+    * staging, trigger cadence and sink. Per-doc decision precedence
+    * mirrors the batch funnel's stage order (hygiene before
+    * contamination): lang > quality > exact_dup > near_dup >
+    * contaminated > admit, and the DuckDB oracle composes the SAME
+    * stage mirrors the funnel/incremental/contamination oracles use.
+    *
+    * All branch pipelines are stateless or stream-static, so the
+    * monitor needs no watermark; evidence rows assemble into decisions
+    * post-drain (production: per-batch foreachBatch aggregation into
+    * ParquetMergeSink keyed by doc_id). Micro-batch note: the branches
+    * union over one file source, so each trigger scans its drop file
+    * once per branch — the fusion saves stream INFRASTRUCTURE
+    * (staging, checkpoints, state, sinks), while a single-scan variant
+    * would fuse the branches in foreachBatch.
+    */
+  def ingestStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, coalesce, conv, count, explode, expr, max, md5, min, round, size, split, substring, sum, trim, when}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+    import org.apache.spark.sql.expressions.Window
+    val contamN = Curation.DefaultContamN
+    val all = Tables.load(s, dir, "documents")
+    val schema = all.schema
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100
+    val corpus = all.filter(bucket < IncrSplit)
+    // Standing-corpus artifacts (shared shapes with the neardup gate).
+    val ch = corpus
+      .select(md5(Dedup.normalize(col("text"))).as("content_hash"))
+      .distinct().withColumn("in_corpus", lit(true)).localCheckpoint(true)
+    val shC = Dedup.shingles(corpus, "text", "doc_id", ShingleN)
+      .localCheckpoint(true)
+    val hot = shC.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > Dedup.DefaultMaxDf)
+      .select(col("shingle"), lit(true).as("is_hot")).localCheckpoint(true)
+    val shCk = shC.join(broadcast(hot.select("shingle")),
+      Seq("shingle"), "left_anti")
+    val szC = shCk.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val postings = shCk.select(col("shingle"), col("doc_id").as("corpus_id"))
+      .join(szC.select(col("doc_id").as("corpus_id"), col("nc")),
+        "corpus_id")
+      .localCheckpoint(true)
+    // Benchmark artifacts (contamN-shingles over ALL docs < BenchSplit,
+    // the funnel's bench5 law) + the Bloom prefilter bitset.
+    val benchSh = Dedup.shingles(all.filter(col("doc_id") < BenchSplit),
+        "text", "doc_id", contamN)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val bloom = graft.functions.Bloom.buildCounted(benchSh, "shingle", 0.01)
+    def shinglesExpr(n: Int): Column = {
+      val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+      array_distinct(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))"))
+    }
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val batchDocs = s.readStream.schema(schema).parquet(drop)
+          .filter(bucket >= IncrSplit)
+        val withWords = batchDocs.select(col("doc_id"), col("text"),
+          split(trim(col("text")), "\\s+").as("words"))
+        val base = withWords.select(col("doc_id"),
+            (graft.text.TextOps.predictedLang(
+              graft.text.TextOps.words(col("text"))) =!= "und")
+              .as("lang_ok"),
+            (graft.text.TextOps.qualityScore(col("text"))
+              >= Curation.DefaultMinScore).as("q_ok"),
+            md5(Dedup.normalize(col("text"))).as("content_hash"),
+            when(size(col("words")) >= contamN,
+              size(shinglesExpr(contamN)).cast(LongType))
+              .otherwise(lit(0L)).as("n_sh"))
+          .join(ch, Seq("content_hash"), "left_outer")
+          .select(col("doc_id"), lit("base").as("kind"), col("lang_ok"),
+            col("q_ok"), col("content_hash"),
+            coalesce(col("in_corpus"), lit(false)).as("corpus_exact"),
+            col("n_sh"), lit(null).cast(LongType).as("corpus_id"),
+            lit(null).cast(LongType).as("nc"))
+        def evidence(doc: Column, kind: String, corpusId: Column,
+                     ncCol: Column) =
+          Seq(doc.as("doc_id"), lit(kind).as("kind"),
+            lit(null).cast(BooleanType).as("lang_ok"),
+            lit(null).cast(BooleanType).as("q_ok"),
+            lit(null).cast(StringType).as("content_hash"),
+            lit(null).cast(BooleanType).as("corpus_exact"),
+            lit(null).cast(LongType).as("n_sh"),
+            corpusId.as("corpus_id"), ncCol.as("nc"))
+        val nullL = lit(null).cast(LongType)
+        val contamHits = withWords
+          .filter(size(col("words")) >= contamN)
+          .select(col("doc_id"), explode(shinglesExpr(contamN)).as("shingle"))
+          .filter(bloom.mightContain(col("shingle")))
+          .join(benchSh, "shingle")
+          .select(evidence(col("doc_id"), "contam", nullL, nullL): _*)
+        val sh = withWords
+          .filter(size(col("words")) >= ShingleN)
+          .select(col("doc_id"), explode(shinglesExpr(ShingleN)).as("shingle"))
+          .join(hot, Seq("shingle"), "left_outer")
+          .filter(col("is_hot").isNull)
+        val shRows = sh.select(evidence(col("doc_id"), "sh", nullL, nullL): _*)
+        val hits = sh.join(postings, Seq("shingle"))
+          .select(evidence(col("doc_id"), "hit", col("corpus_id"),
+            col("nc")): _*)
+        base.unionByName(contamHits).unionByName(shRows).unionByName(hits)
+      },
+      sink => {
+        // Same self-join discipline as the neardup gate: every frame
+        // below derives from one sink view — re-alias the join keys.
+        val base = sink.filter(col("kind") === "base")
+          .withColumn("batch_dup", col("doc_id") =!=
+            min(col("doc_id")).over(Window.partitionBy("content_hash")))
+          .select(col("doc_id"), col("lang_ok"), col("q_ok"),
+            col("corpus_exact"), col("batch_dup"), col("n_sh"))
+        val contam = sink.filter(col("kind") === "contam")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+          .select(col("doc_id").as("ct_doc"), col("n_contam"))
+        val nb = sink.filter(col("kind") === "sh")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+          .select(col("doc_id").as("nb_doc"), col("nb"))
+        val inter = sink.filter(col("kind") === "hit")
+          .groupBy(col("doc_id"), col("corpus_id"), col("nc"))
+          .agg(count(lit(1)).as("i"))
+          .select(col("doc_id").as("i_doc"), col("nc"), col("i"))
+        val j = col("i").cast(DoubleType) /
+          (col("nb") + col("nc") - col("i"))
+        val near = inter.join(nb, col("i_doc") === col("nb_doc"))
+          .filter(j >= MinJaccard)
+          .select(col("i_doc").as("near_doc")).distinct()
+          .withColumn("is_near", lit(true))
+        val frac = round(coalesce(col("n_contam"), lit(0L))
+          .cast(DoubleType) / col("n_sh"), 4)
+        base
+          .join(contam, col("doc_id") === col("ct_doc"), "left_outer")
+          .join(near, col("doc_id") === col("near_doc"), "left_outer")
+          .select(col("doc_id"),
+            when(!col("lang_ok"), "lang")
+              .when(!col("q_ok"), "quality")
+              .when(col("corpus_exact") || col("batch_dup"), "exact_dup")
+              .when(coalesce(col("is_near"), lit(false)), "near_dup")
+              .when(col("n_sh") > 0 &&
+                frac >= Curation.DefaultMaxContam, "contaminated")
+              .otherwise("admit").as("decision"))
+          .orderBy("doc_id")
+      })
+  }
+
+  /** Oracle: the same stage mirrors the funnel / incremental /
+    * contamination oracles use, composed with the gate's precedence.
+    * Lazy — interpolates vals declared later in the file (IncrSplit,
+    * LangOkSql); an eager val would bake in their pre-init defaults.
+    */
+  lazy val ingestStreamSql: String = {
+    def shingleCte(rel: String, n: Int): String =
+      s"""(SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id,
+         |  unnest(${shingleListSql(n)}) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+         |    AS w FROM $rel)))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, $SplitBucketSql AS bucket
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, text FROM d WHERE bucket < $IncrSplit),
+       |batch AS (SELECT doc_id, text,
+       |  string_split_regex(trim(text), '\\s+') AS w
+       |  FROM d WHERE bucket >= $IncrSplit),
+       |flags AS (SELECT doc_id, ($LangOkSql) AS lang_ok,
+       |  (${scoreSql("w")} >= ${Curation.DefaultMinScore}) AS q_ok,
+       |  md5($NormSql) AS h,
+       |  doc_id != min(doc_id) OVER (PARTITION BY md5($NormSql))
+       |    AS batch_dup
+       |  FROM batch),
+       |ch AS (SELECT DISTINCT md5($NormSql) AS h FROM corpus),
+       |shc5 AS ${shingleCte("batch", Curation.DefaultContamN)},
+       |bench5 AS (SELECT DISTINCT shingle FROM (SELECT
+       |  unnest(${shingleListSql(Curation.DefaultContamN)}) AS shingle
+       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |    FROM d WHERE doc_id < $BenchSplit))),
+       |contam AS (SELECT c.doc_id,
+       |    round(CAST(count(b.shingle) AS DOUBLE)/count(*), 4) AS frac
+       |  FROM shc5 c LEFT JOIN bench5 b USING (shingle)
+       |  GROUP BY c.doc_id),
+       |shc0 AS ${shingleCte("corpus", ShingleN)},
+       |hot AS (SELECT shingle FROM shc0 GROUP BY shingle
+       |  HAVING count(*) > ${Dedup.DefaultMaxDf}),
+       |shc AS (SELECT * FROM shc0
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |shb0 AS ${shingleCte("batch", ShingleN)},
+       |shb AS (SELECT * FROM shb0
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |szc AS (SELECT doc_id, count(*) AS nc FROM shc GROUP BY doc_id),
+       |szb AS (SELECT doc_id, count(*) AS nb FROM shb GROUP BY doc_id),
+       |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid,
+       |    count(*) AS i FROM shb b JOIN shc c ON b.shingle = c.shingle
+       |  GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT bid AS doc_id FROM inter
+       |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
+       |  WHERE CAST(i AS DOUBLE)/(nb + nc - i) >= $MinJaccard)
+       |SELECT f.doc_id,
+       |  CASE WHEN NOT lang_ok THEN 'lang'
+       |    WHEN NOT q_ok THEN 'quality'
+       |    WHEN ch.h IS NOT NULL OR batch_dup THEN 'exact_dup'
+       |    WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+       |    WHEN frac IS NOT NULL AND frac >= ${Curation.DefaultMaxContam}
+       |      THEN 'contaminated'
+       |    ELSE 'admit' END AS decision
+       |FROM flags f LEFT JOIN ch ON f.h = ch.h
+       |LEFT JOIN contam ON contam.doc_id = f.doc_id
+       |LEFT JOIN near ON near.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Batch mirror of the stream's admitted content set: the funnel's s1
     * (language) + s2 (quality) filters, exact-deduped to distinct
     * normalized-content hashes. Lazy — interpolates vals declared later
@@ -1642,6 +1859,7 @@ object TextQueries {
     "stream_curate_bounded" -> (curatedStreamBounded _),
     "stream_decontam_bounded" -> (contaminationStreamBounded _),
     "stream_neardup_bounded" -> (neardupStreamBounded _),
+    "stream_ingest_bounded" -> (ingestStreamBounded _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -1690,6 +1908,7 @@ object TextQueries {
     "stream_curate_bounded" -> curatedStreamSql,
     "stream_decontam_bounded" -> contaminationSql,
     "stream_neardup_bounded" -> dedupIncrementalSql,
+    "stream_ingest_bounded" -> ingestStreamSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,

@@ -945,6 +945,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("fused ingest front door agrees with the incremental classifier: " +
+    "every admitted doc is 'new' and every corpus-dup decision matches") {
+    val decisions = graft.queries.TextQueries
+      .ingestStreamBounded(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val incr = graft.queries.TextQueries
+      .dedupIncremental(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decisions.keySet == incr.keySet) // same ingest population
+    assert(decisions.valuesIterator.toSet.size >= 2) // non-vacuous
+    decisions.foreach { case (id, d) =>
+      if (d == "admit") assert(incr(id) == "new",
+        s"doc $id admitted but incremental says ${incr(id)}")
+      // The classifier's dups can be MASKED only by an earlier stage
+      // (hygiene precedes dedup; exact precedes near, and a
+      // within-stream dup — invisible to the classifier — is exact).
+      if (incr(id) == "exact_dup")
+        assert(Set("lang", "quality", "exact_dup")(d),
+          s"doc $id is a corpus exact dup but decision is $d")
+      if (incr(id) == "near_dup")
+        assert(Set("lang", "quality", "exact_dup", "near_dup")(d),
+          s"doc $id is a corpus near dup but decision is $d")
+    }
+  }
+
   test("eventStream fails LOUDLY on a schema-contract violation") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("evdrop-bad")
