@@ -108,13 +108,27 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("__pri", lit(0))
       .write.mode("overwrite").parquet(tmp.toString)
+    // PUBLISH before deleting the folded inputs. The reverse order has
+    // a data-loss crash window: folded deltas deleted, new base not yet
+    // moved — and a restart replays only the last uncommitted batch,
+    // never the folded history. Publishing first is safe because reads
+    // stay correct even while OLD base and NEW base coexist: per key
+    // the new base row carries the winning (max) batch id, so it ties
+    // or beats the old base row, and ties are bit-identical rows under
+    // deterministic replay. The publish name takes a numeric suffix
+    // when a prior base-<upto> is itself among the folded inputs
+    // (replay-after-compact) — the "base-" prefix is all read() keys on.
+    val publish = Iterator.from(0)
+      .map(k => root.resolve(
+        if (k == 0) f"base-$uptoBatch%09d" else f"base-$uptoBatch%09d-$k"))
+      .find(!Files.exists(_)).get
+    Files.move(tmp, publish)
     folded.foreach { p =>
       val walk = Files.walk(p)
       try walk.iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
       finally walk.close()
     }
-    Files.move(tmp, root.resolve(f"base-$uptoBatch%09d"))
   }
 
   /** APPEND-mode read: every delivered row, batchId-ordered, WITHOUT

@@ -70,6 +70,41 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readMap(s) == expected)
   }
 
+  test("compaction publishes the new base BEFORE deleting folded " +
+      "inputs: the crash-window state reads identically and a " +
+      "re-compaction converges") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    def copyTree(from: Path, to: Path): Unit = {
+      val walk = Files.walk(from)
+      try walk.iterator().asScala.toSeq.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      } finally walk.close()
+    }
+    val dir = Files.createTempDirectory("mergesink")
+    val s = sinkIn(dir, every = 0) // manual compaction only
+    (0 to 5).foreach { i =>
+      s.merge(batch((i.toLong % 2, s"v$i", i.toLong)), i.toLong)
+    }
+    val before = readMap(s)
+    val save = Files.createTempDirectory("mergesink-save")
+    copyTree(dir, save)
+    s.compact(5L)
+    assert(readMap(s) == before)
+    // resurrect the folded inputs next to the published base — the
+    // exact on-disk state of a crash between publish and delete
+    copyTree(save, dir)
+    assert(readMap(s) == before,
+      "old+new base coexisting must read identically")
+    // the restart's next compaction folds the leftovers away; base-5
+    // already exists, so the publish takes the suffixed name
+    s.compact(5L)
+    assert(readMap(s) == before)
+    assert(s.partCount == 1, s"expected one base, got ${s.partCount}")
+  }
+
   test("read is distributed: merged plan carries no driver-side " +
       "collection and resolves keys via one window") {
     val dir = java.nio.file.Files.createTempDirectory("mergesink")
