@@ -374,6 +374,85 @@ object TextQueries {
        |FROM m ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  // ---- text fixing (NFC + control-char + whitespace hygiene) ----------------
+
+  /** Planted denormalized rows unioned into the corpus by BOTH engines —
+    * the synthetic corpus is pure ASCII (0 of 500 rows change under the
+    * fix chain at sf0.01), so without plants the NFC gate would pass
+    * vacuously. Covers: decomposed accents (NFD), a no-op row, C0/DEL
+    * control chars + a space run, singleton canonical mappings (OHM →
+    * GREEK OMEGA, ANGSTROM → A-RING), and combining-mark canonical
+    * REORDERING (acute ccc=230 after cedilla ccc=202 must compose to
+    * U+0229 + acute). md5(fixed) comparing clean across engines proves
+    * Java Normalizer and DuckDB utf8proc agree byte-for-byte on each.
+    */
+  val NormPlanted: Seq[(Long, String)] = Seq(
+    1000000001L -> "Cafe\u0301 du cre\u0300me bru\u0302le\u0301e",
+    1000000002L -> "already clean NFC text",
+    1000000003L -> "bell\u0007 and\u0001ctl and DEL\u007f  chars",
+    1000000004L -> "double  spaces   collapse      here",
+    1000000005L -> "ohm sign \u2126 and angstrom \u212b",
+    1000000006L -> "combining e\u0301\u0327 order test",
+  )
+
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length, md5}
+    val planted = s.createDataFrame(NormPlanted).toDF("doc_id", "text")
+    val fixed = TextOps.fixText(col("text"))
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_before"),
+        length(fixed).cast("long").as("len_after"),
+        (col("text") =!= fixed).cast("int").as("changed"),
+        md5(fixed).as("fixed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextSql: String = {
+    val vals = NormPlanted.map { case (i, t) =>
+      s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+       |f AS (SELECT doc_id, text, ${TextOps.fixTextSql("text")} AS fixed
+       |  FROM d)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_before,
+       |  CAST(length(fixed) AS BIGINT) AS len_after,
+       |  CAST(text != fixed AS INT) AS changed, md5(fixed) AS fixed_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- model-based quality filter (hashed linear classifier) ----------------
+
+  def classifierQuality(s: SparkSession, dir: String): DataFrame =
+    Curation.classifierScore(docs(s, dir))
+
+  /** Mirror: same hashed-bucket weights (md5-prefix bucket, Knuth
+    * multiplicative spread over [-98, 98]), exact integer sum, one final
+    * division + round(,4).
+    */
+  val classifierQualitySql: String = {
+    val b = Curation.ClassifierBuckets
+    val m = Curation.ClassifierMult
+    val mod = Curation.ClassifierMod
+    val half = (Curation.ClassifierMod - 1) / 2
+    val thr = Curation.ClassifierThreshold
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+       |    CAST(list_sum(list_transform(w, x ->
+       |      ((('0x' || substr(md5(x), 1, 6))::BIGINT % $b) * $m) % $mod
+       |        - $half)) AS BIGINT) AS raw
+       |  FROM t)
+       |SELECT doc_id, n_toks, raw,
+       |  round(CAST(raw AS DOUBLE) / ($half.0 * n_toks), 4) AS margin,
+       |  CAST(round(CAST(raw AS DOUBLE) / ($half.0 * n_toks), 4) >= $thr
+       |    AS INT) AS kept
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // ---- token counting ------------------------------------------------------
 
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -1875,6 +1954,8 @@ object TextQueries {
     "fingerprint_documents" -> (fingerprintDocs _),
     "langid_documents" -> (langId _),
     "quality_documents" -> (quality _),
+    "normalize_text_documents" -> (normalizeText _),
+    "classifier_quality_documents" -> (classifierQuality _),
     "tokencount_documents" -> (tokenCounts _),
     "vocab_documents" -> (vocab _),
     "tfidf_documents" -> (tfidf _),
@@ -1924,6 +2005,8 @@ object TextQueries {
     "pii_redact_customer" -> piiRedactSql,
     "langid_documents" -> langIdSql,
     "quality_documents" -> qualitySql,
+    "normalize_text_documents" -> normalizeTextSql,
+    "classifier_quality_documents" -> classifierQualitySql,
     "tokencount_documents" -> tokenCountsSql,
     "vocab_documents" -> vocabSql,
     "tfidf_documents" -> tfidfSql,

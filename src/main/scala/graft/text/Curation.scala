@@ -312,6 +312,61 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Hashed-vocabulary linear classifier INFERENCE — the model-based
+    * quality-filter stage (FineWeb-Edu / DCLM posture: train a fastText
+    * -shaped classifier offline, then score and gate the whole corpus
+    * with it). [[importanceWeights]] is the train-from-corpus
+    * alternative; this is the complementary deployment half — the model
+    * arrives as a FIXED weight function over hashed token buckets, so
+    * scoring is a pure per-row expression: hash each token to one of
+    * `ClassifierBuckets` buckets (vocabulary hashing — the trick that
+    * makes the model size independent of vocabulary size), sum the
+    * bucket weights, normalize by token count. ZERO shuffles, zero
+    * joins, one scan — the ideal 100 TB shape; the only cost above a
+    * plain filter is one md5 per token, and the HOF lambda's
+    * interpreted evaluation is noise next to that hash.
+    *
+    * Weights here are a deterministic function of the bucket id
+    * (multiplicative-hash spread over [-98, 98]) standing in for a
+    * trained model's coefficients — the PLUMBING (hashing, bucket map,
+    * score normalization, threshold gate) is the operator; swapping in
+    * trained weights is a broadcast literal away. Integer weights keep
+    * the per-doc sum exact, so cross-engine parity needs no decimal
+    * tricks: one double division at the end, round(,4), done.
+    */
+  val ClassifierBuckets = 4096
+  val ClassifierMult = 2654435761L // Knuth multiplicative constant
+  val ClassifierMod = 197
+  val ClassifierThreshold = 0.0
+
+  def classifierScore(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val b = ClassifierBuckets
+    // the words array is built with the Column API (one regex spelling,
+    // shared with every other tokenizing operator); only the fold runs
+    // through expr() — and that string is deliberately backslash-free
+    val weightSum =
+      s"""aggregate(
+         |  words,
+         |  0L,
+         |  (acc, w) -> acc +
+         |    ((CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT)
+         |      % $b) * ${ClassifierMult}L) % $ClassifierMod
+         |    - ${(ClassifierMod - 1) / 2}L)""".stripMargin
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("words"))
+      .select(col(idCol),
+        size(col("words")).cast(LongType).as("n_toks"),
+        expr(weightSum).as("raw"))
+      .select(col(idCol), col("n_toks"), col("raw"),
+        round(col("raw").cast(DoubleType) /
+          (lit(((ClassifierMod - 1) / 2).toDouble) * col("n_toks")), 4)
+          .as("margin"))
+      .withColumn("kept",
+        (col("margin") >= ClassifierThreshold).cast(IntegerType))
+      .orderBy(idCol)
+  }
+
   /** Domain-mixture rebalancing plan: given per-domain token inventories
     * and a UNIFORM target mixture, compute the largest total budget the
     * smallest domain can support and the per-domain keep-rate that

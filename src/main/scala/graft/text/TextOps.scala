@@ -168,6 +168,33 @@ object TextOps {
       s"regexp_replace($s, '${re.replace("'", "''")}', '$tag', 'g')"
     }
 
+  /** Text-fixing chain (the ftfy-shaped hygiene pass every crawl corpus
+    * gets before hashing): Unicode NFC normalization (via the native
+    * [[graft.functions.NfcNormalize]] expression — decomposed accents
+    * and mixed-form extractions collapse to one canonical byte form, so
+    * downstream md5/xxhash dedup keys agree), then stripping
+    * non-whitespace C0/C1 control characters (PDF/OCR artifacts), then
+    * collapsing runs of 2+ spaces. Pattern strings are shared VERBATIM
+    * with the SQL mirror (RE2-compatible), like [[PiiRules]].
+    */
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  val SpaceRunRe = " {2,}"
+
+  def fixText(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc(textCol),
+        CtrlRe, ""),
+      SpaceRunRe, " ")
+
+  /** The same chain as DuckDB SQL over column expression `cs` —
+    * `nfc_normalize` is DuckDB's utf8proc NFC, byte-identical to Java's
+    * Normalizer on UAX #15 (both implement the same standard), which
+    * the md5-of-fixed-text oracle comparison proves per row.
+    */
+  def fixTextSql(cs: String): String =
+    s"regexp_replace(regexp_replace(nfc_normalize($cs), " +
+      s"'$CtrlRe', '', 'g'), '$SpaceRunRe', ' ', 'g')"
+
   /** Benchmark-contamination check: for each corpus document, the fraction
     * of its distinct word n-gram shingles that appear anywhere in the
     * benchmark set — the standard eval-leakage gate before training. The
