@@ -931,14 +931,100 @@ object TextQueries {
     * ParquetMergeSink keyed by (doc_id, shingle) instead of the
     * bounded-gate memory sink.
     */
+  /** Memoized standing-corpus / benchmark artifacts shared by the
+    * streaming ingest gates (decontam / neardup / front door): the
+    * benchmark shingle set + its Bloom bitset, and the corpus-side
+    * index (content-hash set, stop-shingle hot list, capped postings
+    * with per-doc sizes). The gates' scaladoc already states the
+    * production posture — these are warehouse tables materialized ONCE
+    * per corpus version and reused every batch — and this memo makes
+    * that true inside a sweep too: before it, each of the ~3 ingest
+    * gates re-derived the same artifacts from the same (dir, content)
+    * input per invocation (the evRange/stagedTimeSliced redundancy
+    * class). Keyed by (session identity, dir, max part mtime, bytes,
+    * part count, artifact) — the in-place-rewrite-proof key evRange
+    * uses — and bounded the same way. Hash-neutral by construction:
+    * the cached frames are localCheckpoint'd results of deterministic
+    * plans the callers previously built inline.
+    */
+  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long, Long, Int, String), AnyRef]
+
+  private def memoArtifact[T <: AnyRef](s: SparkSession, dir: String,
+                                        name: String)(build: => T): T = {
+    val p = new java.io.File(s"$dir/documents.parquet")
+    val parts = Option(p.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).toSeq)
+      .getOrElse(if (p.isFile) Seq(p) else Seq.empty)
+    val key = (System.identityHashCode(s), dir,
+      parts.map(_.lastModified()).maxOption.getOrElse(0L),
+      parts.map(_.length()).sum, parts.size, name)
+    Option(artifactCache.get(key)).map(_.asInstanceOf[T]).getOrElse {
+      val v = build
+      if (artifactCache.size >= 64) artifactCache.clear()
+      artifactCache.putIfAbsent(key, v)
+      v
+    }
+  }
+
+  /** Distinct n-shingles of the benchmark slice (doc_id < BenchSplit). */
+  private def benchShinglesMemo(s: SparkSession, dir: String,
+                                n: Int): DataFrame =
+    memoArtifact(s, dir, s"bench_sh_$n") {
+      Dedup.shingles(docs(s, dir).filter(col("doc_id") < BenchSplit),
+          "text", "doc_id", n)
+        .select(col("shingle")).distinct().localCheckpoint(true)
+    }
+
+  /** Bloom bitset over [[benchShinglesMemo]] — the broadcastable
+    * prefilter (~1.2 bytes/shingle at 1% fpp).
+    */
+  private def benchBloomMemo(s: SparkSession, dir: String,
+                             n: Int): graft.functions.Bloom.BloomBits =
+    memoArtifact(s, dir, s"bench_bloom_$n") {
+      graft.functions.Bloom.buildCounted(
+        benchShinglesMemo(s, dir, n), "shingle", 0.01)
+    }
+
+  /** The standing-corpus dedup index over the IncrSplit corpus slice:
+    * content-hash set, hot-shingle list (df > DefaultMaxDf), capped
+    * postings with per-doc surviving-shingle counts. Callers add their
+    * own flag columns (cheap projections over checkpointed frames).
+    */
+  private case class CorpusIndex(ch: DataFrame, hot: DataFrame,
+                                 postings: DataFrame)
+
+  private def corpusIndexMemo(s: SparkSession, dir: String): CorpusIndex =
+    memoArtifact(s, dir, "corpus_index") {
+      import org.apache.spark.sql.functions.{broadcast, conv, count, md5, substring}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+        16, 10).cast(LongType) % 100
+      val corpus = docs(s, dir).filter(bucket < IncrSplit)
+      val ch = corpus
+        .select(md5(Dedup.normalize(col("text"))).as("content_hash"))
+        .distinct().localCheckpoint(true)
+      val shC = Dedup.shingles(corpus, "text", "doc_id", ShingleN)
+        .localCheckpoint(true)
+      val hot = shC.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > Dedup.DefaultMaxDf)
+        .select(col("shingle")).localCheckpoint(true)
+      val shCk = shC.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val szC = shCk.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+      val postings = shCk
+        .select(col("shingle"), col("doc_id").as("corpus_id"))
+        .join(szC.select(col("doc_id").as("corpus_id"), col("nc")),
+          "corpus_id")
+        .localCheckpoint(true)
+      CorpusIndex(ch, hot, postings)
+    }
+
   def contaminationStreamBounded(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{array_distinct, explode, expr, max, round, size, split, sum, trim}
     val all = Tables.load(s, dir, "documents")
     val schema = all.schema
-    val bench = all.filter(col("doc_id") < BenchSplit)
-    val bs = Dedup.shingles(bench, "text", "doc_id", ShingleN)
-      .select(col("shingle")).distinct().localCheckpoint(true)
-    val bloom = graft.functions.Bloom.buildCounted(bs, "shingle", 0.01)
+    val bs = benchShinglesMemo(s, dir, ShingleN)
+    val bloom = benchBloomMemo(s, dir, ShingleN)
     val joined = (0 until ShingleN).map(j => s"words[i + $j]")
       .mkString(", ")
     graft.streaming.StreamingOps.boundedStreamRun(s,
@@ -998,23 +1084,13 @@ object TextQueries {
     val schema = all.schema
     val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
       16, 10).cast(LongType) % 100
-    val corpus = all.filter(bucket < IncrSplit)
-    // Corpus-side artifacts, materialized once before the stream starts.
-    val ch = corpus
-      .select(md5(Dedup.normalize(col("text"))).as("content_hash"))
-      .distinct().withColumn("is_exact", lit(true)).localCheckpoint(true)
-    val shC = Dedup.shingles(corpus, "text", "doc_id", ShingleN)
-      .localCheckpoint(true)
-    val hot = shC.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > Dedup.DefaultMaxDf)
-      .select(col("shingle"), lit(true).as("is_hot")).localCheckpoint(true)
-    val shCk = shC.join(broadcast(hot.select("shingle")),
-      Seq("shingle"), "left_anti")
-    val szC = shCk.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
-    val postings = shCk.select(col("shingle"), col("doc_id").as("corpus_id"))
-      .join(szC.select(col("doc_id").as("corpus_id"), col("nc")),
-        "corpus_id")
-      .localCheckpoint(true)
+    // Standing-corpus artifacts: memoized per (dir, content) — the
+    // warehouse-materialized index the scaladoc describes, shared with
+    // the ingest front door ([[corpusIndexMemo]]).
+    val idx = corpusIndexMemo(s, dir)
+    val ch = idx.ch.withColumn("is_exact", lit(true))
+    val hot = idx.hot.withColumn("is_hot", lit(true))
+    val postings = idx.postings
     val joined = (0 until ShingleN).map(j => s"words[i + $j]")
       .mkString(", ")
     graft.streaming.StreamingOps.boundedStreamRun(s,
@@ -1110,29 +1186,16 @@ object TextQueries {
     val schema = all.schema
     val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
       16, 10).cast(LongType) % 100
-    val corpus = all.filter(bucket < IncrSplit)
-    // Standing-corpus artifacts (shared shapes with the neardup gate).
-    val ch = corpus
-      .select(md5(Dedup.normalize(col("text"))).as("content_hash"))
-      .distinct().withColumn("in_corpus", lit(true)).localCheckpoint(true)
-    val shC = Dedup.shingles(corpus, "text", "doc_id", ShingleN)
-      .localCheckpoint(true)
-    val hot = shC.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > Dedup.DefaultMaxDf)
-      .select(col("shingle"), lit(true).as("is_hot")).localCheckpoint(true)
-    val shCk = shC.join(broadcast(hot.select("shingle")),
-      Seq("shingle"), "left_anti")
-    val szC = shCk.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
-    val postings = shCk.select(col("shingle"), col("doc_id").as("corpus_id"))
-      .join(szC.select(col("doc_id").as("corpus_id"), col("nc")),
-        "corpus_id")
-      .localCheckpoint(true)
-    // Benchmark artifacts (contamN-shingles over ALL docs < BenchSplit,
-    // the funnel's bench5 law) + the Bloom prefilter bitset.
-    val benchSh = Dedup.shingles(all.filter(col("doc_id") < BenchSplit),
-        "text", "doc_id", contamN)
-      .select(col("shingle")).distinct().localCheckpoint(true)
-    val bloom = graft.functions.Bloom.buildCounted(benchSh, "shingle", 0.01)
+    // Standing-corpus artifacts: the memoized warehouse index shared
+    // with the neardup gate, plus the memoized benchmark shingles +
+    // Bloom prefilter (contamN-shingles over ALL docs < BenchSplit,
+    // the funnel's bench5 law).
+    val idx = corpusIndexMemo(s, dir)
+    val ch = idx.ch.withColumn("in_corpus", lit(true))
+    val hot = idx.hot.withColumn("is_hot", lit(true))
+    val postings = idx.postings
+    val benchSh = benchShinglesMemo(s, dir, contamN)
+    val bloom = benchBloomMemo(s, dir, contamN)
     def shinglesExpr(n: Int): Column = {
       val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
       array_distinct(expr(
