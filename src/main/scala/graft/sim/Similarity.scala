@@ -618,7 +618,15 @@ object Similarity {
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
       .sample(withReplacement = false, fraction, seed)
       .collect().map(_.getSeq[Double](0).toArray)
-    lloydPp(sample, k, iters, seed)
+    // Cap k against the REALIZED sample: callers scale k with corpus
+    // size (kmDedupK ~ n/1024) but the Bernoulli sample is bounded by
+    // trainLimit (and stochastically below it), so an uncapped k aborts
+    // lloydPp (needs pts.length >= k) once n outgrows trainLimit*1024.
+    // A centroid per ≤4 training points is already degenerate
+    // clustering, so the cap costs nothing at sane ratios and keeps the
+    // 100 TB path alive (r9 ADVICE).
+    val kEff = math.max(1, math.min(k, sample.length / 4))
+    lloydPp(sample, kEff, iters, seed)
   }
 
   /** Assign every vector to its nearest centroid (squared euclidean;
@@ -977,8 +985,17 @@ object Similarity {
             while (s < m) { acc += lut(s)(cs(s) & 0xff); s += 1 }
             val approx = acc / (qn * nrm)
             val h = heaps(qid)
+            // head = worst retained under (approx desc, id asc); replace
+            // on a strict win OR an approx TIE with a lower id, so the
+            // shortlist is the exact top-`shortlist` of the partition
+            // under that total order — partition-layout independent even
+            // with duplicate vectors (r9 ADVICE: strict > dropped ties
+            // by arrival order).
             if (h.size < shortlist) h.enqueue((approx, id))
-            else if (approx > h.head._1) { h.dequeue(); h.enqueue((approx, id)) }
+            else if (approx > h.head._1 ||
+                     (approx == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((approx, id))
+            }
           }
         }
       }

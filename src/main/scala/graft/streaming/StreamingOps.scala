@@ -673,6 +673,19 @@ object StreamingOps {
         .getOrElse(0L),
       parts.map(Files.size).sum, parts.size, nSlices)
     Option(stagedCache.get(key)).getOrElse {
+      // Bound the cache like the 64-entry range/artifact caches — but a
+      // staged entry owns a FULL time-sliced table copy on temp disk, so
+      // eviction must also delete the directory (r9 ADVICE: a long-lived
+      // session sweeping rewritten corpora otherwise accumulates
+      // full-table copies until JVM exit). Evicted-while-draining is a
+      // theoretical race only: Verify/Bench run queries sequentially and
+      // 64 concurrent distinct corpus rewrites do not happen.
+      if (stagedCache.size >= 64) {
+        val stale = stagedCache.keySet().iterator().asScala.toSeq
+        stale.foreach { k =>
+          Option(stagedCache.remove(k)).foreach(rmTreeQuiet)
+        }
+      }
       val dir = Files.createTempDirectory("graft-timeslice")
       spark.read.parquet(srcParquet)
         .repartitionByRange(nSlices, col("ts"), col("event_id"))
@@ -1183,11 +1196,16 @@ object StreamingOps {
     *
     * This runner bakes that failure INTO the gate: when `failAtBatch`
     * is set, run 1 throws inside foreachBatch at that batchId (after
-    * earlier batches committed) and run 2 must recover — skip the
-    * committed prefix, reprocess the failed batch exactly once, drain
-    * the rest, terminate. The sink is the batchId-keyed idempotent fold
-    * (append) or the storage-backed [[ParquetMergeSink]] (update), so a
-    * replayed batch overwrites its own delivery. Registered as the
+    * earlier batches committed), the runner ASSERTS the injection
+    * actually fired (a `failAtBatch` beyond the real batch count would
+    * otherwise make the recovery leg pass vacuously — r9 ADVICE), and
+    * run 2 must recover — skip the committed prefix, reprocess the
+    * failed batch exactly once, drain the rest, terminate. Delivery is
+    * the storage-backed [[ParquetMergeSink]] in BOTH modes (r10 — the
+    * append path previously collected every delivered row into a
+    * driver SortedMap, the exact fold the r9 rework removed from
+    * `restartRun`): a replayed batch overwrites its own batchId-keyed
+    * delta, and the driver holds O(1) data rows. Registered as the
     * `stream_*_availablenow` queries under the SAME DuckDB oracles as
     * the batch twins.
     */
@@ -1197,48 +1215,51 @@ object StreamingOps {
                       summarize: DataFrame => DataFrame,
                       mode: OutputMode = OutputMode.Append,
                       updateKeys: Seq[String] = Nil,
-                      failAtBatch: Option[Long] = None): DataFrame = {
+                      failAtBatch: Option[Long] = None,
+                      sinkProbe: ParquetMergeSink => Unit = _ => ())
+      : DataFrame = {
     import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
     val sliced = stagedTimeSliced(spark, srcParquet, nSlices)
     boundedDropRun(spark, sliced) { (drop, ckpt) =>
       val sinkDir = Files.createTempDirectory("graft-mergesink")
-      val useSink = updateKeys.nonEmpty
-      val sink = new ParquetMergeSink(spark, sinkDir.toString,
-        if (useSink) updateKeys else Seq("__none"))
-      val batches = scala.collection.mutable.SortedMap
-        .empty[Long, (org.apache.spark.sql.types.StructType,
-                      Array[org.apache.spark.sql.Row])]
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, updateKeys)
+      val injectedMsg = "injected mid-drain failure at batch "
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       def runOnce(fail: Option[Long]): Unit = {
         val q = build(drop).writeStream
           .outputMode(mode)
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, id: Long) =>
-            if (fail.contains(id))
-              throw new RuntimeException(
-                s"injected mid-drain failure at batch $id")
-            if (useSink) sink.merge(b, id)
-            else batches(id) = (b.schema, b.collect())
+            if (fail.contains(id)) {
+              fired.set(true)
+              throw new RuntimeException(injectedMsg + id)
+            }
+            sink.merge(b, id)
           }
           .start()
         try q.awaitTermination()
         catch {
+          // ONLY the injected mid-drain death is expected — a broader
+          // catch would mask genuine run-1 failures behind the
+          // recovery leg (r9 ADVICE)
           case e: org.apache.spark.sql.streaming.StreamingQueryException
-              if fail.nonEmpty => // the injected mid-drain death
+              if fail.nonEmpty && e.getCause != null &&
+                 String.valueOf(e.getCause.getMessage)
+                   .startsWith(injectedMsg) =>
         } finally if (q.isActive) q.stop()
       }
-      failAtBatch.foreach(f => runOnce(Some(f)))
+      failAtBatch.foreach { f =>
+        runOnce(Some(f))
+        require(fired.get,
+          s"failAtBatch=$f never fired — fewer than ${f + 1} batches " +
+            "drained, so the recovery leg would test nothing")
+      }
       runOnce(None)
       try {
         val folded =
-          if (useSink) sink.read()
-          else {
-            require(batches.nonEmpty, "no micro-batch arrived")
-            val schema = batches.head._2._1
-            spark.createDataFrame(
-              batches.toSeq.flatMap(_._2._2).asJava, schema)
-          }
+          if (updateKeys.nonEmpty) sink.read() else sink.readAll()
+        sinkProbe(sink)
         summarize(folded).localCheckpoint(true)
       } finally rmTreeQuiet(sinkDir)
     }
@@ -1355,8 +1376,10 @@ object StreamingOps {
       // latest-wins read (update mode) or the batchId-ordered
       // concatenation (append mode). Driver holds O(1) data rows.
       val sinkDir = Files.createTempDirectory("graft-mergesink")
-      val sink = new ParquetMergeSink(spark, sinkDir.toString,
-        if (foldKeys.nonEmpty) foldKeys else Seq("__none"))
+      // foldKeys empty = the sink's append mode (first-class since r10;
+      // the old Seq("__none") placeholder made compaction a latent
+      // unresolved-column failure past batch 8 — r9 ADVICE)
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, foldKeys)
       def runOnce(): Unit = {
         val q = build(drop.toString).writeStream
           .outputMode(mode)

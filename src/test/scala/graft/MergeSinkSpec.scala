@@ -105,6 +105,90 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(s.partCount == 1, s"expected one base, got ${s.partCount}")
   }
 
+  test("compaction is bucket-targeted: a fold whose deltas touch one " +
+      "bucket leaves the other bucket's base files unread and unmoved") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    // find two keys landing in different buckets of a 2-bucket layout
+    // (the sink's own hash: pmod(xxhash64(k), 2))
+    val hashed = spark.range(0, 16)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kA = hashed.collectFirst { case (k, 0L) => k }.get
+    val kB = hashed.collectFirst { case (k, 1L) => k }.get
+    val dir = Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 0, nBuckets = 2)
+    s.merge(batch((kA, "a0", 0L), (kB, "b0", 0L)), 0L)
+    s.compact(0L) // base-0 now holds both buckets
+    def leafState(p: Path): Map[String, Long] = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+      finally walk.close()
+    }
+    val base0 = dir.resolve("base-000000000")
+    val bucketA = base0.resolve("__bucket=0")
+    assert(Files.isDirectory(bucketA), "fixture expects bucket 0 in base-0")
+    val before = leafState(bucketA)
+    assert(before.nonEmpty)
+    // deltas touching ONLY bucket B, then a fold
+    s.merge(batch((kB, "b1", 1L)), 1L)
+    s.compact(1L)
+    // bucket A's files: same paths, same mtimes — never rewritten or
+    // moved by the bucket-B fold; base-0 survives as its generation
+    assert(leafState(bucketA) == before,
+      "untouched bucket's base files must be unread/unmoved")
+    assert(!Files.exists(base0.resolve("__bucket=1")),
+      "touched bucket must migrate to the new generation")
+    assert(readMap(s) == Map(kA -> ("a0", 0L), kB -> ("b1", 1L)))
+    // and a later fold touching bucket A migrates it, emptying base-0
+    s.merge(batch((kA, "a2", 2L)), 2L)
+    s.compact(2L)
+    assert(!Files.exists(base0),
+      "a generation whose buckets are all folded must disappear")
+    assert(readMap(s) == Map(kA -> ("a2", 2L), kB -> ("b1", 1L)))
+  }
+
+  test("append mode (no keys): readAll preserves every row, replay " +
+      "overwrites, and concat-compaction keeps replay idempotence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Nil,
+      compactEvery = 0)
+    def rows(ps: (Long, String)*) = ps.toSeq.toDF("k", "v")
+    s.merge(rows(1L -> "a", 2L -> "b"), 0L)
+    s.merge(rows(3L -> "c"), 1L)
+    s.merge(rows(3L -> "c"), 1L) // replay: overwrite, never append
+    def all(s: ParquetMergeSink): Set[(Long, String)] =
+      s.readAll().collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(s.readAll().count() == 3)
+    assert(all(s) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // concat-compaction: same rows, bounded parts
+    s.compact(1L)
+    assert(s.partCount == 1)
+    assert(s.readAll().count() == 3)
+    assert(all(s) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a batch replayed AFTER being folded: its live delta supersedes
+    // the base rows carrying the same batch id — no double count, in
+    // readAll and through the NEXT compaction alike
+    s.merge(rows(3L -> "c"), 1L)
+    assert(s.readAll().count() == 3)
+    s.compact(1L)
+    assert(s.readAll().count() == 3)
+    assert(all(s) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // auto-compaction in append mode is valid (r9 ADVICE: the old
+    // "__none" placeholder key made batch 8 an AnalysisException)
+    val s2 = new ParquetMergeSink(spark, java.nio.file.Files
+      .createTempDirectory("mergesink").toString, Nil, compactEvery = 4)
+    (0 to 9).foreach(i => s2.merge(rows(i.toLong -> s"v$i"), i.toLong))
+    assert(s2.partCount <= 3)
+    assert(s2.readAll().count() == 10)
+  }
+
   test("read is distributed: merged plan carries no driver-side " +
       "collection and resolves keys via one window") {
     val dir = java.nio.file.Files.createTempDirectory("mergesink")

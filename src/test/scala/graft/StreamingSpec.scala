@@ -745,6 +745,12 @@ class StreamingSpec extends AnyFunSuite {
     // suite out rather than passing)
     val failed = StreamingOps.sessionSummariesAvailableNow(spark,
       SparkTestSession.sf, 1800, nSlices = 4, failAtBatch = 2L)
+    // r10: the append path delivers through the storage-backed sink —
+    // the probe proves every delivered row lives on disk as a
+    // batchId-keyed delta (one per drained slice), i.e. the driver
+    // materializes no delivered rows (the r9 SortedMap fold is gone)
+    var sinkParts = -1
+    var sinkRows = -1L
     val clean = StreamingOps.availableNowRun(spark,
       s"${SparkTestSession.sf}/events.parquet", 4,
       drop => {
@@ -757,7 +763,14 @@ class StreamingSpec extends AnyFunSuite {
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id"),
+      sinkProbe = s => { sinkParts = s.partCount; sinkRows = s.readAll().count() })
+    assert(sinkParts >= 4,
+      s"expected one storage delta per drained slice, saw $sinkParts")
+    val evRows = spark.read
+      .parquet(s"${SparkTestSession.sf}/events.parquet").count()
+    assert(sinkRows == evRows,
+      s"storage sink must hold every delivered row: $sinkRows vs $evRows")
     assert(sig(failed) == sig(clean))
     val bounded = StreamingOps.sessionSummariesBounded(spark,
       SparkTestSession.sf, 1800)
