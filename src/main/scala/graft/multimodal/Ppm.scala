@@ -116,6 +116,64 @@ object Ppm {
     }
   }
 
+  /** dHash (difference hash) — the standard perceptual near-dup
+    * fingerprint for images (Krawetz's dHash: downsample to a
+    * (w+1)×h luminance grid, emit one bit per horizontal gradient
+    * sign). Robust to small pixel jitter and re-encoding because only
+    * the SIGN of neighboring-luminance differences survives into the
+    * hash. Emitted as `nBands` 16-bit band integers rather than one
+    * 64-bit word: the bands are exactly what the Hamming-banded
+    * candidate join keys on (pigeonhole: a pair within Hamming
+    * distance < nBands agrees on at least one band), and 16-bit ints
+    * sidestep 64-bit sign issues in the DuckDB oracle mirror.
+    *
+    * Geometry is fixed at 9×8 (64 bits, 4 bands): bit `i = y*8 + x`
+    * is `lum(x+1, y) > lum(x, y)` on the nearest-neighbor downsample
+    * (source pixel of grid (x, y) is (x*W/9, y*H/8)), luminance is
+    * the Rec.601 integer mix 299r + 587g + 114b — every step a closed
+    * form the SQL oracle reproduces bit-for-bit.
+    */
+  val DHashW = 9
+  val DHashH = 8
+  val DHashBands = 4
+  val DHashBandBits = 16
+
+  def dHashBands(bytes: Array[Byte]): Array[Int] = {
+    val img = decode(bytes)
+    val lum = new Array[Long](DHashW * DHashH)
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW) {
+        val sx = x * img.width / DHashW
+        val sy = y * img.height / DHashH
+        lum(y * DHashW + x) = 299L * img(sx, sy, 0) +
+          587L * img(sx, sy, 1) + 114L * img(sx, sy, 2)
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Int](DHashBands)
+    var i = 0
+    while (i < (DHashW - 1) * DHashH) {
+      val x = i % (DHashW - 1)
+      val y2 = i / (DHashW - 1)
+      if (lum(y2 * DHashW + x + 1) > lum(y2 * DHashW + x))
+        bands(i / DHashBandBits) |= 1 << (i % DHashBandBits)
+      i += 1
+    }
+    bands
+  }
+
+  /** Exact Hamming distance between two band-decomposed dHashes. */
+  def dHashDistance(a: Array[Int], b: Array[Int]): Int = {
+    var d = 0; var j = 0
+    while (j < a.length) {
+      d += java.lang.Integer.bitCount(a(j) ^ b(j)); j += 1
+    }
+    d
+  }
+
   /** Real resize behind the pluggable [[MultimodalOps.MediaTransform]]
     * contract: nearest-neighbor to `targetW` × `targetH`, re-encoded as
     * P6. Deterministic: output pixel (x, y) samples source pixel

@@ -179,11 +179,225 @@ object MediaQueries {
        |  CAST(length(frame) AS BIGINT) AS n_bytes, sha256(frame) AS sha256
        |FROM f ORDER BY doc_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Perceptual-hash image near-duplicate detection (r9 verdict #4) — the
+  // standard multimodal-pipeline dedup the tier lacked: dHash over the
+  // decoded image + Hamming-banded candidate join, the image twin of the
+  // MinHash/SimHash text ladders. The corpus is one synthetic 16×16 PPM
+  // per document (closed-form pixels, like media_features), with PLANTED
+  // near-duplicates: every doc_id ≡ 3 (mod 10) renders its source doc's
+  // (doc_id − 3) image plus a sparse deterministic pixel jitter — bytes
+  // differ, but the jitter only flips a dHash bit where it crosses a
+  // luminance-gradient sign, so planted pairs sit a small Hamming
+  // distance apart. The DuckDB oracle reproduces the WHOLE pipeline from
+  // the closed forms — downsample, luminance, gradient bits, bands,
+  // hot-band cap, banded candidates, exact Hamming — so the hash gate
+  // pins every bit end to end; the recall floor against independent
+  // exact-Hamming truth lives in `recall_check_planted` (a banding/cap
+  // regression moves BOTH sides of this oracle identically, which is
+  // exactly why the recall gate measures against the unbanded truth).
+
+  /** Planted near-dup rule: doc_id ≡ `NdPlantRes` (mod `NdPlantMod`)
+    * renders doc_id − `NdPlantDelta`'s image, jittered.
+    */
+  val NdPlantMod = 10L
+  val NdPlantRes = 3L
+  val NdPlantDelta = 3L
+  /** Jitter: +1 (mod 256) on red where (7x + 11y + doc_id) ≡ 0 (mod 37)
+    * — ~7 of 256 pixels.
+    */
+  val NdJitterMod = 37L
+  /** Pair threshold: exact Hamming ≤ 6 of 64 bits. */
+  val NdMaxHamming = 6
+  /** Hot-band cap, the LSH hot-bucket guard rail: a 16-bit band value
+    * shared by more than this many images (a degenerate flat-image
+    * region at production scale) is excluded from candidate generation
+    * — mirrored verbatim in the oracle, like AnnProdMaxBucket.
+    */
+  val NdBandCap = 200
+
+  private[queries] def ndPlanted(d: Long): Boolean =
+    d % NdPlantMod == NdPlantRes && d >= NdPlantMod
+
+  /** Near-dup corpus pixel form. Unlike [[synthPixel]] this one carries
+    * doc·coordinate CROSS terms (5dx, 3dy, 7dy, 11dxy): with a purely
+    * linear form the horizontal luminance gradient is the same for
+    * every doc except at mod-256 wrap positions, so unrelated docs
+    * share most dHash bits and the "near-dup" relation degenerates
+    * (measured: 3.5k pairs over 500 docs). The cross terms give each
+    * doc its own gradient-sign pattern — unrelated hashes become
+    * ~independent 64-bit words, and surviving pairs are the planted
+    * ones (plus the odd honest collision, identical on both engines).
+    */
+  def ndPixelBase(d: Long, x: Int, y: Int)
+      : (Int, Int, Int) = {
+    // e = the doc-id bits ABOVE the modulus: without them every term is
+    // mod 256, so docs with d ≡ d' (mod 256) render identical images
+    // (measured: exactly the ⌊n/256⌋-spaced pairs showed up as
+    // hamming-0 "near-dups"). Mixing e into coordinate terms makes the
+    // image a function of the full id.
+    val e = d / 256
+    (((31 * d + 17 * e + 7 * x + 16 * y + 5 * d * x + 9 * e * x
+        + 3 * d * y) % 256).toInt,
+     ((17 * d + 29 * e + 5 * x * y + 3 + 7 * d * y + 5 * e * x)
+        % 256).toInt,
+     ((53 * d + 41 * e + 11 * x + 13 * y + 11 * d * x * y + 7 * e * y)
+        % 256).toInt)
+  }
+
+  /** Pixel closed form incl. the plant: source image + sparse jitter. */
+  def synthNdPixel(d: Long, x: Int, y: Int)
+      : (Int, Int, Int) = {
+    val src = if (ndPlanted(d)) d - NdPlantDelta else d
+    val (r, g, b) = ndPixelBase(src, x, y)
+    val rj =
+      if (ndPlanted(d) && (7 * x + 11 * y + d) % NdJitterMod == 0)
+        (r + 1) % 256
+      else r
+    (rj, g, b)
+  }
+
+  /** (doc_id, dHash band 0..3) for every document's synthesized image —
+    * encode + decode + hash run partition-parallel (the real pipeline
+    * shape: the driver never sees a pixel).
+    */
+  private[queries] def ndHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val bytes = Ppm.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
+        val bs = Ppm.dHashBands(bytes)
+        (d, bs(0), bs(1), bs(2), bs(3))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-dup pairs: Hamming-banded candidate join (pigeonhole: a
+    * pair within distance < 4 bands shares at least one 16-bit band) +
+    * exact Hamming verify — one narrow hash projection, one shuffle on
+    * (band_no, band_val), two hash-joins back for the verify. At 100 TB
+    * the candidate volume is Σ bucket² over band buckets, bounded by
+    * [[NdBandCap]] exactly like the MinHash tier's hot buckets.
+    */
+  def imageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = ndHashes(s, dir).localCheckpoint(true)
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_no", "band_val")))
+    val cold = banded.join(
+      broadcast(banded.groupBy("band_no", "band_val")
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > NdBandCap)
+        .select("band_no", "band_val")),
+      Seq("band_no", "band_val"), "left_anti")
+    val cand = cold.select(col("band_no"), col("band_val"),
+        col("doc_id").as("doc_a"))
+      .join(cold.select(col("band_no"), col("band_val"),
+        col("doc_id").as("doc_b")), Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def h(side: String) = hashes.select(
+      col("doc_id").as(s"doc_$side"),
+      col("b0").as(s"${side}0"), col("b1").as(s"${side}1"),
+      col("b2").as(s"${side}2"), col("b3").as(s"${side}3"))
+    cand.join(h("a"), "doc_a").join(h("b"), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+         bit_count(col("a1").bitwiseXOR(col("b1"))) +
+         bit_count(col("a2").bitwiseXOR(col("b2"))) +
+         bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+      .filter(col("hamming") <= NdMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // source-pixel coordinates of dHash grid cell (x.x, y.y), and the
+  // [[ndPixelBase]] channel closed forms sampled there (src = the
+  // rendered doc, jitter applied on top of SqlR for planted docs)
+  private val SqlSx = s"((x.x * $ImgW) // ${Ppm.DHashW})"
+  private val SqlSy = s"((y.y * $ImgH) // ${Ppm.DHashH})"
+  private val SqlE = "(m.src // 256)"
+  private val SqlR =
+    s"((31 * m.src + 17 * $SqlE + 7 * $SqlSx + 16 * $SqlSy" +
+      s" + 5 * m.src * $SqlSx + 9 * $SqlE * $SqlSx" +
+      s" + 3 * m.src * $SqlSy) % 256)"
+  private val SqlG =
+    s"((17 * m.src + 29 * $SqlE + 5 * $SqlSx * $SqlSy + 3" +
+      s" + 7 * m.src * $SqlSy + 5 * $SqlE * $SqlSx) % 256)"
+  private val SqlB =
+    s"((53 * m.src + 41 * $SqlE + 11 * $SqlSx + 13 * $SqlSy" +
+      s" + 11 * m.src * $SqlSx * $SqlSy + 7 * $SqlE * $SqlSy) % 256)"
+
+  /** Full-pipeline oracle: closed-form pixels → downsampled luminance →
+    * gradient bits → 16-bit bands → capped banded candidates → exact
+    * Hamming. Every intermediate is integer-exact on both engines.
+    */
+  val imageNeardupSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $NdPlantMod = $NdPlantRes
+       |           AND doc_id >= $NdPlantMod
+       |         THEN doc_id - $NdPlantDelta ELSE doc_id END AS src,
+       |    (doc_id % $NdPlantMod = $NdPlantRes
+       |       AND doc_id >= $NdPlantMod) AS planted
+       |  FROM documents),
+       |g AS (
+       |  SELECT m.doc_id, x.x AS gx, y.y AS gy,
+       |    299 * (CASE WHEN m.planted
+       |             AND (7 * $SqlSx + 11 * $SqlSy + m.doc_id)
+       |                 % $NdJitterMod = 0
+       |           THEN ($SqlR + 1) % 256 ELSE $SqlR END)
+       |    + 587 * ($SqlG) + 114 * ($SqlB) AS lum
+       |  FROM m,
+       |    (SELECT unnest(generate_series(0, ${Ppm.DHashW - 1})) AS x) x,
+       |    (SELECT unnest(generate_series(0, ${Ppm.DHashH - 1})) AS y) y),
+       |bits AS (
+       |  SELECT doc_id, gx, gy * ${Ppm.DHashW - 1} + gx AS i,
+       |    CASE WHEN lead(lum) OVER (PARTITION BY doc_id, gy ORDER BY gx)
+       |           > lum THEN 1 ELSE 0 END AS bit
+       |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, i // ${Ppm.DHashBandBits} AS band_no,
+       |    CAST(SUM(bit * (1 << (i % ${Ppm.DHashBandBits}))) AS BIGINT)
+       |      AS band_val
+       |  FROM bits WHERE gx < ${Ppm.DHashW - 1}
+       |  GROUP BY doc_id, i // ${Ppm.DHashBandBits}),
+       |sizes AS (
+       |  SELECT band_no, band_val, count(*) AS c
+       |  FROM bands GROUP BY band_no, band_val),
+       |cold AS (
+       |  SELECT b.doc_id, b.band_no, b.band_val FROM bands b
+       |  JOIN sizes s USING (band_no, band_val) WHERE s.c <= $NdBandCap),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM cold l JOIN cold r
+       |    ON l.band_no = r.band_no AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id),
+       |h AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+       |    MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+       |    MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+       |    MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN h a ON a.doc_id = c.doc_a JOIN h b ON b.doc_id = c.doc_b
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    <= $NdMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta_documents" -> (mediaMeta _),
     "media_features_documents" -> (mediaFeatures _),
     "media_resize_documents" -> (mediaResize _),
     "media_frames_documents" -> (mediaFrames _),
+    "image_neardup_documents" -> (imageNeardup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +405,6 @@ object MediaQueries {
     "media_features_documents" -> mediaFeaturesSql,
     "media_resize_documents" -> mediaResizeSql,
     "media_frames_documents" -> mediaFramesSql,
+    "image_neardup_documents" -> imageNeardupSql,
   )
 }

@@ -138,7 +138,37 @@ object RecallQueries {
     val annRows = Seq(("ann_rp_recall_at_k", "cl_norm",
       annHit.map(_._1).sum, annHit.map(_._2).sum, AnnRpFloor))
 
-    val violations = (mhRows ++ semRows ++ annRows).flatMap {
+    // ---- image dHash banded near-dup, planted jitter pairs ---------------
+    // truth: exact (unbanded) Hamming ≤ NdMaxHamming over the corpus's
+    // OWN planted pairs, computed driver-side from the closed form
+    // (bounded at 64 pairs — control-plane). The registered operator's
+    // full-hash oracle mirrors the banding, so a banding/cap regression
+    // moves both oracle sides identically — only THIS row, measured
+    // against unbanded truth, can catch it.
+    val ndPlantIds = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % MediaQueries.NdPlantMod
+          === MediaQueries.NdPlantRes &&
+        col("doc_id") >= MediaQueries.NdPlantMod)
+      .select("doc_id").orderBy("doc_id").limit(64)
+      .collect().map(_.getLong(0))
+    val ndTruth = ndPlantIds.flatMap { d =>
+      def bands(id: Long) = graft.multimodal.Ppm.dHashBands(
+        graft.multimodal.Ppm.encode(MediaQueries.ImgW, MediaQueries.ImgH,
+          (x, y) => MediaQueries.synthNdPixel(id, x, y)))
+      val src = d - MediaQueries.NdPlantDelta
+      if (graft.multimodal.Ppm.dHashDistance(bands(src), bands(d))
+            <= MediaQueries.NdMaxHamming) Some((src, d)) else None
+    }.toSet
+    val ndFound = MediaQueries.queries("image_neardup_documents")(s, dir)
+      .filter(col("doc_b") - col("doc_a")
+          === MediaQueries.NdPlantDelta &&
+        col("doc_b").isin(ndPlantIds.toSeq: _*))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ndRows = Seq(("image_dhash_banded", "nd_jitter",
+      ndTruth.count(ndFound).toLong, ndTruth.size.toLong, MinhashFloor))
+
+    val violations = (mhRows ++ semRows ++ annRows ++ ndRows).flatMap {
       case (check, fam, rec, truth, floor) =>
         if (truth == 0L)
           Some((s"${check}:vacuous_truth", fam, rec, truth, 0.0, floor))

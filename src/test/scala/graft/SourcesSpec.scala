@@ -243,6 +243,52 @@ class SourcesSpec extends AnyFunSuite {
       Ppm.decode("P6\n1000000 1000000\n255\n ".getBytes("US-ASCII")))
   }
 
+  test("dHash is jitter-robust, discriminative, and the banded near-dup " +
+      "join recovers exactly the planted image pairs") {
+    import graft.multimodal.Ppm
+    import graft.queries.MediaQueries
+    // planted pair: jittered copy vs its source — bytes differ, hash
+    // nearly identical (the perceptual property the operator rides)
+    def img(d: Long) = Ppm.encode(MediaQueries.ImgW, MediaQueries.ImgH,
+      (x, y) => MediaQueries.synthNdPixel(d, x, y))
+    val planted = 13L
+    val src = planted - MediaQueries.NdPlantDelta
+    assert(!java.util.Arrays.equals(img(planted), img(src)),
+      "plant must change bytes")
+    val dPair = Ppm.dHashDistance(
+      Ppm.dHashBands(img(planted)), Ppm.dHashBands(img(src)))
+    assert(dPair <= MediaQueries.NdMaxHamming,
+      s"planted pair must hash near-identically, hamming $dPair")
+    // unrelated images: hashes far apart (≈32 expected of 64 bits)
+    val dFar = Ppm.dHashDistance(
+      Ppm.dHashBands(img(10L)), Ppm.dHashBands(img(20L)))
+    assert(dFar > MediaQueries.NdMaxHamming,
+      s"unrelated docs must not collide, hamming $dFar")
+    // band packing: 4 × 16 bits, nonnegative, within range
+    val bs = Ppm.dHashBands(img(42L))
+    assert(bs.length == Ppm.DHashBands)
+    assert(bs.forall(b => b >= 0 && b < (1 << Ppm.DHashBandBits)))
+    // end to end on the test corpus: every pair is a planted one
+    // (doc_b = doc_a + 3, doc_b ≡ 3 mod 10), pigeonhole-guaranteed by
+    // 4-band banding at hamming ≤ 3
+    val out = MediaQueries.imageNeardup(spark, SparkTestSession.sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      r.getAs[Long]("doc_b") - r.getAs[Long]("doc_a") ==
+        MediaQueries.NdPlantDelta &&
+      r.getAs[Long]("doc_b") % MediaQueries.NdPlantMod ==
+        MediaQueries.NdPlantRes
+    }, "only planted pairs should survive on the mixed closed form")
+    val nPlanted = graft.Tables.load(spark, SparkTestSession.sf,
+        "documents")
+      .filter(col("doc_id") % MediaQueries.NdPlantMod ===
+        MediaQueries.NdPlantRes &&
+        col("doc_id") >= MediaQueries.NdPlantMod).count()
+    assert(out.length == nPlanted,
+      s"expected all $nPlanted planted pairs, found ${out.length}")
+  }
+
   test("PPM feature decoder and resize compute real pixel statistics") {
     import graft.multimodal.Ppm
     // 2×2 with known channels: R = {10,20,30,40}, G = 0, B = 255
