@@ -59,6 +59,41 @@ object Bench {
     def median(v: Vector[Double]): Double = {
       val s = v.sorted; s(s.size / 2)
     }
+    // SOLO-PROBE protocol for the stream family (r9 verdict #3): the
+    // stream gates replay a whole corpus through trigger cadences, so a
+    // rep that lands right after a heavy doc query inherits its GC/page
+    // -cache debris and the in-sweep spread can reach many SECONDS —
+    // r9's "stream_volume_update regressed 1.49×" had spread 5.7 s at
+    // sf0.1 and 66 s at sf1, unadjudicable. A stream query whose
+    // in-sweep spread exceeds SoloSpreadCap is re-measured with
+    // SoloReps back-to-back solo reps after a GC pause, and the solo
+    // medians REPLACE the contaminated samples; the detail JSON keeps
+    // both (`solo` map) so a regression call can always see which
+    // number is load-bearing.
+    val SoloSpreadCap = 1.5
+    val SoloReps = 3
+    val soloNote = scala.collection.mutable.Map.empty[String, String]
+    if (reps >= 2) names.foreach { case (name, fn) =>
+      val v = times(name)
+      if (name.startsWith("stream_") && v.nonEmpty &&
+          v.max - v.min > SoloSpreadCap) {
+        System.gc()
+        val solo = (1 to SoloReps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }.toVector
+        if (solo.nonEmpty) {
+          soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
+            s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
+            s""""solo_median":${f"${median(solo)}%.3f"},""" +
+            s""""solo_spread":${f"${solo.max - solo.min}%.3f"}}"""
+          times(name) = solo
+        }
+      }
+    }
     // a query with zero successful reps has no median and no spread —
     // it appears ONLY in errors, and the total sums real work only
     val timed = names.filter { case (n, _) => times(n).nonEmpty }
@@ -81,8 +116,11 @@ object Bench {
     val fullSpread = timed.map { case (n, _) =>
       s"\"" + n + "\":" + r3(times(n).max - times(n).min)
     }.mkString("{", ",", "}")
+    val soloJson = soloNote.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     // compact stdout line: fixed family-representative headliners first,
     // then the slowest remaining queries, size-capped so the line plus
     // its surroundings always fits the driver's tail window

@@ -98,8 +98,11 @@ object ConcurrentPasses {
     // submission measured ~15% SLOWER than 16-wide), while narrower
     // pools leave cores idle between waves. On many-row-group inputs
     // each pass fans out anyway and queued jobs wait in the scheduler.
+    // overridable for probe sweeps (tools/ProfileCostProbe)
+    val bound = spark.conf.getOption("spark.graft.passPool")
+      .map(_.toInt).getOrElse(16)
     val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(passes.size, 16))
+      .newFixedThreadPool(math.min(passes.size, bound))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try Await.result(

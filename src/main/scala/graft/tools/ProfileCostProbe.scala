@@ -19,6 +19,10 @@ object ProfileCostProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local("32", "32")
     spark.sparkContext.setLogLevel("ERROR")
+    // optional 2nd arg: ConcurrentPasses pool-width override, for the
+    // width sweep behind the r9 profile_lineitem-creep diagnosis
+    args.drop(1).headOption
+      .foreach(w => spark.conf.set("spark.graft.passPool", w))
     val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
     val h = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME
