@@ -388,22 +388,27 @@ object EventQueries {
     *              over a narrower member set;
     *  - funnel:   START-cut with per-instance click payload counts.
     */
-  val MultiJourneySpecs: Seq[EventOps.JourneySpec] = Seq(
-    EventOps.JourneySpec("checkout",
-      Seq("signup", "view", "click", "purchase"),
-      startType = "signup", endType = Some("purchase")),
-    EventOps.JourneySpec("payment", Seq("click", "purchase"),
-      startType = "click", endType = Some("purchase"),
-      payloadRequired = true),
-    EventOps.JourneySpec("funnel", Seq("signup", "click", "error"),
-      startType = "signup", payloadType = Some("click")))
+  /** Parsed from `fixtures/journey_instances.jsonl` (r10 — previously a
+    * compiled-in constant; the reference registers journeys via API
+    * payloads at runtime, demo_helper.py:1851-1875, so the journey set
+    * must be DATA). This session-free parse feeds the oracle-SQL
+    * generation below; the registered queries re-ingest the same file
+    * through the Spark config-table path ([[ControlPlane.instances]]),
+    * and ControlPlaneSpec pins the two parses equal. The fixture also
+    * carries a `browse` journey that exists nowhere in code — its rows
+    * in the `ev_journeys_multi` output are the proof the control plane
+    * is data-driven.
+    */
+  val MultiJourneySpecs: Seq[EventOps.JourneySpec] =
+    graft.events.ControlPlane.instancesLocal()
 
   def journeysMulti(s: SparkSession, dir: String): DataFrame =
-    EventOps.journeyInstancesMulti(ev(s, dir), MultiJourneySpecs, s)
+    EventOps.journeyInstancesMulti(ev(s, dir),
+      graft.events.ControlPlane.instances(s), s)
 
   def streamJourneysMultiBounded(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.journeysMultiBounded(s, dir,
-      MultiJourneySpecs)
+      graft.events.ControlPlane.instances(s))
 
   /** Per-journey oracle UNION for the fused assembler: each journey's
     * branch is the corresponding single-journey SQL mirror
@@ -552,10 +557,13 @@ object EventQueries {
     */
   def outOfSequenceMulti(s: SparkSession, dir: String): DataFrame =
     EventOps.outOfSequenceMulti(ev(s, dir), GapSeconds,
-      Dag.MultiJourneys, s)
+      graft.events.ControlPlane.journeys(s), s)
 
   val outOfSequenceMultiSql: String = {
-    val perJourney = Dag.MultiJourneys.map { case (jid, edges) =>
+    // generated from the SAME fixture the query ingests (r10 — see
+    // MultiJourneySpecs), incl. the fixture-only post_purchase journey
+    val perJourney = graft.events.ControlPlane.journeysLocal()
+      .map { case (jid, edges) =>
       val members = Dag.members(edges).map(m => s"'$m'").mkString(", ")
       val closure = Dag.closureLocal(Dag.orderedPairs(edges))
         .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
@@ -760,17 +768,11 @@ object EventQueries {
     * column, a metric comparison on a dynamically-typed JSON props field,
     * and a run-state-style type match.
     */
-  val Rules = Seq(
-    EventOps.AlertRule("high_purchase", "purchase", "value", "gt",
-      MetricThreshold, "CALL_WEBHOOK"),
-    EventOps.AlertRule("hot_props", "click", "props.k", "gt", 40.0,
-      "SEND_EMAIL"),
-    EventOps.AlertRule("error_seen", "error", "value", "match", 0.0,
-      "SEND_EMAIL"),
-  )
+  val Rules = graft.events.ControlPlane.rulesLocal("engine")
 
   def ruleEngine(s: SparkSession, dir: String): DataFrame =
-    EventOps.ruleAlerts(ev(s, dir), Rules)
+    EventOps.ruleAlerts(ev(s, dir),
+      graft.events.ControlPlane.rules(s, "engine"))
 
   val ruleEngineSql: String = {
     val parts = Rules.map { r =>
@@ -806,18 +808,11 @@ object EventQueries {
     * rendering is engine-specific and belongs in `measured`, not the
     * payload text.
     */
-  val TemplatedRules = Seq(
-    EventOps.AlertRule("hook_purchase", "purchase", "value", "gt",
-      MetricThreshold, "CALL_WEBHOOK",
-      template =
-        "POST /hooks/alerts user={user_id} event={event_id} k={props.k}"),
-    EventOps.AlertRule("mail_error", "error", "value", "match", 0.0,
-      "SEND_EMAIL",
-      template = "Run for user {user_id} hit {event_type} (event {event_id})"),
-  )
+  val TemplatedRules = graft.events.ControlPlane.rulesLocal("templated")
 
   def ruleTemplated(s: SparkSession, dir: String): DataFrame =
-    EventOps.ruleAlerts(ev(s, dir), TemplatedRules)
+    EventOps.ruleAlerts(ev(s, dir),
+      graft.events.ControlPlane.rules(s, "templated"))
 
   /** SQL mirror of [[EventOps.templateColumn]]: the same template string
     * compiled to a `||` concatenation, so Spark and the oracle always
@@ -1014,7 +1009,7 @@ object EventQueries {
     */
   def streamOosMultiBounded(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.oosMultiAlertsBounded(s, dir,
-      GapSeconds, Dag.MultiJourneys)
+      GapSeconds, graft.events.ControlPlane.journeys(s))
 
   // ---- R10 entity search-by-name ------------------------------------------
 
