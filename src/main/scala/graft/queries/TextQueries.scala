@@ -1672,6 +1672,46 @@ object TextQueries {
        |    ORDER BY pos), '') AS text_deduped
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- overlapping duplicated-span removal (ExactSubstr posture) ----------
+
+  def spanDedupCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupCut(docs(s, dir), "text", "doc_id", SpanN)
+
+  /** Mirror of [[Dedup.spanDedupCut]]: same rolling windows (positions
+    * 0-based), same (count ≥ 2, non-global-first) duplicate rule on
+    * md5(window) ordered by (doc_id, pos), same coverage mask — a
+    * position is cut iff a duplicate window starts in
+    * [p − (n−1), p] — same position-ordered reassembly.
+    */
+  val spanDedupCutSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |    AS ws FROM documents),
+       |occ AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(ws,
+       |      CAST(u.i AS BIGINT) + 1,
+       |      CAST(u.i AS BIGINT) + $SpanN), ' ')) AS wh
+       |  FROM w, unnest(range(0, len(ws) - ${SpanN - 1})) AS u(i)
+       |  WHERE len(ws) >= $SpanN),
+       |ranked AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY wh) AS ct,
+       |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |dup AS (SELECT doc_id, pos AS s FROM ranked
+       |  WHERE ct > 1 AND rn > 1),
+       |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+       |    ws[CAST(u.p AS BIGINT) + 1] AS word
+       |  FROM w, unnest(range(0, len(ws))) AS u(p)),
+       |marked AS (SELECT pos.doc_id, pos.p, pos.word,
+       |    EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = pos.doc_id
+       |      AND dup.s BETWEEN pos.p - ${SpanN - 1} AND pos.p) AS removed
+       |  FROM pos)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  coalesce(string_agg(CASE WHEN NOT removed THEN word END, ' '
+       |    ORDER BY p), '') AS text_deduped
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- mixture-plan execution (deterministic downsampling) ----------------
 
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -2024,6 +2064,7 @@ object TextQueries {
     "filter_policy_documents" -> (filterPolicy _),
     "dedup_incremental_documents" -> (dedupIncremental _),
     "span_dup_documents" -> (spanDup _),
+    "span_dedup_cut_documents" -> (spanDedupCut _),
     "block_dedup_documents" -> (blockDedup _),
     "split_leakage_documents" -> (splitLeakage _),
     "stream_curate_bounded" -> (curatedStreamBounded _),
@@ -2075,6 +2116,7 @@ object TextQueries {
     "filter_policy_documents" -> filterPolicySql,
     "dedup_incremental_documents" -> dedupIncrementalSql,
     "span_dup_documents" -> spanDupSql,
+    "span_dedup_cut_documents" -> spanDedupCutSql,
     "block_dedup_documents" -> blockDedupSql,
     "split_leakage_documents" -> splitLeakageSql,
     "stream_curate_bounded" -> curatedStreamSql,

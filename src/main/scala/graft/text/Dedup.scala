@@ -315,6 +315,73 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** OVERLAPPING duplicated-span REMOVAL — the Lee et al. 2022
+    * ExactSubstr posture ([[blockDedupCut]]'s documented out-of-scope
+    * item) at word-window granularity, re-expressed declaratively
+    * instead of via their suffix array (§4.1). Semantics: a word
+    * position is CUT iff some rolling `n`-word window covering it has
+    * text occurring ≥ 2 times corpus-wide AND that occurrence is not
+    * the text's GLOBAL FIRST (min (doc, position) — deterministic,
+    * engine-neutral, the same keep-first rule as [[blockDedupCut]]);
+    * each document is reassembled from surviving positions in order.
+    *
+    * Why this equals anchor seed-and-extend: every duplicated window
+    * is an anchor; a duplicate region LONGER than `n` is covered by a
+    * run of overlapping duplicated windows, so the union of their
+    * coverage — the cut mask — is exactly the maximal duplicated span,
+    * extended to its ends. Spans straddling arbitrary offsets are
+    * recovered (the case non-overlapping blocking loses: a duplicate
+    * shifted by one word against the block grid survives
+    * [[blockDedupCut]] whole, TextSpec pins the contrast); only spans
+    * shorter than `n` words survive, which is the L-threshold of the
+    * paper, not a loss.
+    *
+    * Scale shape: one rolling-window explode (a (id, pos, 16-byte md5)
+    * row per word — the same linear shuffle [[spanDupStats]] already
+    * pays, no pair explosion), ONE window-function shuffle on the hash
+    * (count + global-first rank share the partition key), a per-doc
+    * collect of duplicate window STARTS (bounded by document length,
+    * the in-row bound every per-doc text op here lives with), and one
+    * hash join back to the corpus for the in-row mask/reassembly via
+    * higher-order functions. Hot window texts (boilerplate) skew the
+    * window partition exactly like [[blockDedupCut]]'s — measured 0.99
+    * ratio on the skewed corpus there. md5 collisions would merge two
+    * distinct span texts (~2⁻¹²⁸ per pair); both engines hash
+    * identically, so the oracle compare is immune by construction.
+    */
+  def spanDedupCut(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1)
+    val joined = (0 until n).map(j => s"words[i + $j]").mkString(", ")
+    val base = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("words"))
+    val occ = base.filter(size(col("words")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(slice(words, 1, size(words) - ${n - 1}), " +
+          s"(w, i) -> concat_ws(' ', $joined))")).as(Seq("pos", "span")))
+      .select(col(idCol), col("pos"), md5(col("span")).as("wh"))
+    val part = Window.partitionBy(col("wh"))
+    val rank = part.orderBy(col(idCol), col("pos"))
+    val dupStarts = occ
+      .withColumn("ct", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("ct") > 1 && col("rn") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("ds"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("words"),
+        coalesce(col("ds"), array().cast("array<int>")).as("ds"))
+      .select(col(idCol), size(col("words")).cast("long").as("n_words"),
+        expr(s"filter(transform(words, (w, p) -> struct(w, p)), " +
+          s"s -> NOT exists(ds, d -> s.p >= d AND s.p <= d + ${n - 1}))")
+          .as("kept"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(kept, s -> s.w)"))
+          .as("text_deduped"))
+      .orderBy(idCol)
+  }
+
   /** Exact-Jaccard verification of candidate pairs, on HASHED shingles:
     * sets are packed as one xxhash64-per-shingle array per document, so
     * each candidate pair is ONE row and the intersection is an in-row

@@ -804,6 +804,45 @@ class TextSpec extends AnyFunSuite {
     assert(out(11L) == "t1 t2 t3 t4")
   }
 
+  test("span dedup cuts OVERLAPPING duplicates that straddle the block " +
+      "grid, extends to the maximal span, and keeps the first copy") {
+    // n = 4. Doc 2 embeds doc 1's 6-word run «d1..d6» at word offset 3 —
+    // misaligned with every 4-word block boundary, so blockDedupCut
+    // removes NOTHING (the documented gap); the span cut must remove
+    // exactly the 6-word straddling copy: windows [3..5] of doc 2 are
+    // duplicated (non-first), covering positions 3..8 — the MAXIMAL
+    // span, though no single window spans all 6 words.
+    val df = Seq(
+      (1L, "d1 d2 d3 d4 d5 d6 x1 x2"),
+      (2L, "m1 m2 m3 d1 d2 d3 d4 d5 d6 t1 t2 t3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8")).toDF("doc_id", "text")
+    val block = Dedup.blockDedupCut(df, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(block(2L) == 0L, "fixture must straddle the block grid")
+    val out = Dedup.spanDedupCut(df, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_deduped"))).toMap
+    assert(out(1L) == ((8L, 0L, "d1 d2 d3 d4 d5 d6 x1 x2")),
+      "global-first copy survives whole")
+    assert(out(2L) == ((12L, 6L, "m1 m2 m3 t1 t2 t3")),
+      "the straddling copy is cut to its maximal extent, nothing more")
+    assert(out(3L) == ((8L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    // within-doc repetition: the second copy of a repeated span goes too
+    val rep = Dedup.spanDedupCut(
+      Seq((9L, "r1 r2 r3 r4 z1 r1 r2 r3 r4")).toDF("doc_id", "text"),
+      "text", "doc_id", 4)
+      .collect()(0)
+    assert(rep.getAs[Long]("n_removed") == 4L)
+    assert(rep.getAs[String]("text_deduped") == "r1 r2 r3 r4 z1")
+    // shorter-than-n documents pass through untouched
+    val short = Dedup.spanDedupCut(
+      Seq((5L, "s1 s2"), (6L, "s1 s2")).toDF("doc_id", "text"),
+      "text", "doc_id", 4).collect()
+    assert(short.forall(_.getAs[Long]("n_removed") == 0L))
+  }
+
   test("repetition signals saturate on looping boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now"),
