@@ -114,6 +114,12 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       stamped
         .withColumn("__bucket",
           pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+        // repartition on the partition column before partitionBy — the
+        // standard small-file guard: without it every task writes a
+        // file per bucket it sees (tasks × buckets tiny files per
+        // trigger; measured 2× on the liveness gates), with it exactly
+        // one file per non-empty bucket. The shuffle is delta-sized.
+        .repartition(nBuckets, col("__bucket"))
         .write.partitionBy("__bucket").mode("overwrite")
         .parquet(out.toString)
     else
@@ -216,7 +222,9 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     // fresh output (found by MergeSinkSpec's replay-after-compact
     // case). The tmp- prefix is invisible to [[read]].
     val tmp = root.resolve(f"tmp-base-$uptoBatch%09d")
-    val writer = folded.write.mode("overwrite")
+    val writer =
+      (if (keyed) folded.repartition(nBuckets, col("__bucket"))
+       else folded).write.mode("overwrite")
     (if (keyed) writer.partitionBy("__bucket") else writer)
       .parquet(tmp.toString)
     // PUBLISH before deleting the folded inputs. The reverse order has
