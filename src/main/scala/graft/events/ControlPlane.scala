@@ -70,11 +70,17 @@ object ControlPlane {
     StructField("template", StringType, nullable = true)))
 
   private def resolve(path: String): java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(path)
-    require(java.nio.file.Files.exists(p),
-      s"control-plane fixture not found at $p (cwd ${
-        System.getProperty("user.dir")}) — run from the repo root")
-    p
+    // cwd-relative first (sbt forks run from the project base); fall
+    // back to the repo's canonical location so a harness launched from
+    // another working directory still finds the config
+    val candidates = Seq(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get("/root/repo").resolve(path))
+    candidates.find(java.nio.file.Files.exists(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"control-plane fixture not found at any of " +
+          s"${candidates.mkString(", ")} (cwd ${
+            System.getProperty("user.dir")})"))
   }
 
   /** The journey config table: one row per DAG edge, explicit schema. */
