@@ -83,14 +83,28 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
+          } catch { case e: Throwable =>
+            // solo failures must be as loud as sweep failures — a
+            // silent flatMap-away could publish a one-sample "median"
+            // or quietly keep the contaminated sweep numbers
+            errors(name) = "solo: " + s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).linesIterator.take(1)
+                .mkString.filter(_ >= ' ').take(110)
+            None
+          }
         }.toVector
-        if (solo.nonEmpty) {
+        // replace only with a defensible sample: ≥2 clean solo reps.
+        // Fewer → keep the sweep numbers and say so in the detail JSON.
+        if (solo.size >= 2) {
           soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
             s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
             s""""solo_median":${f"${median(solo)}%.3f"},""" +
             s""""solo_spread":${f"${solo.max - solo.min}%.3f"}}"""
           times(name) = solo
+        } else {
+          soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
+            s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
+            s""""solo_failed":true}"""
         }
       }
     }

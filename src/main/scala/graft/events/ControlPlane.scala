@@ -70,17 +70,38 @@ object ControlPlane {
     StructField("template", StringType, nullable = true)))
 
   private def resolve(path: String): java.nio.file.Path = {
-    // cwd-relative first (sbt forks run from the project base); fall
-    // back to the repo's canonical location so a harness launched from
-    // another working directory still finds the config
-    val candidates = Seq(
-      java.nio.file.Paths.get(path),
-      java.nio.file.Paths.get("/root/repo").resolve(path))
+    // cwd-relative first (sbt forks run from the project base), then an
+    // explicit env override, then the canonical checkout location — a
+    // harness launched from another working directory must not fail
+    // EventQueries' object init
+    val candidates =
+      Seq(java.nio.file.Paths.get(path)) ++
+        sys.env.get("GRAFT_REPO_ROOT")
+          .map(r => java.nio.file.Paths.get(r).resolve(path)) ++
+        Seq(java.nio.file.Paths.get("/root/repo").resolve(path))
     candidates.find(java.nio.file.Files.exists(_)).getOrElse(
       throw new IllegalArgumentException(
         s"control-plane fixture not found at any of " +
           s"${candidates.mkString(", ")} (cwd ${
             System.getProperty("user.dir")})"))
+  }
+
+  /** Config rows are user data: enforce the invariants the compiled-in
+    * constants used to guarantee, with row-addressed messages instead
+    * of a NoSuchElementException out of oracle-SQL generation. A
+    * START-cut journey (no end_type) drives the payload-count branch,
+    * so it must name a payload_type.
+    */
+  private def validateInstance(j: EventOps.JourneySpec)
+      : EventOps.JourneySpec = {
+    require(j.members.nonEmpty,
+      s"journey ${j.journeyId}: members must be non-empty")
+    require(j.members.contains(j.startType),
+      s"journey ${j.journeyId}: start_type ${j.startType} not a member")
+    require(j.endType.nonEmpty || j.payloadType.nonEmpty,
+      s"journey ${j.journeyId}: a START-cut journey (end_type null) " +
+        "must set payload_type")
+    j
   }
 
   /** The journey config table: one row per DAG edge, explicit schema. */
@@ -122,10 +143,11 @@ object ControlPlane {
   /** Compile the instance table to [[EventOps.JourneySpec]]s. */
   def compileInstances(df: DataFrame): Seq[EventOps.JourneySpec] =
     df.collect()
-      .map(r => EventOps.JourneySpec(r.getString(0),
+      .map(r => validateInstance(EventOps.JourneySpec(r.getString(0),
         r.getSeq[String](1).toSeq, r.getString(2),
-        Option(r.getString(3)), r.getBoolean(4),
-        Option(r.getString(5))))
+        Option(r.getString(3)),
+        !r.isNullAt(4) && r.getBoolean(4),
+        Option(r.getString(5)))))
       .sortBy(_.journeyId).toSeq
 
   /** The registered queries' journey set, via the config-table ingest. */
@@ -150,10 +172,12 @@ object ControlPlane {
   private def jsonLines(path: String)
       : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val m = mapper
-    scala.jdk.CollectionConverters.IteratorHasAsScala(
-        java.nio.file.Files.lines(resolve(path)).iterator()).asScala
+    val stream = java.nio.file.Files.lines(resolve(path))
+    try scala.jdk.CollectionConverters
+        .IteratorHasAsScala(stream.iterator()).asScala
       .map(_.trim).filter(_.nonEmpty)
       .map(m.readTree).toSeq
+    finally stream.close()
   }
 
   private def optText(n: com.fasterxml.jackson.databind.JsonNode,
@@ -177,10 +201,11 @@ object ControlPlane {
         val ms = scala.jdk.CollectionConverters
           .IteratorHasAsScala(n.get("members").elements()).asScala
           .map(_.asText).toSeq
-        EventOps.JourneySpec(n.get("journey_id").asText, ms,
+        validateInstance(EventOps.JourneySpec(
+          n.get("journey_id").asText, ms,
           n.get("start_type").asText, optText(n, "end_type"),
-          n.get("payload_required").asBoolean,
-          optText(n, "payload_type"))
+          Option(n.get("payload_required")).exists(_.asBoolean),
+          optText(n, "payload_type")))
       }
       .sortBy(_.journeyId)
 

@@ -125,9 +125,19 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     else
       stamped.write.mode("overwrite").parquet(out.toString)
     // a zero-row partitionBy write leaves only _SUCCESS — a schema-less
-    // dir that would break multi-root reads; drop it (a filesystem
-    // check, not a second execution of the batch plan)
-    if (!hasParquetLeaf(out)) rmTree(out)
+    // dir that would break multi-root reads. Re-write it as a FLAT
+    // empty delta (schema-bearing parquet, no bucket dirs) instead of
+    // deleting: an all-empty-batches stream must still read back as an
+    // empty table, not fail read()'s received-no-batch require. Built
+    // from the local schema — no second execution of the batch plan —
+    // and harmless to the union reads, which drop __bucket per root.
+    if (keyed && !hasParquetLeaf(out)) {
+      rmTree(out)
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stamped.schema)
+        .write.mode("overwrite").parquet(out.toString)
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batchId)
   }
@@ -227,6 +237,17 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
        else folded).write.mode("overwrite")
     (if (keyed) writer.partitionBy("__bucket") else writer)
       .parquet(tmp.toString)
+    // an all-empty fold (every folded delta was a zero-row batch) writes
+    // no bucket dirs — leave a flat schema-bearing empty base, same as
+    // merge()'s empty-delta treatment, so reads stay well-formed
+    if (keyed && !hasParquetLeaf(tmp)) {
+      rmTree(tmp)
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            folded.schema.filterNot(_.name == "__bucket")))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
     // PUBLISH before deleting the folded inputs. The reverse order has
     // a data-loss crash window: folded deltas deleted, new base not yet
     // moved — and a restart replays only the last uncommitted batch,

@@ -680,11 +680,12 @@ object StreamingOps {
       // full-table copies until JVM exit). Evicted-while-draining is a
       // theoretical race only: Verify/Bench run queries sequentially and
       // 64 concurrent distinct corpus rewrites do not happen.
-      if (stagedCache.size >= 64) {
-        val stale = stagedCache.keySet().iterator().asScala.toSeq
-        stale.foreach { k =>
-          Option(stagedCache.remove(k)).foreach(rmTreeQuiet)
-        }
+      while (stagedCache.size >= 64) {
+        // evict ONE entry, not the whole cache — a full flush would
+        // make every still-hot corpus re-pay its full staged rewrite
+        // (the exact cost the cache exists to avoid)
+        stagedCache.keySet().iterator().asScala.toSeq.headOption
+          .foreach(k => Option(stagedCache.remove(k)).foreach(rmTreeQuiet))
       }
       val dir = Files.createTempDirectory("graft-timeslice")
       spark.read.parquet(srcParquet)

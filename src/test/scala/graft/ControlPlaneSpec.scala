@@ -64,6 +64,35 @@ class ControlPlaneSpec extends AnyFunSuite {
       s"fixture-only journey missing from ev_journeys_multi: $instJourneys")
   }
 
+  test("instance validation rejects config rows the compiled-in " +
+      "constants could never express, with row-addressed messages") {
+    import java.nio.file.Files
+    def parse(line: String) = {
+      val f = Files.createTempFile("cp-bad", ".jsonl")
+      Files.writeString(f, line)
+      try ControlPlane.instancesLocal(f.toString)
+      finally Files.deleteIfExists(f)
+    }
+    // a START-cut journey (end_type null) drives the payload-count
+    // branch of the generated oracle — ptype.get would otherwise NPE
+    // out of EventQueries' object init
+    val e1 = intercept[IllegalArgumentException](parse(
+      """{"journey_id": "bad", "members": ["view"], "start_type": "view",
+        | "end_type": null, "payload_required": false,
+        | "payload_type": null}""".stripMargin.replace("\n", "")))
+    assert(e1.getMessage.contains("bad"))
+    val e2 = intercept[IllegalArgumentException](parse(
+      """{"journey_id": "bad2", "members": ["view"], "start_type": "x",
+        | "end_type": "view", "payload_required": false,
+        | "payload_type": null}""".stripMargin.replace("\n", "")))
+    assert(e2.getMessage.contains("not a member"))
+    // an omitted payload_required parses as false, not an NPE
+    val ok = parse(
+      """{"journey_id": "ok", "members": ["view"], "start_type": "view",
+        | "end_type": "view"}""".stripMargin.replace("\n", ""))
+    assert(ok.head.payloadRequired == false)
+  }
+
   test("compiled rule structs evaluate identically from either parse " +
       "path on a tiny stream") {
     import spark.implicits._

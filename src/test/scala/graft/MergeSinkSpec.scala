@@ -189,6 +189,25 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(s2.readAll().count() == 10)
   }
 
+  test("zero-row batches read back as an empty table, not an error — " +
+      "through merges, compaction, and mixes with non-empty batches") {
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 0)
+    // an all-empty stream: every batch delivers zero rows
+    s.merge(batch().limit(0), 0L)
+    s.merge(batch().limit(0), 1L)
+    assert(s.read().count() == 0, "all-empty stream must read empty")
+    s.compact(1L)
+    assert(s.read().count() == 0, "all-empty fold must stay readable")
+    // an empty batch sandwiched between real ones changes nothing
+    s.merge(batch((1L, "a", 1L)), 2L)
+    s.merge(batch().limit(0), 3L)
+    assert(readMap(s) == Map(1L -> ("a", 1L)))
+    s.compact(3L)
+    assert(readMap(s) == Map(1L -> ("a", 1L)))
+  }
+
   test("read is distributed: merged plan carries no driver-side " +
       "collection and resolves keys via one window") {
     val dir = java.nio.file.Files.createTempDirectory("mergesink")

@@ -13,6 +13,9 @@ def main():
     uq, sq = u["queries"], s["queries"]
     common = sorted(set(uq) & set(sq))
     ratios = {k: round(sq[k] / uq[k], 3) for k in common if uq[k] > 0}
+    if not ratios:
+        sys.exit("mk_skew: no common timed query between the two legs - "
+                 "check the query filters of the uniform and skew runs")
     mx = max(ratios, key=ratios.get)
     out = {
         "metric": "skew_gate",
