@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Control-plane fixtures double as classpath resources: ControlPlane's
+// path resolution falls back to the classpath when neither the cwd nor
+// GRAFT_REPO_ROOT holds fixtures/ (a harness launched from an arbitrary
+// working directory must not fail EventQueries' object init, and a
+// hardcoded absolute checkout path silently read the WRONG fixtures on
+// any other machine — r10 advice).
+Compile / unmanagedResourceDirectories += baseDirectory.value / "fixtures"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,31 +59,118 @@ object ControlPlane {
     StructField("payload_required", BooleanType, nullable = false),
     StructField("payload_type", StringType, nullable = true)))
 
+  /** One rules file, two rule FAMILIES (the reference's third family
+    * lands in r11, demo_helper.py:1939-1956): `kind` absent/"metric" =
+    * a metric-comparison/match rule over the event stream (event_type +
+    * field + op + threshold); `kind` = "instance_alert" = a rule over
+    * the ALERT stream — fire when an alert's type is in `type_matches`
+    * (the reference's `type_matches: [OUT_OF_SEQUENCE]` instance
+    * conditions). The two families share group/rule_id/action/template
+    * and the uniqueness contract.
+    */
   val RuleSchema: StructType = StructType(Seq(
     StructField("group", StringType, nullable = false),
     StructField("rule_id", StringType, nullable = false),
-    StructField("event_type", StringType, nullable = false),
-    StructField("field", StringType, nullable = false),
-    StructField("op", StringType, nullable = false),
-    StructField("threshold", DoubleType, nullable = false),
+    StructField("event_type", StringType, nullable = true),
+    StructField("field", StringType, nullable = true),
+    StructField("op", StringType, nullable = true),
+    StructField("threshold", DoubleType, nullable = true),
     StructField("action", StringType, nullable = false),
-    StructField("template", StringType, nullable = true)))
+    StructField("template", StringType, nullable = true),
+    StructField("kind", StringType, nullable = true),
+    StructField("type_matches", ArrayType(StringType), nullable = true)))
 
   private def resolve(path: String): java.nio.file.Path = {
     // cwd-relative first (sbt forks run from the project base), then an
-    // explicit env override, then the canonical checkout location — a
-    // harness launched from another working directory must not fail
-    // EventQueries' object init
-    val candidates =
+    // explicit env override, then the CLASSPATH copy (fixtures/ is an
+    // unmanaged resource dir, so the build stages every fixture next to
+    // the classes) — a harness launched from another working directory
+    // must not fail EventQueries' object init. No hardcoded checkout
+    // path: on another machine it would silently read whatever fixtures
+    // happened to live there (r10 advice).
+    val fsCandidates =
       Seq(java.nio.file.Paths.get(path)) ++
         sys.env.get("GRAFT_REPO_ROOT")
-          .map(r => java.nio.file.Paths.get(r).resolve(path)) ++
-        Seq(java.nio.file.Paths.get("/root/repo").resolve(path))
-    candidates.find(java.nio.file.Files.exists(_)).getOrElse(
-      throw new IllegalArgumentException(
+          .map(r => java.nio.file.Paths.get(r).resolve(path))
+    fsCandidates.find(java.nio.file.Files.exists(_))
+      .orElse {
+        val name = java.nio.file.Paths.get(path).getFileName.toString
+        Option(getClass.getClassLoader.getResource(name))
+          .filter(_.getProtocol == "file")
+          .map(u => java.nio.file.Paths.get(u.toURI))
+          .filter(java.nio.file.Files.exists(_))
+      }
+      .getOrElse(throw new IllegalArgumentException(
         s"control-plane fixture not found at any of " +
-          s"${candidates.mkString(", ")} (cwd ${
+          s"${fsCandidates.mkString(", ")} nor on the classpath (cwd ${
             System.getProperty("user.dir")})"))
+  }
+
+  // ---- fixture validation -------------------------------------------------
+  // Fixture values are USER DATA that gets interpolated into generated
+  // oracle SQL as quoted literals ('$m') and drives window/edge ordering.
+  // Both parse paths (Spark config-table and session-free Jackson) run
+  // the SAME validators, so a bad fixture fails loudly and identically
+  // on either side instead of desynchronizing them (r10 advice).
+
+  /** Reject values that could escape a single-quoted SQL literal (or
+    * garble a generated identifier): quotes, backslashes, control
+    * characters. Escaping would also work, but no legitimate event
+    * type / journey id / action name carries these — rejection keeps
+    * every interpolation site trivially safe.
+    */
+  private def sqlSafe(what: String, v: String): String = {
+    require(v.forall(c => c >= ' ' && c != '\'' && c != '\\'),
+      s"control-plane fixture: $what ${v.take(40)} contains a quote, " +
+        "backslash, or control character — not interpolatable into " +
+        "generated oracle SQL")
+    v
+  }
+
+  private def requireDistinct[K](what: String, ks: Seq[K]): Unit = {
+    val dup = ks.groupBy(identity)
+      .collectFirst { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"control-plane fixture: duplicate $what $dup — edge/rule order " +
+        "would be nondeterministic between the two parse paths")
+  }
+
+  /** Shared edge-row validator: (journey_id, ord) must be unique (the
+    * `ord` column IS the edge order — duplicates would make
+    * Spark-collect vs file-order ordering nondeterministic between the
+    * two parse paths) and every interpolated string must be SQL-safe.
+    */
+  private def validateJourneyRows(rows: Seq[(String, Int, Dag.Edge)])
+      : Seq[(String, Int, Dag.Edge)] = {
+    requireDistinct("(journey_id, ord)", rows.map(r => (r._1, r._2)))
+    rows.foreach { case (jid, _, e) =>
+      sqlSafe("journey_id", jid)
+      e.left.foreach(sqlSafe(s"journey $jid edge left", _))
+      e.right.foreach(sqlSafe(s"journey $jid edge right", _))
+    }
+    rows
+  }
+
+  /** Shared rule-row validator: (group, rule_id) unique; every string
+    * that reaches generated SQL outside the (escaped) template body is
+    * SQL-safe; op from the compiled vocabulary.
+    */
+  private def validateRuleRows(rows: Seq[(String, EventOps.AlertRule)])
+      : Seq[(String, EventOps.AlertRule)] = {
+    requireDistinct("(group, rule_id)", rows.map(r => (r._1, r._2.id)))
+    val ops = Set("gt", "ge", "lt", "le", "eq", "match")
+    rows.foreach { case (g, r) =>
+      sqlSafe("group", g)
+      sqlSafe("rule_id", r.id)
+      sqlSafe(s"rule ${r.id} event_type", r.eventType)
+      sqlSafe(s"rule ${r.id} action", r.action)
+      require(r.field.matches("[A-Za-z0-9_.]+"),
+        s"control-plane fixture: rule ${r.id} field ${r.field} is not " +
+          "a plain column / props.<key> reference")
+      require(ops(r.op),
+        s"control-plane fixture: rule ${r.id} op ${r.op} not in $ops")
+    }
+    rows
   }
 
   /** Config rows are user data: enforce the invariants the compiled-in
@@ -94,6 +181,11 @@ object ControlPlane {
     */
   private def validateInstance(j: EventOps.JourneySpec)
       : EventOps.JourneySpec = {
+    sqlSafe("journey_id", j.journeyId)
+    j.members.foreach(sqlSafe(s"journey ${j.journeyId} member", _))
+    sqlSafe(s"journey ${j.journeyId} start_type", j.startType)
+    j.endType.foreach(sqlSafe(s"journey ${j.journeyId} end_type", _))
+    j.payloadType.foreach(sqlSafe(s"journey ${j.journeyId} payload_type", _))
     require(j.members.nonEmpty,
       s"journey ${j.journeyId}: members must be non-empty")
     require(j.members.contains(j.startType),
@@ -118,22 +210,68 @@ object ControlPlane {
     * (journey_id, edge list) sorted by journey_id, edges by `ord`.
     */
   def compileJourneys(df: DataFrame): Seq[(String, Seq[Dag.Edge])] =
-    df.collect()
-      .map(r => (r.getString(0), r.getInt(1),
-        Dag.Edge(Option(r.getString(2)), Option(r.getString(3)))))
+    validateJourneyRows(df.collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1),
+          Dag.Edge(Option(r.getString(2)), Option(r.getString(3))))))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (jid, rows) =>
         jid -> rows.sortBy(_._2).map(_._3).toSeq
       }
 
-  /** Compile one rule group to [[EventOps.AlertRule]]s, rule_id order. */
-  def compileRules(df: DataFrame, group: String): Seq[EventOps.AlertRule] =
-    df.collect()
-      .filter(_.getString(0) == group)
-      .map(r => EventOps.AlertRule(r.getString(1), r.getString(2),
-        r.getString(3), r.getString(4), r.getDouble(5), r.getString(6),
-        Option(r.getString(7)).getOrElse("")))
-      .sortBy(_.id).toSeq
+  private def isMetricKind(k: Option[String]): Boolean =
+    k.forall(_ == "metric")
+
+  /** Compile one rule group to [[EventOps.AlertRule]]s, rule_id order.
+    * The WHOLE file is validated (uniqueness is a file property across
+    * BOTH rule families), then filtered to metric-kind rows of the
+    * group.
+    */
+  def compileRules(df: DataFrame, group: String): Seq[EventOps.AlertRule] = {
+    val rows = df.collect().toSeq
+    requireDistinct("(group, rule_id)",
+      rows.map(r => (r.getString(0), r.getString(1))))
+    validateRuleRows(rows
+        .filter(r => isMetricKind(Option(r.getString(8))))
+        .map(r => r.getString(0) -> EventOps.AlertRule(r.getString(1),
+          r.getString(2), r.getString(3), r.getString(4), r.getDouble(5),
+          r.getString(6), Option(r.getString(7)).getOrElse(""))))
+      .collect { case (g, r) if g == group => r }
+      .sortBy(_.id)
+  }
+
+  /** Compile one group's INSTANCE-ALERT rules ([[EventOps
+    * .InstanceAlertRule]]) — the reference's third rule family: an
+    * alert whose type is in `type_matches` fires a templated action
+    * (demo_helper.py:1939-1956). rule_id order.
+    */
+  def compileInstanceRules(df: DataFrame, group: String)
+      : Seq[EventOps.InstanceAlertRule] = {
+    val rows = df.collect().toSeq
+    requireDistinct("(group, rule_id)",
+      rows.map(r => (r.getString(0), r.getString(1))))
+    rows
+      .filter(r => Option(r.getString(8)).contains("instance_alert"))
+      .map { r =>
+        validateInstanceRule(r.getString(0), EventOps.InstanceAlertRule(
+          r.getString(1), r.getSeq[String](9).toSeq, r.getString(6),
+          Option(r.getString(7)).getOrElse(""))) -> r.getString(0)
+      }
+      .collect { case (r, g) if g == group => r }
+      .sortBy(_.id)
+  }
+
+  private def validateInstanceRule(g: String,
+                                   r: EventOps.InstanceAlertRule)
+      : EventOps.InstanceAlertRule = {
+    sqlSafe("group", g)
+    sqlSafe("rule_id", r.id)
+    sqlSafe(s"rule ${r.id} action", r.action)
+    require(r.typeMatches.nonEmpty,
+      s"control-plane fixture: instance rule ${r.id} needs at least " +
+        "one type_matches entry")
+    r.typeMatches.foreach(sqlSafe(s"rule ${r.id} type_match", _))
+    r
+  }
 
   /** The instance-journey config table (R3's START/END/payload specs). */
   def instancesTable(spark: SparkSession,
@@ -141,14 +279,17 @@ object ControlPlane {
     spark.read.schema(InstanceSchema).json(resolve(path).toString)
 
   /** Compile the instance table to [[EventOps.JourneySpec]]s. */
-  def compileInstances(df: DataFrame): Seq[EventOps.JourneySpec] =
-    df.collect()
+  def compileInstances(df: DataFrame): Seq[EventOps.JourneySpec] = {
+    val specs = df.collect()
       .map(r => validateInstance(EventOps.JourneySpec(r.getString(0),
         r.getSeq[String](1).toSeq, r.getString(2),
         Option(r.getString(3)),
         !r.isNullAt(4) && r.getBoolean(4),
         Option(r.getString(5)))))
       .sortBy(_.journeyId).toSeq
+    requireDistinct("instance journey_id", specs.map(_.journeyId))
+    specs
+  }
 
   /** The registered queries' journey set, via the config-table ingest. */
   def journeys(spark: SparkSession): Seq[(String, Seq[Dag.Edge])] =
@@ -161,6 +302,11 @@ object ControlPlane {
   /** The registered queries' rule set, via the config-table ingest. */
   def rules(spark: SparkSession, group: String): Seq[EventOps.AlertRule] =
     compileRules(rulesTable(spark), group)
+
+  /** The registered queries' instance-alert rules, via the table. */
+  def instanceRules(spark: SparkSession, group: String)
+      : Seq[EventOps.InstanceAlertRule] =
+    compileInstanceRules(rulesTable(spark), group)
 
   // ---- session-free parse (oracle-SQL generation time) -------------------
 
@@ -187,16 +333,16 @@ object ControlPlane {
   /** Jackson twin of [[journeys]] — identical output, no session. */
   def journeysLocal(path: String = JourneysPath)
       : Seq[(String, Seq[Dag.Edge])] =
-    jsonLines(path)
-      .map(n => (n.get("journey_id").asText, n.get("ord").asInt,
-        Dag.Edge(optText(n, "left"), optText(n, "right"))))
+    validateJourneyRows(jsonLines(path)
+        .map(n => (n.get("journey_id").asText, n.get("ord").asInt,
+          Dag.Edge(optText(n, "left"), optText(n, "right")))))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (jid, rows) => jid -> rows.sortBy(_._2).map(_._3) }
 
   /** Jackson twin of [[instances]] — identical output, no session. */
   def instancesLocal(path: String = InstancesPath)
-      : Seq[EventOps.JourneySpec] =
-    jsonLines(path)
+      : Seq[EventOps.JourneySpec] = {
+    val specs = jsonLines(path)
       .map { n =>
         val ms = scala.jdk.CollectionConverters
           .IteratorHasAsScala(n.get("members").elements()).asScala
@@ -208,15 +354,46 @@ object ControlPlane {
           optText(n, "payload_type")))
       }
       .sortBy(_.journeyId)
+    requireDistinct("instance journey_id", specs.map(_.journeyId))
+    specs
+  }
 
   /** Jackson twin of [[rules]] — identical output, no session. */
   def rulesLocal(group: String, path: String = RulesPath)
-      : Seq[EventOps.AlertRule] =
-    jsonLines(path)
-      .filter(_.get("group").asText == group)
-      .map(n => EventOps.AlertRule(n.get("rule_id").asText,
-        n.get("event_type").asText, n.get("field").asText,
-        n.get("op").asText, n.get("threshold").asDouble,
-        n.get("action").asText, optText(n, "template").getOrElse("")))
+      : Seq[EventOps.AlertRule] = {
+    val nodes = jsonLines(path)
+    requireDistinct("(group, rule_id)",
+      nodes.map(n => (n.get("group").asText, n.get("rule_id").asText)))
+    validateRuleRows(nodes
+        .filter(n => isMetricKind(optText(n, "kind")))
+        .map(n => n.get("group").asText -> EventOps.AlertRule(
+          n.get("rule_id").asText,
+          n.get("event_type").asText, n.get("field").asText,
+          n.get("op").asText, n.get("threshold").asDouble,
+          n.get("action").asText, optText(n, "template").getOrElse(""))))
+      .collect { case (g, r) if g == group => r }
       .sortBy(_.id)
+  }
+
+  /** Jackson twin of [[instanceRules]] — identical output, no session. */
+  def instanceRulesLocal(group: String, path: String = RulesPath)
+      : Seq[EventOps.InstanceAlertRule] = {
+    val nodes = jsonLines(path)
+    requireDistinct("(group, rule_id)",
+      nodes.map(n => (n.get("group").asText, n.get("rule_id").asText)))
+    nodes
+      .filter(n => optText(n, "kind").contains("instance_alert"))
+      .map { n =>
+        val tm = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(n.get("type_matches").elements()).asScala
+          .map(_.asText).toSeq
+        validateInstanceRule(n.get("group").asText,
+          EventOps.InstanceAlertRule(n.get("rule_id").asText, tm,
+            n.get("action").asText,
+            optText(n, "template").getOrElse(""))) ->
+          n.get("group").asText
+      }
+      .collect { case (r, g) if g == group => r }
+      .sortBy(_.id)
+  }
 }

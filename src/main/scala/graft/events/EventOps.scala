@@ -769,6 +769,15 @@ object EventOps {
                        op: String, threshold: Double, action: String,
                        template: String = "")
 
+  /** The reference's THIRD rule family (r10 verdict #2): a rule over
+    * the ALERT stream, not the event stream — fire a templated action
+    * for any alert whose type is in `typeMatches` (the
+    * `type_matches: [OUT_OF_SEQUENCE]` instance conditions,
+    * demo_helper.py:1939-1956).
+    */
+  case class InstanceAlertRule(id: String, typeMatches: Seq[String],
+                               action: String, template: String = "")
+
   /** Compile a `{field}` payload template into ONE string Column — the
     * reference's action-payload field substitution (webhook payloads
     * embed event fields like `{datapoint.from_table}`,
@@ -840,6 +849,43 @@ object EventOps {
     // caller skips it (global sort is unsupported in append mode, and
     // the operator is otherwise stateless → batch/stream unified)
     if (ordered) out.orderBy("rule_id", "event_id") else out
+  }
+
+  /** Compile an instance-alert rule list into ONE scan of a normalized
+    * ALERT stream (columns: alert_type, user_id, session_id, event_id
+    * [null for run-level alerts], plus whatever the templates address)
+    * — the same struct-array → filter → explode shape as [[ruleAlerts]],
+    * so it stays a stateless narrow pass over however many alert
+    * DETECTORS feed it. Rules are control-plane data (tens): the list
+    * is a plan literal.
+    */
+  def instanceAlertActions(alerts: DataFrame,
+                           rules: Seq[InstanceAlertRule],
+                           ordered: Boolean = true): DataFrame = {
+    require(rules.nonEmpty)
+    val structs = rules.map { r =>
+      struct(
+        lit(r.id).as("rule_id"),
+        col("alert_type").isin(r.typeMatches: _*).as("fired"),
+        lit(r.action).as("action"),
+        (if (r.template.nonEmpty) templateColumn(r.template)
+         else format_string(s"rule ${r.id} fired for user %d",
+           col("user_id"))).as("message"))
+    }
+    val out = alerts.select(col("alert_type"), col("user_id"),
+        col("session_id"), col("event_id"),
+        explode(filter(array(structs: _*), s => s.getField("fired")))
+          .as("r"))
+      .select(col("r.rule_id"), col("alert_type"), col("user_id"),
+        col("session_id"), col("event_id"), col("r.action"),
+        col("r.message"))
+    // run-level alerts carry a NULL event_id: sort on a coalesced key so
+    // Spark's nulls-first and DuckDB's nulls-last defaults cannot
+    // disagree on the compare order
+    if (ordered)
+      out.orderBy(col("rule_id"), col("user_id"), col("session_id"),
+        coalesce(col("event_id"), lit(-1L)))
+    else out
   }
 
   /** R7 — per-key activity/status rollup with worst-status precedence

@@ -98,8 +98,13 @@ object Ppm {
     */
   class FeatureDecoder extends MultimodalOps.MediaDecoder {
     val dim = 8
-    def decode(bytes: Array[Byte]): Array[Float] = {
-      val img = Ppm.decode(bytes)
+    def decode(bytes: Array[Byte]): Array[Float] =
+      statsOf(Ppm.decode(bytes))
+    /** The statistics vector from an already-decoded image — shared with
+      * the PNG byte path ([[Png.FeatureDecoder]]): same pixels in, same
+      * features out, whatever the container was.
+      */
+    def statsOf(img: Image): Array[Float] = {
       var sr = 0L; var sg = 0L; var sb = 0L
       var minL = Long.MaxValue; var maxL = Long.MinValue
       var i = 0
@@ -138,8 +143,14 @@ object Ppm {
   val DHashBands = 4
   val DHashBandBits = 16
 
-  def dHashBands(bytes: Array[Byte]): Array[Int] = {
-    val img = decode(bytes)
+  def dHashBands(bytes: Array[Byte]): Array[Int] =
+    dHashBandsOf(decode(bytes))
+
+  /** dHash over an already-decoded image — shared by the PPM and PNG
+    * ([[Png]]) byte paths: the hash is a pure function of pixels, so a
+    * lossless codec swap must not change a single band.
+    */
+  def dHashBandsOf(img: Image): Array[Int] = {
     val lum = new Array[Long](DHashW * DHashH)
     var y = 0
     while (y < DHashH) {

@@ -868,6 +868,77 @@ object EventQueries {
        |) ORDER BY rule_id, event_id""".stripMargin
   }
 
+  // ---- instance-alert rules (the reference's third rule family) -----------
+
+  /** Instance-alert rules from `fixtures/rules.jsonl` (kind =
+    * instance_alert, r10 verdict #2): the reference's third rule family
+    * — a registered rule fires a templated action for ALERTS whose type
+    * it matches (demo_helper.py:1939-1956), closing the loop
+    * detector → alert stream → rule engine → action. Both rules live
+    * ONLY in the fixture (the r10 data-driven control-plane contract).
+    */
+  val InstanceRules = graft.events.ControlPlane.instanceRulesLocal("instance")
+
+  /** The normalized alert stream two detectors feed: R4 out-of-sequence
+    * (event-level — event_id/event_type/prev_type populated) and R6
+    * failed runs (run-level — those columns null). One shape, so a rule
+    * matching multiple alert types is a single isin over the union.
+    */
+  def ruleInstanceAlerts(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val closure = Dag.edgeDf(s, Dag.closureLocal(Dag.FunnelEdges))
+    val oos = EventOps.outOfSequence(e, GapSeconds, closure)
+      .select(col("alert_type"), col("user_id"), col("session_id"),
+        col("event_id"), col("event_type"), col("prev_type"))
+    val failed = EventOps.failedRunAlerts(e, GapSeconds)
+      .select(lit("FAILED_RUN").as("alert_type"), col("user_id"),
+        col("session_id"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("string").as("prev_type"))
+    EventOps.instanceAlertActions(oos.unionByName(failed),
+      graft.events.ControlPlane.instanceRules(s, "instance"))
+  }
+
+  /** Oracle GENERATED from the same fixture (the ControlPlane pattern):
+    * the alert stream is the union of the OOS and failed-run mirrors'
+    * cores, each rule a branch filtered by its type_matches list with
+    * its template compiled by the shared [[templateSqlExpr]].
+    */
+  val ruleInstanceAlertsSql: String = {
+    val parts = InstanceRules.map { r =>
+      val types = r.typeMatches.map(t => s"'$t'").mkString(", ")
+      val msg =
+        if (r.template.nonEmpty) templateSqlExpr(r.template)
+        else s"printf('rule ${r.id} fired for user %d', user_id)"
+      s"""SELECT '${r.id}' AS rule_id, alert_type, user_id, session_id,
+         |  event_id, '${r.action}' AS action, $msg AS message
+         |FROM alerts WHERE alert_type IN ($types)""".stripMargin
+    }
+    s"""$SessCte,
+       |seq AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id,
+       |    session_id ORDER BY ts, event_id) AS prev_type FROM sess),
+       |closure(src, dst) AS (VALUES
+       |  ('signup','view'), ('signup','click'), ('signup','purchase'),
+       |  ('view','click'), ('view','purchase'), ('click','purchase')),
+       |oos AS (SELECT 'OUT_OF_SEQUENCE' AS alert_type, user_id,
+       |    session_id, event_id, event_type, prev_type
+       |  FROM seq JOIN closure ON seq.event_type = closure.src
+       |    AND seq.prev_type = closure.dst
+       |  WHERE prev_type IS NOT NULL),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+       |    session_id ORDER BY ts DESC, event_id DESC) AS rn FROM sess),
+       |failed AS (SELECT 'FAILED_RUN' AS alert_type, user_id, session_id,
+       |    CAST(NULL AS BIGINT) AS event_id,
+       |    CAST(NULL AS VARCHAR) AS event_type,
+       |    CAST(NULL AS VARCHAR) AS prev_type
+       |  FROM ranked WHERE rn = 1 AND event_type = 'error'),
+       |alerts AS (SELECT * FROM oos UNION ALL SELECT * FROM failed)
+       |SELECT * FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) ORDER BY rule_id, user_id, session_id, coalesce(event_id, -1)
+       |""".stripMargin
+  }
+
   // ---- bounded Structured Streaming run (R1 via the stream path) ----------
 
   /** The streaming sessionizer run end-to-end (file source → stateful
@@ -987,6 +1058,14 @@ object EventQueries {
     graft.streaming.StreamingOps.sessionSummariesRestart(s, dir,
       GapSeconds)
 
+  /** STATE SCHEMA EVOLUTION gate (r10 verdict #3): restart across a
+    * state-version bump (added field with default, versioned-envelope
+    * state) — same oracle as the uninterrupted run.
+    */
+  def streamSessionsEvolve(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionSummariesEvolve(s, dir,
+      GapSeconds)
+
   def streamVolumeRestart(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.volumeSummariesRestart(s, dir)
 
@@ -1076,6 +1155,7 @@ object EventQueries {
     "ev_missed_runs" -> (missedRuns _),
     "ev_duration_baseline" -> (durationBaseline _),
     "ev_rule_templated" -> (ruleTemplated _),
+    "ev_rule_instance_alerts" -> (ruleInstanceAlerts _),
     "stream_sessions_bounded" -> (streamSessionsBounded _),
     "stream_journeys_bounded" -> (streamJourneysBounded _),
     "stream_oos_bounded" -> (streamOosBounded _),
@@ -1088,6 +1168,7 @@ object EventQueries {
     "stream_volume_update" -> (streamVolumeUpdate _),
     "stream_liveness_update" -> (streamLivenessUpdate _),
     "stream_sessions_restart" -> (streamSessionsRestart _),
+    "stream_sessions_evolve" -> (streamSessionsEvolve _),
     "stream_sessions_availablenow" -> (streamSessionsAvailableNow _),
     "stream_liveness_availablenow" -> (streamLivenessAvailableNow _),
     "stream_volume_restart" -> (streamVolumeRestart _),
@@ -1123,6 +1204,7 @@ object EventQueries {
     "ev_missed_runs" -> missedRunsSql,
     "ev_duration_baseline" -> durationBaselineSql,
     "ev_rule_templated" -> ruleTemplatedSql,
+    "ev_rule_instance_alerts" -> ruleInstanceAlertsSql,
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "stream_journeys_bounded" -> journeysBoundedSql,
     "stream_oos_bounded" -> outOfSequenceSql,
@@ -1135,6 +1217,7 @@ object EventQueries {
     "stream_volume_update" -> volumeAnomaliesSql,
     "stream_liveness_update" -> livenessSql,
     "stream_sessions_restart" -> streamSessionsBoundedSql,
+    "stream_sessions_evolve" -> streamSessionsBoundedSql,
     "stream_sessions_availablenow" -> streamSessionsBoundedSql,
     "stream_liveness_availablenow" -> livenessSql,
     "stream_volume_restart" -> volumeAnomaliesSql,

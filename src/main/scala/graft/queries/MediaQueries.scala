@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.{MultimodalOps, Ppm}
+import graft.multimodal.{MultimodalOps, Png, Ppm}
 
 /** Multimodal surface. Two tiers:
   *
@@ -280,8 +280,14 @@ object MediaQueries {
     * the candidate volume is Σ bucket² over band buckets, bounded by
     * [[NdBandCap]] exactly like the MinHash tier's hot buckets.
     */
-  def imageNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = ndHashes(s, dir).localCheckpoint(true)
+  def imageNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupFromHashes(ndHashes(s, dir).localCheckpoint(true))
+
+  /** The banded-join tail shared by the PPM and PNG hash paths: capped
+    * Hamming-banded candidates + exact verify over a (doc_id, b0..b3)
+    * frame.
+    */
+  private def neardupFromHashes(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_no", "band_val")))
@@ -392,12 +398,132 @@ object MediaQueries {
        |    <= $NdMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // REAL image bytes (r10 verdict #1): the same pixel closed forms, now
+  // round-tripped through an actual PNG codec (javax.imageio — the
+  // container a real ingestion pipeline receives) instead of the
+  // hand-rolled PPM only. PNG is lossless, so every oracle stays a pixel
+  // closed form: the ENCODED bytes are JVM-specific (deflate), but the
+  // DECODED pixels — and hence dHash bands, banded candidates, Hamming
+  // distances, IHDR fields — are exact.
+
+  /** Byte-level metadata over REAL PNG bytes: container sniff from the
+    * magic + IHDR width/height/bit-depth/color-type parsed WITHOUT pixel
+    * decode — the cheap pre-decode metadata pass a 100 TB scan runs
+    * first. The oracle pins the parsed values to the encode geometry:
+    * agreement proves the writer emitted and the parser read a
+    * spec-shaped IHDR (8-bit truecolor) for every document.
+    */
+  def mediaMetaPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val bytes = Png.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
+        val h = Png.ihdr(bytes)
+        (d, if (Png.hasSignature(bytes)) "png" else "unknown",
+          h.width.toLong, h.height.toLong, h.bitDepth.toLong,
+          h.colorType.toLong)
+      })
+      .toDF("doc_id", "format", "width", "height", "bit_depth",
+        "color_type")
+      .orderBy("doc_id")
+  }
+
+  /** 8-bit truecolor geometry constants: bit depth 8, color type 2. */
+  val mediaMetaPngSql: String =
+    s"""SELECT doc_id, 'png' AS format,
+       |  CAST($ImgW AS BIGINT) AS width, CAST($ImgH AS BIGINT) AS height,
+       |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type
+       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
+  /** The perceptual near-dup pipeline over REAL PNG bytes: encode →
+    * ImageIO decode → dHash → capped Hamming-banded candidates → exact
+    * verify, under the SAME full-pipeline closed-form oracle as
+    * [[imageNeardup]] — a hash match proves the PNG round-trip preserved
+    * every pixel the banded join and Hamming verify depend on.
+    */
+  def imageNeardupPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val bytes = Png.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
+        val bs = Ppm.dHashBandsOf(Png.decode(bytes))
+        (d, bs(0), bs(1), bs(2), bs(3))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      .localCheckpoint(true)
+    neardupFromHashes(hashes)
+  }
+
+  /** Malformed-media QUARANTINE gate (r10 verdict #1): the corpus plants
+    * corrupt payloads — doc_id ≡ 4 (mod 10) gets its magic byte flipped,
+    * doc_id ≡ 7 (mod 10) is truncated mid-IHDR — and the decode pass
+    * must route them to a (status, reason) column while the job
+    * completes and every healthy row still yields exact pixel stats.
+    * Reasons are OUR deterministic sniff taxonomy (bad_magic vs corrupt
+    * stream), never a JVM exception message. This is the posture
+    * `Ppm.decode`'s scaladoc promised (Ppm.scala:53-55), now gated
+    * end-to-end with a FULL closed-form oracle.
+    */
+  def mediaQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val clean = Png.encode(ImgW, ImgH, (x, y) => synthPixel(d, x, y))
+        val bytes =
+          if (d % 10 == 4) { // corrupt the magic
+            val b = clean.clone(); b(0) = 0; b
+          } else if (d % 10 == 7) { // truncate mid-IHDR
+            java.util.Arrays.copyOfRange(clean, 0, 20)
+          } else clean
+        // per-row quarantine: decode failures become data, not job death
+        try {
+          val img = Png.decode(bytes)
+          var sr = 0L
+          var i = 0
+          while (i < img.rgb.length) { sr += img.rgb(i); i += 3 }
+          (d, "ok", Option.empty[String], Some(sr))
+        } catch {
+          case _: IllegalArgumentException =>
+            val reason =
+              if (!Png.hasSignature(bytes)) "bad_magic" else "corrupt"
+            (d, "quarantined", Some(reason), Option.empty[Long])
+        }
+      })
+      .toDF("doc_id", "status", "reason", "sum_r")
+      .orderBy("doc_id")
+  }
+
+  val mediaQuarantineSql: String =
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |    (31 * d.doc_id + 16 * y.y + 7 * x.x) % 256 AS r
+       |  FROM (SELECT doc_id FROM documents) d,
+       |    (SELECT unnest(generate_series(0, ${ImgW - 1})) AS x) x,
+       |    (SELECT unnest(generate_series(0, ${ImgH - 1})) AS y) y),
+       |sums AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r
+       |  FROM px GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 10 IN (4, 7) THEN 'quarantined'
+       |       ELSE 'ok' END AS status,
+       |  CASE WHEN doc_id % 10 = 4 THEN 'bad_magic'
+       |       WHEN doc_id % 10 = 7 THEN 'corrupt' END AS reason,
+       |  CASE WHEN doc_id % 10 NOT IN (4, 7) THEN sum_r END AS sum_r
+       |FROM sums ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta_documents" -> (mediaMeta _),
     "media_features_documents" -> (mediaFeatures _),
     "media_resize_documents" -> (mediaResize _),
     "media_frames_documents" -> (mediaFrames _),
     "image_neardup_documents" -> (imageNeardup _),
+    "media_meta_png_documents" -> (mediaMetaPng _),
+    "image_neardup_png_documents" -> (imageNeardupPng _),
+    "media_quarantine_documents" -> (mediaQuarantine _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +532,8 @@ object MediaQueries {
     "media_resize_documents" -> mediaResizeSql,
     "media_frames_documents" -> mediaFramesSql,
     "image_neardup_documents" -> imageNeardupSql,
+    "media_meta_png_documents" -> mediaMetaPngSql,
+    "image_neardup_png_documents" -> imageNeardupSql,
+    "media_quarantine_documents" -> mediaQuarantineSql,
   )
 }

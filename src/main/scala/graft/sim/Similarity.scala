@@ -626,6 +626,17 @@ object Similarity {
     // clustering, so the cap costs nothing at sane ratios and keeps the
     // 100 TB path alive (r9 ADVICE).
     val kEff = math.max(1, math.min(k, sample.length / 4))
+    // the cap engaging is a SIGNAL, not a silent default (r10 advice):
+    // callers/oracles deriving expectations from the requested k would
+    // otherwise see a different clustering with nothing saying why. The
+    // returned array's length IS the effective k (authoritative for
+    // programmatic callers); the log line makes sweep adjudication see
+    // the bound without reverse-engineering it.
+    if (kEff < k)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kmeansTrain: requested k=$k capped to kEff=$kEff by realized " +
+          s"sample size ${sample.length} (trainLimit=$trainLimit); the " +
+          "returned centroid count is the effective cluster count")
     lloydPp(sample, kEff, iters, seed)
   }
 

@@ -57,8 +57,12 @@ import org.apache.spark.sql.functions._
 final class ParquetMergeSink(spark: SparkSession, dir: String,
                              keys: Seq[String],
                              compactEvery: Int = 8,
-                             nBuckets: Int = 16) {
+                             nBuckets: Int = 16,
+                             compactMinBytes: Long = 0L,
+                             maxDeltas: Int = 64,
+                             sparseDeltas: Boolean = false) {
   require(nBuckets > 0, "nBuckets must be positive")
+  require(maxDeltas > 0, "maxDeltas must be positive")
   private val keyed = keys.nonEmpty
   import java.nio.file.{Files, Path, Paths}
   import scala.jdk.CollectionConverters._
@@ -110,19 +114,27 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     val stamped = batch
       .withColumn("__batch_id", lit(batchId))
       .withColumn("__pri", lit(1))
-    if (keyed)
-      stamped
+    if (keyed) {
+      val bucketed = stamped
         .withColumn("__bucket",
           pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
-        // repartition on the partition column before partitionBy — the
-        // standard small-file guard: without it every task writes a
-        // file per bucket it sees (tasks × buckets tiny files per
-        // trigger; measured 2× on the liveness gates), with it exactly
-        // one file per non-empty bucket. The shuffle is delta-sized.
-        .repartition(nBuckets, col("__bucket"))
+      // small-file guard before partitionBy: without one, every task
+      // writes a file per bucket it sees (tasks × buckets tiny files
+      // per trigger; measured 2× on the liveness gates). Two shapes:
+      //  - default: repartition on the partition column — exactly one
+      //    file per non-empty bucket, shuffle is delta-sized. Right
+      //    when a trigger's delta is big (ingest-scale streams).
+      //  - sparseDeltas: coalesce(1) — one task writes all buckets, NO
+      //    exchange stage. Right for monitor-style streams whose
+      //    per-trigger delta is a few hundred changed keys: the
+      //    repartition's per-trigger exchange + 16-task wave was the
+      //    dominant, measured cost of the r10 liveness-update gate
+      //    (1.49×), paid to shuffle a couple of KB.
+      (if (sparseDeltas) bucketed.coalesce(1)
+       else bucketed.repartition(nBuckets, col("__bucket")))
         .write.partitionBy("__bucket").mode("overwrite")
         .parquet(out.toString)
-    else
+    } else
       stamped.write.mode("overwrite").parquet(out.toString)
     // a zero-row partitionBy write leaves only _SUCCESS — a schema-less
     // dir that would break multi-root reads. Re-write it as a FLAT
@@ -138,9 +150,34 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
           stamped.schema)
         .write.mode("overwrite").parquet(out.toString)
     }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    // DELTA-VOLUME-SCALED cadence (r10 verdict #6): the trigger-count
+    // cadence alone makes a SPARSE stream pay a repartition + per-bucket
+    // rewrite every compactEvery triggers even when the accumulated
+    // deltas are a few KB (the measured stream_liveness_update 1.49×).
+    // At each cadence point the fold runs only if the pending deltas
+    // carry at least compactMinBytes on disk — a pure file-stat check,
+    // never a recount of the batch — with maxDeltas as the hard
+    // file-count backstop so read()'s per-root scan list stays bounded
+    // no matter how sparse the stream. compactMinBytes=0 (the default)
+    // keeps the pure trigger-count cadence.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val pending = list("delta-")
+      if (pending.size >= maxDeltas ||
+          compactMinBytes <= 0L ||
+          pendingBytes(pending) >= compactMinBytes)
+        compact(batchId)
+    } else if (compactEvery > 0 && list("delta-").size >= maxDeltas)
       compact(batchId)
   }
+
+  /** Total on-disk bytes of the given delta dirs — file stats only. */
+  private def pendingBytes(deltas: Seq[Path]): Long =
+    deltas.map { d =>
+      val walk = Files.walk(d)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(p => Files.size(p)).sum
+      finally walk.close()
+    }.sum
 
   private def latestWins(all: DataFrame): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
@@ -167,6 +204,54 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
         .reduce(_ unionByName _))
       .drop("__batch_id", "__pri")
   }
+
+  /** POINT-LOOKUP read (r10 verdict #7): the merged latest-wins rows for
+    * just the key tuples in `keyLookup` (a bounded frame carrying the
+    * key columns), reading ONLY the `__bucket=` leaf dirs those keys
+    * hash into — the index-targeted access path the bucketed layout was
+    * built for (reference analog: MySQL upserts/lookups hit the key
+    * index, never a full scan, dk-installer.py:1832-1847). At 100 TB a
+    * selective lookup touches |keys ∧ buckets| of the corpus instead of
+    * all of it: the bucket set is computed with the writer's own hash
+    * expression (one tiny job over the lookup frame, bounded by
+    * nBuckets), pruning happens at the DIRECTORY level before any
+    * parquet footer is opened, and the final semi-join fences the
+    * hash-collision keys that share a bucket.
+    */
+  def read(keyLookup: DataFrame): DataFrame = {
+    require(keyed, "read(keyLookup) is the keyed point-lookup view")
+    val lk = keyLookup.select(keys.map(col): _*).distinct()
+    val buckets = lk
+      .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+        .as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val pruned = lookupPaths(buckets)
+    val all =
+      if (pruned.nonEmpty)
+        pruned.map(p => spark.read.parquet(p.toString))
+          .reduce(_ unionByName _)
+      else {
+        // no matching bucket dir on disk (keys never written, or only
+        // flat-empty parts exist): an empty merged table in the sink's
+        // schema, recovered from any schema-bearing root
+        val roots = list("base-") ++ list("delta-")
+        require(roots.nonEmpty, s"MERGE sink at $dir received no batch")
+        spark.read.parquet(roots.head.toString).drop("__bucket").limit(0)
+      }
+    latestWins(all.join(broadcast(lk), keys, "left_semi"))
+      .drop("__batch_id", "__pri")
+  }
+
+  /** The bucket-pruned leaf dirs a lookup for `buckets` reads — the
+    * `__bucket=k` subdirs with k ∈ buckets across every base generation
+    * and delta (flat empty parts have no bucket dirs and contribute
+    * nothing). Exposed for the spec to pin that a selective lookup
+    * lists ONLY matching leaf dirs.
+    */
+  private[graft] def lookupPaths(buckets: Set[Long]): Seq[Path] =
+    (list("base-") ++ list("delta-"))
+      .flatMap(bucketDirs)
+      .filter(d => buckets(bucketOf(d).toLong))
 
   /** Fold base + deltas up to `uptoBatch` into a new base generation
     * and delete what was folded. Keyed: only the BUCKETS the folded
@@ -276,6 +361,19 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
         parts.foreach(rmTree)
         if (!hasParquetLeaf(gen)) rmTree(gen)
       }
+      // FLAT-EMPTY generation reclaim (r10 advice): an all-empty fold
+      // publishes a schema-bearing base with a parquet leaf but NO
+      // __bucket dirs. Such a generation carries no rows and is never
+      // "touched" by a later fold (it has no buckets to touch), so
+      // without this sweep a keyed stream with sparse/zero-row batches
+      // accretes one empty generation per fold forever — unbounded dir
+      // growth and one extra per-root scan in read() per fold. Every
+      // pre-publish flat-empty generation is subsumed by the publish
+      // that just landed (empty ∪ X = X), so delete them all; at most
+      // the newest publish itself is flat-empty, bounding the count
+      // at one.
+      baseGens.filter(g => Files.exists(g) && bucketDirs(g).isEmpty)
+        .foreach(rmTree)
     }
     foldedDeltas.foreach(rmTree)
   }

@@ -217,6 +217,90 @@ object StreamingOps {
       }
   }
 
+  /** STATE SCHEMA EVOLUTION posture (r10 verdict #3 — SURVEY §7 M5
+    * names it the hard part of the streaming tier): the sessionizer
+    * with its keyed state wrapped in a VERSIONED ENVELOPE. The state
+    * type Spark's encoder sees — [[VersionedSessionState]] (version +
+    * opaque payload) — NEVER changes across application upgrades, which
+    * is exactly how production flatMapGroupsWithState deployments
+    * survive state-shape changes: Spark's state-store schema check
+    * pins the encoder schema across restarts, so the evolving part must
+    * live INSIDE a stable envelope, versioned and upgraded app-side.
+    * (transformWithState's Avro evolution is the Spark-4 native answer;
+    * the envelope is the posture that works for the
+    * flatMapGroupsWithState family.)
+    *
+    * Payload layouts: v1 = "sid:lastMicros" (the r7 SessionState
+    * fields); v2 adds a session error counter — "sid:lastMicros:nErr",
+    * decoded from a v1 payload with the DEFAULT nErr = 0 (add-a-field-
+    * with-default, the first thing a production upgrade hits). A v2
+    * function resuming on a checkpoint full of v1 state rows upgrades
+    * each key on first touch — `upgrades` counts them so the gate can
+    * REQUIRE the cross-version path actually ran (a vacuous pass where
+    * no state crossed the boundary would gate nothing).
+    */
+  case class VersionedSessionState(version: Int, payload: String)
+
+  private[streaming] def decodeSessState(s: VersionedSessionState)
+      : (Long, Long, Long) = {
+    val p = s.payload.split(':')
+    s.version match {
+      case 1 => (p(0).toLong, p(1).toLong, 0L) // new field: default
+      case 2 => (p(0).toLong, p(1).toLong, p(2).toLong)
+      case v => throw new IllegalStateException(
+        s"unknown session-state version $v — refusing to guess a layout")
+    }
+  }
+
+  private[streaming] def encodeSessState(version: Int, sid: Long,
+                                         last: Long, nErr: Long)
+      : VersionedSessionState =
+    VersionedSessionState(version,
+      if (version == 1) s"$sid:$last" else s"$sid:$last:$nErr")
+
+  /** [[assignSessions]] with versioned-envelope state. `stateVersion`
+    * is the version this run WRITES; any older version read back is
+    * upgraded in place (new field defaulted). Session semantics are
+    * identical to assignSessions at both versions — the v2 error
+    * counter rides along (reset per session, bumped per error event) to
+    * make the upgraded field live state, while the OUTPUT stays the
+    * v1 shape so one batch oracle gates both sides of the upgrade.
+    */
+  def assignSessionsVersioned(events: Dataset[SEvent], gapSeconds: Long,
+                              stateVersion: Int,
+                              upgrades: Option[
+                                org.apache.spark.util.LongAccumulator] =
+                                None): Dataset[SessionAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent],
+         state: GroupState[VersionedSessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (sid, last, nErr) = state.getOption
+            .map { s =>
+              if (s.version < stateVersion) upgrades.foreach(_.add(1L))
+              decodeSessState(s)
+            }
+            .getOrElse((0L, Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val m = micros(e.ts)
+            if (last == Long.MinValue || m - last > gapSeconds * 1000000L) {
+              sid += 1
+              nErr = 0
+            }
+            if (e.event_type == "error") nErr += 1
+            last = m
+            SessionAssign(e.event_id, user, e.ts, sid)
+          }
+          if (sorted.nonEmpty)
+            state.update(encodeSessState(stateVersion, sid, last, nErr))
+          out.iterator
+      }
+  }
+
   /** R3 streaming journey-instance assembly, START/END-bounded: per-key
     * state is (instance counter, open?). A start event always begins a
     * new instance (a start while one is open supersedes it — the batch
@@ -634,8 +718,23 @@ object StreamingOps {
     * Staged dirs are deleted by a JVM shutdown hook (run/test are
     * forked JVMs, so teardown lands at sweep end, not per query).
     */
-  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, Int, Int), java.nio.file.Path]
+  // ACCESS-ORDERED (true LRU): the r10 ConcurrentHashMap evicted in
+  // arbitrary iteration order, so under churn the hottest corpus could
+  // be evicted repeatedly and re-pay its full staged rewrite each time
+  // (r10 advice). All access synchronized on the map — staging is a
+  // multi-second Spark job, the lock guards microseconds of map ops.
+  private val stagedCache = new java.util.LinkedHashMap[
+    (String, Long, Long, Int, Int), java.nio.file.Path](
+    16, 0.75f, /*accessOrder=*/ true)
+
+  // DEFERRED eviction deletion (r10 advice): a victim's directory is
+  // queued here at eviction time and deleted only when the NEXT staging
+  // completes — a lazy DataFrame handed out just before the eviction
+  // gets a full staging's worth of wall-clock to be consumed before its
+  // files vanish, shrinking the (already theoretical: Verify/Bench run
+  // queries sequentially) in-use-deletion window.
+  private val pendingEvict =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
   private def rmTreeQuiet(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -650,8 +749,12 @@ object StreamingOps {
   }
 
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stagedCache.values().forEach(rmTreeQuiet(_))))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stagedCache.synchronized {
+        stagedCache.values().forEach(rmTreeQuiet(_))
+      }
+      pendingEvict.forEach(rmTreeQuiet(_))
+    }))
   }
 
   private[graft] def stagedTimeSliced(spark: SparkSession,
@@ -672,28 +775,38 @@ object StreamingOps {
       parts.map(Files.getLastModifiedTime(_).toMillis).maxOption
         .getOrElse(0L),
       parts.map(Files.size).sum, parts.size, nSlices)
-    Option(stagedCache.get(key)).getOrElse {
-      // Bound the cache like the 64-entry range/artifact caches — but a
-      // staged entry owns a FULL time-sliced table copy on temp disk, so
-      // eviction must also delete the directory (r9 ADVICE: a long-lived
-      // session sweeping rewritten corpora otherwise accumulates
-      // full-table copies until JVM exit). Evicted-while-draining is a
-      // theoretical race only: Verify/Bench run queries sequentially and
-      // 64 concurrent distinct corpus rewrites do not happen.
-      while (stagedCache.size >= 64) {
-        // evict ONE entry, not the whole cache — a full flush would
-        // make every still-hot corpus re-pay its full staged rewrite
-        // (the exact cost the cache exists to avoid)
-        stagedCache.keySet().iterator().asScala.toSeq.headOption
-          .foreach(k => Option(stagedCache.remove(k)).foreach(rmTreeQuiet))
-      }
+    stagedCache.synchronized(Option(stagedCache.get(key))).getOrElse {
+      // a NEW staging is starting: reap victims evicted during earlier
+      // calls (deferred deletion — see pendingEvict)
+      var victim = pendingEvict.poll()
+      while (victim != null) { rmTreeQuiet(victim); victim = pendingEvict.poll() }
       val dir = Files.createTempDirectory("graft-timeslice")
       spark.read.parquet(srcParquet)
         .repartitionByRange(nSlices, col("ts"), col("event_id"))
         .sortWithinPartitions("ts", "event_id")
         .write.mode("overwrite").parquet(dir.toString)
-      val prev = stagedCache.putIfAbsent(key, dir)
-      if (prev != null) { rmTreeQuiet(dir); prev } else dir
+      stagedCache.synchronized {
+        Option(stagedCache.get(key)) match {
+          case Some(prev) => rmTreeQuiet(dir); prev // lost race
+          case None =>
+            // Bound the cache like the 64-entry range/artifact caches —
+            // but a staged entry owns a FULL time-sliced table copy on
+            // temp disk, so eviction must also reclaim the directory
+            // (r9 ADVICE). Evict ONE entry — the LRU eldest, not an
+            // arbitrary one (r10 advice: arbitrary order could evict
+            // the hottest corpus under churn) — and only QUEUE the
+            // deletion; the files are removed when the next staging
+            // completes.
+            while (stagedCache.size >= 64) {
+              val it = stagedCache.entrySet().iterator()
+              if (it.hasNext) {
+                pendingEvict.add(it.next().getValue); it.remove()
+              }
+            }
+            stagedCache.put(key, dir)
+            dir
+        }
+      }
     }.toString
   }
 
@@ -1112,7 +1225,12 @@ object StreamingOps {
       // parquet deltas (distributed write — the driver never collects a
       // data row), merged latest-wins per key at read time
       val sinkDir = Files.createTempDirectory("graft-mergesink")
-      val sink = new ParquetMergeSink(spark, sinkDir.toString, keys)
+      // monitor streams emit a few hundred changed keys per trigger:
+      // sparse delta writes (no per-trigger exchange) + byte-gated
+      // compaction cadence (r10 verdict #6 — the fixed trigger-count
+      // cadence made sparse streams pay per-trigger folds)
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, keys,
+        compactMinBytes = 1L << 20, sparseDeltas = true)
       val q = build(drop).writeStream
         .outputMode(OutputMode.Update)
         .option("checkpointLocation", ckpt)
@@ -1223,7 +1341,11 @@ object StreamingOps {
     val sliced = stagedTimeSliced(spark, srcParquet, nSlices)
     boundedDropRun(spark, sliced) { (drop, ckpt) =>
       val sinkDir = Files.createTempDirectory("graft-mergesink")
-      val sink = new ParquetMergeSink(spark, sinkDir.toString, updateKeys)
+      // keyed AvailableNow gates are monitor-shaped (changed-keys
+      // deltas): sparse writes + byte-gated cadence, same as
+      // updateModeRunStaged; both knobs are no-ops in append mode
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, updateKeys,
+        compactMinBytes = 1L << 20, sparseDeltas = true)
       val injectedMsg = "injected mid-drain failure at batch "
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       def runOnce(fail: Option[Long]): Unit = {
@@ -1337,7 +1459,9 @@ object StreamingOps {
                  mode: OutputMode = OutputMode.Append,
                  foldKeys: Seq[String] = Nil,
                  mapBatch: (DataFrame, Long) => DataFrame =
-                   (b, _) => b): DataFrame = {
+                   (b, _) => b,
+                 buildAfterRestart: Option[String => DataFrame] = None)
+      : DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     require(stopAfter > 0 && stopAfter < nSlices,
@@ -1380,9 +1504,10 @@ object StreamingOps {
       // foldKeys empty = the sink's append mode (first-class since r10;
       // the old Seq("__none") placeholder made compaction a latent
       // unresolved-column failure past batch 8 — r9 ADVICE)
-      val sink = new ParquetMergeSink(spark, sinkDir.toString, foldKeys)
-      def runOnce(): Unit = {
-        val q = build(drop.toString).writeStream
+      val sink = new ParquetMergeSink(spark, sinkDir.toString, foldKeys,
+        compactMinBytes = 1L << 20, sparseDeltas = true)
+      def runOnce(b: String => DataFrame): Unit = {
+        val q = b(drop.toString).writeStream
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (b: DataFrame, id: Long) =>
@@ -1392,9 +1517,13 @@ object StreamingOps {
         try q.processAllAvailable() finally q.stop()
       }
       stage(parts.take(stopAfter), 0)
-      runOnce() // run 1: dies (stops) after `stopAfter` micro-batches
+      runOnce(build) // run 1: dies (stops) after `stopAfter` batches
       stage(parts.drop(stopAfter), stopAfter)
-      runOnce() // run 2: SAME checkpoint — state + source log recovered
+      // run 2: SAME checkpoint — state + source log recovered. An
+      // UPGRADED application may resume here (buildAfterRestart —
+      // user-function changes are a supported restart change; the
+      // evolve gate pairs this with versioned-envelope state)
+      runOnce(buildAfterRestart.getOrElse(build))
       try summarize(
           if (foldKeys.isEmpty) sink.readAll() else sink.read())
         .localCheckpoint(true)
@@ -1427,6 +1556,41 @@ object StreamingOps {
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id", "session_id"))
+  }
+
+  /** STATE SCHEMA EVOLUTION gate (r10 verdict #3): the sessionizer
+    * killed mid-drain and resumed by an UPGRADED application — run 1
+    * writes version-1 state ("sid:last"), run 2's function writes
+    * version-2 state (added error-counter field) and must decode every
+    * version-1 row it finds with the new field DEFAULTED. Output must
+    * still hash-match the batch sessionization oracle (sessions
+    * spanning the upgrade boundary neither split nor renumber), and the
+    * gate REQUIRES the cross-version decode actually ran — with state
+    * for every active user at the boundary, a zero upgrade count means
+    * the harness, not the operator, broke.
+    */
+  def sessionSummariesEvolve(spark: SparkSession, sfDir: String,
+                             gapSeconds: Long, nSlices: Int = 4,
+                             stopAfter: Int = 2): DataFrame = {
+    import spark.implicits._
+    val upgrades = spark.sparkContext.longAccumulator("state_upgrades")
+    val out = restartRun(spark, s"$sfDir/events.parquet", nSlices,
+      stopAfter,
+      drop => assignSessionsVersioned(eventStream(spark, drop).as[SEvent],
+        gapSeconds, stateVersion = 1).toDF(),
+      sink => sink
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id"),
+      buildAfterRestart = Some(drop =>
+        assignSessionsVersioned(eventStream(spark, drop).as[SEvent],
+          gapSeconds, stateVersion = 2, Some(upgrades)).toDF()))
+    require(upgrades.value > 0L,
+      "state-evolution gate: no v1→v2 state upgrade ever ran — the " +
+        "restart boundary carried no state and the gate would be vacuous")
+    out
   }
 
   /** R8 volume through a mid-replay restart, in UPDATE mode: the

@@ -208,6 +208,99 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readMap(s) == Map(1L -> ("a", 1L)))
   }
 
+  test("point-lookup read prunes to the buckets the keys hash into: " +
+      "only matching __bucket= leaf dirs are listed, result matches " +
+      "the full merged view") {
+    import java.nio.file.Files
+    // two keys in different buckets of a 2-bucket layout
+    val hashed = spark.range(0, 16)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kA = hashed.collectFirst { case (k, 0L) => k }.get
+    val kB = hashed.collectFirst { case (k, 1L) => k }.get
+    val dir = Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 0, nBuckets = 2)
+    s.merge(batch((kA, "a0", 0L), (kB, "b0", 0L)), 0L)
+    s.compact(0L)
+    s.merge(batch((kA, "a1", 1L), (kB, "b1", 1L)), 1L)
+    // directory-level pruning: bucket 0's lookup set never names a
+    // __bucket=1 leaf, across base generation AND live delta
+    val paths0 = s.lookupPaths(Set(0L)).map(_.toString)
+    assert(paths0.nonEmpty)
+    assert(paths0.forall(_.endsWith("__bucket=0")),
+      s"selective lookup listed non-matching dirs: $paths0")
+    assert(paths0.size == 2, s"expected base+delta bucket dirs: $paths0")
+    // and the merged point lookup agrees with the full read
+    import spark.implicits._
+    val out = s.read(Seq(kA).toDF("k")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("v"), r.getAs[Long]("n"))).toMap
+    assert(out == Map(kA -> ("a1", 1L)))
+    // a key that was never written reads as zero rows, not an error
+    val missing = hashed.keys.max + 100L
+    assert(s.read(Seq(missing).toDF("k")).count() == 0)
+  }
+
+  test("delta-volume-scaled cadence: sparse folds are skipped below " +
+      "compactMinBytes, maxDeltas backstops the file count, and a " +
+      "byte-heavy cadence point still folds") {
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    // tiny batches never reach 1 GiB → cadence points skip the fold;
+    // maxDeltas=6 forces one anyway before the dir list grows unbounded
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 2, nBuckets = 2,
+      compactMinBytes = 1L << 30, maxDeltas = 6)
+    (0 to 4).foreach(i => s.merge(batch((i.toLong, s"v$i", i.toLong)),
+      i.toLong))
+    assert(s.partCount == 5,
+      s"sparse deltas must skip the cadence fold, saw ${s.partCount}")
+    (5 to 6).foreach(i => s.merge(batch((i.toLong, s"v$i", i.toLong)),
+      i.toLong))
+    assert(s.partCount <= 3,
+      s"maxDeltas must force a fold, saw ${s.partCount}")
+    assert(s.read().count() == 7)
+    // a low threshold folds at the cadence point as before
+    val dir2 = java.nio.file.Files.createTempDirectory("mergesink")
+    val s2 = new ParquetMergeSink(spark, dir2.toString, Seq("k"),
+      compactEvery = 2, nBuckets = 2, compactMinBytes = 1L)
+    (0 to 2).foreach(i => s2.merge(batch((i.toLong, s"v$i", i.toLong)),
+      i.toLong))
+    assert(s2.partCount <= 2,
+      s"byte-heavy cadence point must fold, saw ${s2.partCount}")
+  }
+
+  test("flat-empty base generations are reclaimed: repeated all-empty " +
+      "folds keep at most one empty generation on disk") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 0)
+    def baseCount: Int = {
+      val walk = Files.list(dir)
+      try walk.iterator().asScala
+        .count(_.getFileName.toString.startsWith("base-"))
+      finally walk.close()
+    }
+    // three rounds of zero-row batches, each followed by a fold — the
+    // r10-advice leak published a new empty base per round forever
+    (0 to 2).foreach { round =>
+      s.merge(batch().limit(0), round * 2L)
+      s.merge(batch().limit(0), round * 2L + 1)
+      s.compact(round * 2L + 1)
+      assert(s.read().count() == 0)
+    }
+    assert(baseCount <= 1,
+      s"empty generations must be reclaimed, saw $baseCount")
+    // and a data-bearing generation is never swept by the reclaim
+    s.merge(batch((1L, "a", 1L)), 10L)
+    s.compact(10L)
+    s.merge(batch().limit(0), 11L)
+    s.compact(11L)
+    assert(readMap(s) == Map(1L -> ("a", 1L)))
+  }
+
   test("read is distributed: merged plan carries no driver-side " +
       "collection and resolves keys via one window") {
     val dir = java.nio.file.Files.createTempDirectory("mergesink")
