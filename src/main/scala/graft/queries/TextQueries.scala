@@ -1672,6 +1672,116 @@ object TextQueries {
        |    ORDER BY pos), '') AS text_deduped
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-block-hash FIRST OCCURRENCE over the standing corpus (bucket <
+    * IncrSplit): (bh, cmin_doc, cmin_pos) — the block-grid twin of the
+    * postings artifact, memoized per (session, dir, content) like every
+    * standing-corpus index. One row per distinct corpus block; built
+    * once per corpus version, joined stream-static every trigger.
+    */
+  private def corpusBlockMinMemo(s: SparkSession, dir: String,
+                                 n: Int): DataFrame =
+    memoArtifact(s, dir, s"corpus_blockmin_$n") {
+      import org.apache.spark.sql.functions.{conv, expr, md5, min, posexplode, split, struct, substring, trim}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+        16, 10).cast(LongType) % 100
+      docs(s, dir).filter(bucket < IncrSplit)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(words) / ${n}.0) as int)" +
+            s" - 1), b -> concat_ws(' ', slice(words, b * $n + 1, $n)))"))
+          .as(Seq("pos", "block")))
+        .groupBy(md5(col("block")).as("bh"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+        .select(col("bh"), col("m.doc_id").as("cmin_doc"),
+          col("m.pos").cast(LongType).as("cmin_pos"))
+        .localCheckpoint(true)
+    }
+
+  /** STREAMING block-grid dedup at the ingest front door (r10 verdict
+    * #8): new documents (bucket ≥ IncrSplit) arrive as a stream, each
+    * is cut against the STANDING corpus's block set via a stream-static
+    * join on the 16-byte block hash — the [[corpusBlockMinMemo]]
+    * artifact, the same memo pattern as the near-dup postings — plus a
+    * within-new-set first-occurrence rank, and reassembled from its
+    * surviving blocks. Keep rule is EXACTLY the batch operator's global
+    * (doc_id, pos) first occurrence: a new block survives iff it is
+    * first among the new docs AND beats the corpus minimum — so the
+    * gate runs under the batch `block_dedup_documents` oracle
+    * restricted to new docs (the whole-corpus ranking, output filtered
+    * to the stream slice). At 100 TB the corpus artifact is
+    * block-granular but built once per corpus version; each trigger
+    * joins only its delta's blocks against it.
+    */
+  def blockDedupStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat_ws, conv, count, expr, md5, posexplode, row_number, split, substring, sum, trim, when}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.load(s, dir, "documents")
+    val schema = all.schema
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+      16, 10).cast(LongType) % 100
+    val corpusMin = corpusBlockMinMemo(s, dir, SpanN)
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val batch = s.readStream.schema(schema).parquet(drop)
+          .filter(bucket >= IncrSplit)
+        batch
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, cast(ceil(size(words) / ${SpanN}.0) " +
+              s"as int) - 1), b -> concat_ws(' ', " +
+              s"slice(words, b * $SpanN + 1, $SpanN)))"))
+            .as(Seq("pos", "block")))
+          .withColumn("bh", md5(col("block")))
+          .join(corpusMin, Seq("bh"), "left_outer") // stream-static
+          .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+            col("block"), col("bh"), col("cmin_doc"), col("cmin_pos"))
+      },
+      sink => {
+        // global first occurrence = first within the new set AND ahead
+        // of the corpus minimum (splits are disjoint, so no ties)
+        val w = Window.partitionBy("bh").orderBy(col("doc_id"), col("pos"))
+        sink.withColumn("rn", row_number().over(w))
+          .withColumn("keep", col("rn") === 1 &&
+            (col("cmin_doc").isNull || col("doc_id") < col("cmin_doc") ||
+              (col("doc_id") === col("cmin_doc") &&
+                col("pos") < col("cmin_pos"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN keep THEN " +
+                "struct(pos, block) END)), s -> s.block)"))
+              .as("text_deduped"))
+          .orderBy("doc_id")
+      })
+  }
+
+  /** The batch [[blockDedupSql]] ranking over the WHOLE corpus, output
+    * restricted to the new-doc slice — proving the stream-static join +
+    * within-stream rank compose to exactly the batch keep rule.
+    */
+  val blockDedupStreamSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |    AS ws, $SplitBucketSql AS bucket FROM documents),
+       |blk AS (SELECT doc_id, bucket, CAST(u.b AS BIGINT) AS pos,
+       |    array_to_string(list_slice(ws,
+       |      CAST(u.b AS BIGINT) * $SpanN + 1,
+       |      CAST(u.b AS BIGINT) * $SpanN + $SpanN), ' ') AS block
+       |  FROM w, unnest(range(0,
+       |    CAST(ceil(len(ws) / ${SpanN}.0) AS BIGINT))) AS u(b)),
+       |ranked AS (SELECT doc_id, bucket, pos, block, row_number() OVER (
+       |    PARTITION BY md5(block) ORDER BY doc_id, pos) AS rn FROM blk)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+       |    ORDER BY pos), '') AS text_deduped
+       |FROM ranked WHERE bucket >= $IncrSplit
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- overlapping duplicated-span removal (ExactSubstr posture) ----------
 
   def spanDedupCut(s: SparkSession, dir: String): DataFrame =
@@ -2071,6 +2181,7 @@ object TextQueries {
     "stream_decontam_bounded" -> (contaminationStreamBounded _),
     "stream_neardup_bounded" -> (neardupStreamBounded _),
     "stream_ingest_bounded" -> (ingestStreamBounded _),
+    "stream_blockdedup_bounded" -> (blockDedupStreamBounded _),
     "repetition_documents" -> (repetition _),
     "bm25_documents" -> (bm25Docs _),
     "sample_stratified_documents" -> (sampleStratified _),
@@ -2123,6 +2234,7 @@ object TextQueries {
     "stream_decontam_bounded" -> contaminationSql,
     "stream_neardup_bounded" -> dedupIncrementalSql,
     "stream_ingest_bounded" -> ingestStreamSql,
+    "stream_blockdedup_bounded" -> blockDedupStreamSql,
     "repetition_documents" -> repetitionSql,
     "bm25_documents" -> bm25Sql,
     "dedup_exact_documents" -> dedupExactSql,
