@@ -458,7 +458,7 @@ object TestEvaluator {
       .when(m <= t * lit(1.5), "WARNING").otherwise("FAILED")
   }
 
-  private def statusSql(family: String): String = family match {
+  private[quality] def statusSql(family: String): String = family match {
     case "count" =>
       "CASE WHEN measure <= threshold THEN 'PASSED' WHEN measure <= threshold + greatest(1.0, round(0.005 * rc, 0)) THEN 'WARNING' ELSE 'FAILED' END"
     case "floor" =>

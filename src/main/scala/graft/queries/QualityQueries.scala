@@ -101,6 +101,12 @@ object QualityQueries {
     "hygiene_orders" -> hygiene("orders") _,
     "hygiene_documents" -> hygiene("documents") _,
     "dq_export_rollup_customer" -> (exportRollup _),
+    // the reference's flagship quick-start flow (r10 verdict #4):
+    // runtime profileMany → TestGenerator → TestEvaluator → packed
+    // outcome export rollup, driven by the saga runner, under a full
+    // profile→generation→evaluation→rollup CTE-chain oracle
+    "pipeline_quickstart" -> ((s: SparkSession, dir: String) =>
+      graft.quality.Quickstart.run(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +123,6 @@ object QualityQueries {
     "hygiene_orders" -> Hygiene.oracleSql("orders"),
     "hygiene_documents" -> Hygiene.oracleSql("documents"),
     "dq_export_rollup_customer" -> exportRollupSql,
+    "pipeline_quickstart" -> graft.quality.Quickstart.oracleSql,
   )
 }

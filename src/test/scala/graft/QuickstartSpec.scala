@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.profile.{ColProfile, Profiler}
+import graft.quality.{Quickstart, TestDef, TestEvaluator, TestGenerator}
+
+/** The quick-start pipeline's two load-bearing contracts:
+  *
+  *  1. PARITY between the runtime decision path (TestGenerator over the
+  *     actual profile) and the oracle's symbolic decision path
+  *     (Quickstart.symbolicTests over pinned facts) — the two must emit
+  *     the identical (column, test_type) set per table at the driver's
+  *     verification scale, or the CTE-chain oracle gates a different
+  *     suite than the engine ran (the ControlPlaneSpec pattern).
+  *     Pinned at sf0.01 (the driver gate SF; two facts genuinely differ
+  *     at sf0.001 — see Quickstart scaladoc).
+  *
+  *  2. NON-VACUOUSNESS of the all-PASSED rollup: evaluating the
+  *     self-generated suite on the SAME data passes by construction, so
+  *     the spec perturbs the data (injected nulls, an out-of-domain
+  *     category, an out-of-range value) and asserts the generated suite
+  *     FAILS the right tests — proving the statuses come from real
+  *     measure/threshold math, not a constant.
+  */
+class QuickstartSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Runtime-generated defs for one configured table at a given SF. */
+  private def runtimeDefs(sfDir: String,
+                          t: Quickstart.TableCfg): Seq[TestDef] = {
+    val df = Tables.load(spark, sfDir, t.table)
+    val prof = Profiler.profile(df, t.table)
+    val wanted = t.cols.map(_.column).toSet
+    val cps = ColProfile.fromRows(prof).filter(cp => wanted(cp.column))
+    val lovs = cps
+      .filter(cp => cp.dataType == "string" &&
+        cp.distinctCt.exists(d => d > 1 && d <= 20))
+      .map { cp =>
+        cp.column -> df.filter(col(cp.column).isNotNull)
+          .groupBy(col(cp.column)).agg(count(lit(1)).as("ct"))
+          .orderBy(col("ct").desc, col(cp.column).asc)
+          .collect().map(_.getString(0)).toSeq
+      }.toMap
+    TestGenerator.generate(cps, lovs)
+  }
+
+  test("symbolic oracle generation matches runtime generation per " +
+      "(column, test_type) at the driver verification scale") {
+    Quickstart.Config.foreach { t =>
+      val runtime = runtimeDefs("/root/testdata/sf0.01", t)
+        .map(d => (d.column, d.testType)).toSet
+      val symbolic = Quickstart.expectedTypes(t)
+      assert(runtime == symbolic,
+        s"${t.table}: runtime-only=${runtime -- symbolic} " +
+          s"symbolic-only=${symbolic -- runtime}")
+    }
+  }
+
+  test("the generated suite is not vacuously PASSED: perturbed data " +
+      "fails the right generated tests") {
+    import spark.implicits._
+    val t = Quickstart.Config.find(_.table == "customer").get
+    val defs = runtimeDefs(SparkTestSession.sf, t)
+    val base = Tables.load(spark, SparkTestSession.sf, "customer")
+    // three planted violations: a null in a Required column, an
+    // out-of-domain market segment, an account balance far past the
+    // baseline max + headroom. The generated defs only reference the
+    // three configured columns, so the perturbed frame carries exactly
+    // those.
+    val perturbed = base
+      .select(col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .limit(100)
+      .unionByName(Seq(
+        (null.asInstanceOf[String], "PLUTONIUM", 1.0e9))
+        .toDF("c_name", "c_mktsegment", "c_acctbal"))
+    val out = TestEvaluator.run(perturbed, defs)
+      .select("column_name", "test_type", "status")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(out(("c_name", "Required")) != "PASSED",
+      "a planted null must fail/warn the Required test")
+    assert(out(("c_mktsegment", "LOV_Match")) != "PASSED",
+      "an out-of-domain category must fail/warn LOV_Match")
+    assert(out(("c_acctbal", "Max_Val")) != "PASSED",
+      "an out-of-range value must fail/warn Max_Val")
+  }
+
+  test("the saga-driven pipeline runs end to end and rolls up every " +
+      "generated outcome") {
+    val rollup = Quickstart.run(spark, SparkTestSession.sf).collect()
+    val perTable = rollup.groupBy(_.getAs[String]("table_name"))
+      .view.mapValues(_.map(_.getAs[Long]("n_outcomes")).sum).toMap
+    Quickstart.Config.foreach { t =>
+      // expected count from the runtime generator at the SAME SF — the
+      // symbolic facts are pinned for sf0.01 and l_shipdate's daily
+      // density genuinely differs at sf0.001 (see Quickstart scaladoc);
+      // symbolic-vs-runtime parity is test 1's subject, at the gate SF
+      val expected = runtimeDefs(SparkTestSession.sf, t).size
+      assert(perTable.get(t.table).contains(expected.toLong),
+        s"${t.table}: rollup outcomes ${perTable.get(t.table)} != " +
+          s"generated $expected")
+    }
+    // events is deliberately outside the component include list
+    assert(rollup.filter(_.getAs[String]("table_name") == "events")
+      .forall(!_.getAs[Boolean]("include_listed")))
+    assert(rollup.filter(_.getAs[String]("table_name") == "customer")
+      .forall(_.getAs[Boolean]("include_listed")))
+  }
+}
