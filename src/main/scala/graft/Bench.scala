@@ -71,23 +71,34 @@ object Bench {
     // reps after a GC pause, and the solo medians REPLACE the
     // contaminated samples; the detail JSON keeps both (`solo` map) so
     // a regression call can always see which number is load-bearing.
+    // the cap scales with the query's own median: an ABSOLUTE 1.5 s cap
+    // applied at sf1 (median runtimes 3–60 s) trips on ~5% jitter of a
+    // 30 s query, tripling its sweep cost and silently switching its
+    // published number from sweep-context to post-GC solo — a protocol
+    // change masquerading as a perf delta in round-over-round compares.
+    // 20% of median keeps the trigger meaning "contaminated", not "big".
     val SoloSpreadCap = 1.5
     val SoloReps = 3
     val soloNote = scala.collection.mutable.Map.empty[String, String]
     if (reps >= 2) names.foreach { case (name, fn) =>
       val v = times(name)
-      if (v.nonEmpty && v.max - v.min > SoloSpreadCap) {
+      if (v.nonEmpty &&
+          v.max - v.min > math.max(SoloSpreadCap, 0.2 * median(v))) {
         System.gc()
-        var soloErr = Option.empty[String]
+        // accumulate EVERY solo failure (overwriting kept only the last
+        // one, and the replace path reduced it to a bare boolean — an
+        // OOM vs a checkpoint collision was unadjudicable without a
+        // re-run, contradicting the protocol's purpose)
+        val soloErrs = scala.collection.mutable.ListBuffer.empty[String]
         val solo = (1 to SoloReps).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
-            soloErr = Some("solo: " + s"${e.getClass.getSimpleName}: " +
+            soloErrs += s"${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).linesIterator.take(1)
-                .mkString.filter(_ >= ' ').take(110))
+                .mkString.filter(_ >= ' ').take(110)
             None
           }
         }.toVector
@@ -99,16 +110,19 @@ object Bench {
         // would read downstream (mk_skew, adjudication) as a crashed
         // query contradicting its own number — the flake is recorded in
         // the solo note instead (r10 advice).
+        def jstr(s: String): String =
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
         if (solo.size >= 2) {
-          val flaked =
-            if (soloErr.isEmpty) "" else ""","solo_flake":true"""
+          val flaked = if (soloErrs.isEmpty) ""
+            else s""","solo_flake":${jstr(soloErrs.mkString(" | "))}"""
           soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
             s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
             s""""solo_median":${f"${median(solo)}%.3f"},""" +
             s""""solo_spread":${f"${solo.max - solo.min}%.3f"}$flaked}"""
           times(name) = solo
         } else {
-          soloErr.foreach(errors(name) = _)
+          if (soloErrs.nonEmpty)
+            errors(name) = "solo: " + soloErrs.mkString(" | ").take(230)
           soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
             s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
             s""""solo_failed":true}"""

@@ -95,10 +95,25 @@ object ControlPlane {
     fsCandidates.find(java.nio.file.Files.exists(_))
       .orElse {
         val name = java.nio.file.Paths.get(path).getFileName.toString
-        Option(getClass.getClassLoader.getResource(name))
-          .filter(_.getProtocol == "file")
-          .map(u => java.nio.file.Paths.get(u.toURI))
-          .filter(java.nio.file.Files.exists(_))
+        Option(getClass.getClassLoader.getResource(name)).map { u =>
+          if (u.getProtocol == "file") java.nio.file.Paths.get(u.toURI)
+          else {
+            // packaged deployment (assembly jar / spark-submit): the
+            // resource is a jar: URL with no filesystem path, but both
+            // consumers (spark.read.json, Jackson) want a file — copy
+            // the stream to a temp file once per JVM (review: filtering
+            // to file: protocol made the error message "nor on the
+            // classpath" a lie exactly when the resource WAS there)
+            val tmp = java.nio.file.Files.createTempFile("graft-fixture-",
+              "-" + name)
+            tmp.toFile.deleteOnExit()
+            val in = u.openStream()
+            try java.nio.file.Files.copy(in, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            finally in.close()
+            tmp
+          }
+        }.filter(java.nio.file.Files.exists(_))
       }
       .getOrElse(throw new IllegalArgumentException(
         s"control-plane fixture not found at any of " +

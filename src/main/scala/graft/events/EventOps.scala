@@ -68,8 +68,15 @@ object EventOps {
     * `run_state matches FAILED` → SEND_EMAIL/CALL_WEBHOOK with
     * `{datapoint.from_table}` templating, demo_helper.py:1876-1915).
     */
-  def failedRunAlerts(ev: DataFrame, gapSeconds: Long): DataFrame = {
-    val sess = withSessionId(ev, gapSeconds)
+  def failedRunAlerts(ev: DataFrame, gapSeconds: Long): DataFrame =
+    failedRunAlertsFromSess(withSessionId(ev, gapSeconds))
+
+  /** [[failedRunAlerts]] over an ALREADY-sessionized frame, so a caller
+    * feeding several detectors (the instance-alert rule engine unions
+    * this with [[outOfSequenceFromSess]]) pays the session window ONCE
+    * instead of once per detector.
+    */
+  def failedRunAlertsFromSess(sess: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "session_id")
       .orderBy(col("ts").desc, col("event_id").desc)
     sess.withColumn("__rn", row_number().over(w))
@@ -434,8 +441,14 @@ object EventOps {
     * backwards iff (cur, prev) ∈ closure. Closure is broadcast.
     */
   def outOfSequence(ev: DataFrame, gapSeconds: Long,
-                    closureDf: DataFrame): DataFrame = {
-    val sess = withSessionId(ev, gapSeconds)
+                    closureDf: DataFrame): DataFrame =
+    outOfSequenceFromSess(withSessionId(ev, gapSeconds), closureDf)
+
+  /** [[outOfSequence]] over an ALREADY-sessionized frame — see
+    * [[failedRunAlertsFromSess]] for why the split exists.
+    */
+  def outOfSequenceFromSess(sess: DataFrame,
+                            closureDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "session_id")
       .orderBy("ts", "event_id")
     val seq = sess.withColumn("prev_type", lag(col("event_type"), 1).over(w))

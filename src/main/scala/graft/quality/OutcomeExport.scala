@@ -43,6 +43,16 @@ object OutcomeExport {
       projectCode: String = "DEFAULT",
       usesSampling: Boolean = false)
 
+  /** The export component both registered export queries carry — the
+    * reference demo constants with the three relational tables
+    * include-listed, so `include_listed` exercises the membership both
+    * ways (events is deliberately NOT listed). ONE literal: the rollup
+    * gate (dq_export_rollup_customer) and the quick-start pipeline must
+    * gate the same component config, with a single edit point.
+    */
+  val RelationalComponent: TestgenComponent =
+    TestgenComponent(includeList = Seq("customer", "lineitem", "orders"))
+
   private def componentStruct(c: TestgenComponent): Column =
     struct(struct(struct(
       lit(c.databaseName).as("database_name"),

@@ -101,16 +101,37 @@ object Quickstart {
         lov = Seq("F", "O", "P"), pattern = Some("[A-Za-z]+")),
       ColCfg("o_totalprice", "num", decTrunc = true))))
 
-  /** The export component the packed outcomes carry — the reference
-    * demo constants with the three relational tables include-listed, so
-    * `include_listed` exercises the membership both ways (events is
-    * deliberately NOT listed).
+  /** The export component the packed outcomes carry — shared with the
+    * rollup gate (see [[OutcomeExport.RelationalComponent]]).
     */
   val Component: OutcomeExport.TestgenComponent =
-    OutcomeExport.TestgenComponent(
-      includeList = Seq("customer", "lineitem", "orders"))
+    OutcomeExport.RelationalComponent
 
   val SuiteName = "quickstart-suite-1"
+
+  /** The generate step's per-table core: configured-column filter, LOV
+    * domain derivation from the data (count desc, value asc —
+    * Profiler.topK order; the d ∈ (1, 20] bound is the generator's own
+    * LOV trigger), then [[TestGenerator.generate]]. ONE definition:
+    * QuickstartSpec's parity/non-vacuousness tests call this same code,
+    * so a change to the trigger or ordering cannot pass the spec while
+    * the registered query diverges.
+    */
+  def generateDefs(df: DataFrame, prof: DataFrame,
+                   t: TableCfg): Seq[TestDef] = {
+    val wanted = t.cols.map(_.column).toSet
+    val cps = ColProfile.fromRows(prof).filter(cp => wanted(cp.column))
+    val lovs = cps
+      .filter(cp => cp.dataType == "string" &&
+        cp.distinctCt.exists(d => d > 1 && d <= 20))
+      .map { cp =>
+        cp.column -> df.filter(col(cp.column).isNotNull)
+          .groupBy(col(cp.column)).agg(count(lit(1)).as("ct"))
+          .orderBy(col("ct").desc, col(cp.column).asc)
+          .collect().map(_.getString(0)).toSeq
+      }.toMap
+    TestGenerator.generate(cps, lovs)
+  }
 
   // ---- Spark side: the saga -----------------------------------------------
 
@@ -145,23 +166,7 @@ object Quickstart {
         val name = "generate"
         def execute(ctx: Ctx): Unit = Config.foreach { t =>
           val prof = ctx(s"profile:${t.table}").asInstanceOf[DataFrame]
-          val wanted = t.cols.map(_.column).toSet
-          val cps = ColProfile.fromRows(prof)
-            .filter(cp => wanted(cp.column))
-          // full value domains of the low-cardinality string columns,
-          // from the data (count desc, value asc — Profiler.topK order);
-          // the d <= 20 bound is the generator's own LOV trigger
-          val df = Tables.load(s, dir, t.table)
-          val lovs = cps
-            .filter(cp => cp.dataType == "string" &&
-              cp.distinctCt.exists(d => d > 1 && d <= 20))
-            .map { cp =>
-              cp.column -> df.filter(col(cp.column).isNotNull)
-                .groupBy(col(cp.column)).agg(count(lit(1)).as("ct"))
-                .orderBy(col("ct").desc, col(cp.column).asc)
-                .collect().map(_.getString(0)).toSeq
-            }.toMap
-          val defs = TestGenerator.generate(cps, lovs)
+          val defs = generateDefs(Tables.load(s, dir, t.table), prof, t)
           if (defs.isEmpty)
             throw new AbortJob(s"generation produced no tests for ${t.table}")
           ctx.update(s"defs:${t.table}", defs)

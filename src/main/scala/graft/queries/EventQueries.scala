@@ -887,10 +887,14 @@ object EventQueries {
   def ruleInstanceAlerts(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     val closure = Dag.edgeDf(s, Dag.closureLocal(Dag.FunnelEdges))
-    val oos = EventOps.outOfSequence(e, GapSeconds, closure)
+    // sessionize ONCE and feed both detectors — each entry point would
+    // otherwise run its own full session window over the events table
+    // (the DuckDB oracle likewise computes sess once, reused by CTEs)
+    val sess = EventOps.withSessionId(e, GapSeconds)
+    val oos = EventOps.outOfSequenceFromSess(sess, closure)
       .select(col("alert_type"), col("user_id"), col("session_id"),
         col("event_id"), col("event_type"), col("prev_type"))
-    val failed = EventOps.failedRunAlerts(e, GapSeconds)
+    val failed = EventOps.failedRunAlertsFromSess(sess)
       .select(lit("FAILED_RUN").as("alert_type"), col("user_id"),
         col("session_id"), lit(null).cast("long").as("event_id"),
         lit(null).cast("string").as("event_type"),

@@ -31,13 +31,12 @@ object QualityQueries {
                                      dir: String): DataFrame =
     Hygiene.report(Tables.load(s, dir, table), table)
 
-  /** The component-integration config the export round-trip query packs:
-    * reference demo constants with the harness tables in the include
-    * list, so `include_listed` exercises the array membership both ways.
+  /** The component-integration config the export round-trip query packs
+    * — shared with the quick-start pipeline
+    * ([[OutcomeExport.RelationalComponent]]).
     */
   val ExportComponent: OutcomeExport.TestgenComponent =
-    OutcomeExport.TestgenComponent(
-      includeList = Seq("customer", "lineitem", "orders"))
+    OutcomeExport.RelationalComponent
 
   /** Ingest → pack (full 4-level component_integrations + outcome
     * integration structs) → rollup, end to end: the customer suite's

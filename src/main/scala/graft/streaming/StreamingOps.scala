@@ -10,9 +10,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                   event_type: String, value: Double)
 
-/** Sessionizer state carried between micro-batches per key. */
-case class SessionState(sessionId: Long, lastMicros: Long)
-
 case class SessionAssign(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, session_id: Long)
 
@@ -194,28 +191,14 @@ object StreamingOps {
     * result equals the batch window implementation.
     */
   def assignSessions(events: Dataset[SEvent], gapSeconds: Long)
-      : Dataset[SessionAssign] = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[SEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var (sid, last) = state.getOption
-            .map(s => (s.sessionId, s.lastMicros))
-            .getOrElse((0L, Long.MinValue))
-          val out = sorted.map { e =>
-            val m = micros(e.ts)
-            if (last == Long.MinValue || m - last > gapSeconds * 1000000L)
-              sid += 1
-            last = m
-            SessionAssign(e.event_id, user, e.ts, sid)
-          }
-          if (sorted.nonEmpty) state.update(SessionState(sid, last))
-          out.iterator
-      }
-  }
+      : Dataset[SessionAssign] =
+    // ONE sessionization core: this is the v1-envelope configuration of
+    // [[assignSessionsVersioned]] — a second copy of the load-bearing
+    // cut loop (sort key, gap comparison, sid/last bookkeeping) is
+    // exactly the class of divergence the micros() scaladoc documents.
+    // Every gate's checkpoint is a per-run temp dir, so the state-type
+    // change (SessionState → VersionedSessionState) is invisible.
+    assignSessionsVersioned(events, gapSeconds, stateVersion = 1)
 
   /** STATE SCHEMA EVOLUTION posture (r10 verdict #3 — SURVEY §7 M5
     * names it the hard part of the streaming tier): the sessionizer

@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.profile.{ColProfile, Profiler}
-import graft.quality.{Quickstart, TestDef, TestEvaluator, TestGenerator}
+import graft.profile.Profiler
+import graft.quality.{Quickstart, TestDef, TestEvaluator}
 
 /** The quick-start pipeline's two load-bearing contracts:
   *
@@ -26,23 +26,15 @@ import graft.quality.{Quickstart, TestDef, TestEvaluator, TestGenerator}
 class QuickstartSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  /** Runtime-generated defs for one configured table at a given SF. */
+  /** Runtime-generated defs for one configured table at a given SF —
+    * through the pipeline's OWN generate step (Quickstart.generateDefs),
+    * so the spec cannot keep passing against a private re-implementation
+    * while the registered query's generation drifts.
+    */
   private def runtimeDefs(sfDir: String,
                           t: Quickstart.TableCfg): Seq[TestDef] = {
     val df = Tables.load(spark, sfDir, t.table)
-    val prof = Profiler.profile(df, t.table)
-    val wanted = t.cols.map(_.column).toSet
-    val cps = ColProfile.fromRows(prof).filter(cp => wanted(cp.column))
-    val lovs = cps
-      .filter(cp => cp.dataType == "string" &&
-        cp.distinctCt.exists(d => d > 1 && d <= 20))
-      .map { cp =>
-        cp.column -> df.filter(col(cp.column).isNotNull)
-          .groupBy(col(cp.column)).agg(count(lit(1)).as("ct"))
-          .orderBy(col("ct").desc, col(cp.column).asc)
-          .collect().map(_.getString(0)).toSeq
-      }.toMap
-    TestGenerator.generate(cps, lovs)
+    Quickstart.generateDefs(df, Profiler.profile(df, t.table), t)
   }
 
   test("symbolic oracle generation matches runtime generation per " +
