@@ -124,13 +124,21 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       //  - default: repartition on the partition column — exactly one
       //    file per non-empty bucket, shuffle is delta-sized. Right
       //    when a trigger's delta is big (ingest-scale streams).
-      //  - sparseDeltas: coalesce(1) — one task writes all buckets, NO
-      //    exchange stage. Right for monitor-style streams whose
-      //    per-trigger delta is a few hundred changed keys: the
-      //    repartition's per-trigger exchange + 16-task wave was the
-      //    dominant, measured cost of the r10 liveness-update gate
-      //    (1.49×), paid to shuffle a couple of KB.
-      (if (sparseDeltas) bucketed.coalesce(1)
+      //  - sparseDeltas: repartition(1) — ONE round-robin exchange of a
+      //    few-KB delta into a single write task (one file per non-empty
+      //    bucket, written by one task). Right for monitor-style streams
+      //    whose per-trigger delta is a few hundred changed keys: the
+      //    default's 16-task wave was a measured r10 cost paid to
+      //    shuffle a couple of KB. NOT coalesce(1): coalesce is a
+      //    NARROW dependency, so it would collapse everything upstream
+      //    back to the previous shuffle — in a foreachBatch sink that is
+      //    the stateful aggregation itself, serializing all 32 state
+      //    partitions (store load/commit per partition per trigger) into
+      //    one thread. Measured: coalesce(1) here regressed every
+      //    update/restart/availableNow gate 1.6–2.1× at sf1; the
+      //    repartition(1) boundary keeps the batch plan parallel and
+      //    only funnels the tiny RESULT.
+      (if (sparseDeltas) bucketed.repartition(1)
        else bucketed.repartition(nBuckets, col("__bucket")))
         .write.partitionBy("__bucket").mode("overwrite")
         .parquet(out.toString)
@@ -195,13 +203,19 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       "use readAll()")
     val parts = list("base-") ++ list("delta-")
     require(parts.nonEmpty, s"MERGE sink at $dir received no batch")
-    // per-root reads unioned: multi-root partition discovery rejects
-    // sibling roots as "conflicting directory structures" (the
-    // delta-<id> segment is not k=v), and the __bucket column is a
-    // layout detail read() does not need anyway
-    latestWins(parts
-        .map(p => spark.read.parquet(p.toString).drop("__bucket"))
-        .reduce(_ unionByName _))
+    // ONE multi-root read over the LEAF bucket dirs plus any flat
+    // (schema-bearing empty) roots. Leaf files never carry __bucket
+    // (it is directory-encoded) so every leaf and flat root shares one
+    // flat schema and multi-root partition discovery has nothing to
+    // conflict on — unlike the sibling PARTITIONED roots themselves
+    // (the delta-<id> segment is not k=v). The previous per-root
+    // read-and-union paid one full plan + listing per delta, which the
+    // byte-gated cadence turned into 10–20 plans per gate read (sparse
+    // streams legitimately never fold).
+    latestWins(spark.read.parquet(parts.flatMap { p =>
+        val bs = bucketDirs(p)
+        if (bs.nonEmpty) bs else Seq(p)
+      }.map(_.toString): _*))
       .drop("__batch_id", "__pri")
   }
 
@@ -228,8 +242,8 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     val pruned = lookupPaths(buckets)
     val all =
       if (pruned.nonEmpty)
-        pruned.map(p => spark.read.parquet(p.toString))
-          .reduce(_ unionByName _)
+        // leaf dirs are flat (see read()) — one multi-root read
+        spark.read.parquet(pruned.map(_.toString): _*)
       else {
         // no matching bucket dir on disk (keys never written, or only
         // flat-empty parts exist): an empty merged table in the sink's
@@ -296,15 +310,16 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
           .toMap
         val baseParts = baseGens.flatMap(basePartsByGen)
         if (foldedDeltas.isEmpty && baseParts.size <= 1) return
-        // base leaf subdirs read directly (no partition col — the
-        // bucket is recomputed from the keys on write); delta roots
-        // read one by one (sibling roots conflict under multi-root
-        // partition discovery), column dropped
-        val fromBase = baseParts
-          .map(p => spark.read.parquet(p.toString))
-        val fromDeltas = foldedDeltas
-          .map(p => spark.read.parquet(p.toString).drop("__bucket"))
-        val all = (fromBase ++ fromDeltas).reduce(_ unionByName _)
+        // ONE multi-root read: base leaf subdirs and delta leaf subdirs
+        // are all flat (no partition col in the files — the bucket is
+        // recomputed from the keys on write), and a flat empty delta is
+        // its own schema-bearing root; sibling PARTITIONED roots would
+        // conflict under multi-root discovery, leaf dirs cannot
+        val inputs = baseParts ++ foldedDeltas.flatMap { p =>
+          val bs = bucketDirs(p)
+          if (bs.nonEmpty) bs else Seq(p)
+        }
+        val all = spark.read.parquet(inputs.map(_.toString): _*)
         (latestWins(all).withColumn("__pri", lit(0))
            .withColumn("__bucket",
              pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))),

@@ -52,7 +52,10 @@ object PlanAudit {
     * definition, 10²–10⁴ at any corpus size — never per data row) in the
     * reference's deterministic walk order to chunk them 100-per-post.
     */
-  val GlobalOrderByDesign: Set[String] = Set("dq_export_rollup_customer")
+  val GlobalOrderByDesign: Set[String] = Set("dq_export_rollup_customer",
+    // same pack step, same contract: the quick-start pipeline numbers
+    // its ~10² generated-test outcomes through OutcomeExport.pack
+    "pipeline_quickstart")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
