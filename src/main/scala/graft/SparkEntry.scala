@@ -26,6 +26,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (SimQueries.queries, SimQueries.oracles),
     (MediaQueries.queries, MediaQueries.oracles),
+    (AudioQueries.queries, AudioQueries.oracles),
     (ConfigQueries.queries, ConfigQueries.oracles),
     (RecallQueries.queries, RecallQueries.oracles),
   )

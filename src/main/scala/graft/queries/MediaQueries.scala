@@ -283,18 +283,23 @@ object MediaQueries {
   def imageNeardup(s: SparkSession, dir: String): DataFrame =
     neardupFromHashes(ndHashes(s, dir).localCheckpoint(true))
 
-  /** The banded-join tail shared by the PPM and PNG hash paths: capped
+  /** The banded-join tail shared by the PPM and PNG hash paths — and by
+    * the AUDIO fingerprint path ([[AudioQueries]]): capped
     * Hamming-banded candidates + exact verify over a (doc_id, b0..b3)
-    * frame.
+    * frame. The banding is hash-agnostic: any 64-bit fingerprint split
+    * into 4×16-bit bands (dHash, energy-delta signs) rides the same
+    * join.
     */
-  private def neardupFromHashes(hashes: DataFrame): DataFrame = {
+  private[queries] def neardupFromHashes(hashes: DataFrame,
+      bandCap: Int = NdBandCap, maxHamming: Int = NdMaxHamming)
+      : DataFrame = {
     val banded = hashes.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_no", "band_val")))
     val cold = banded.join(
       broadcast(banded.groupBy("band_no", "band_val")
         .agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > NdBandCap)
+        .filter(col("__c") > bandCap)
         .select("band_no", "band_val")),
       Seq("band_no", "band_val"), "left_anti")
     val cand = cold.select(col("band_no"), col("band_val"),
@@ -313,10 +318,46 @@ object MediaQueries {
          bit_count(col("a1").bitwiseXOR(col("b1"))) +
          bit_count(col("a2").bitwiseXOR(col("b2"))) +
          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
-      .filter(col("hamming") <= NdMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Oracle mirror of [[neardupFromHashes]] downstream of a `bands`
+    * CTE (doc_id, band_no, band_val): hot-band sizes → capped cold set
+    * → banded candidates → exact Hamming verify. Shared verbatim by the
+    * image and audio oracles — the SQL twin of the shared Scala tail.
+    */
+  private[queries] def bandedTailSql(bandCap: Int, maxHamming: Int)
+      : String =
+    s"""sizes AS (
+       |  SELECT band_no, band_val, count(*) AS c
+       |  FROM bands GROUP BY band_no, band_val),
+       |cold AS (
+       |  SELECT b.doc_id, b.band_no, b.band_val FROM bands b
+       |  JOIN sizes s USING (band_no, band_val) WHERE s.c <= $bandCap),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM cold l JOIN cold r
+       |    ON l.band_no = r.band_no AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id),
+       |h AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+       |    MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+       |    MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+       |    MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN h a ON a.doc_id = c.doc_a JOIN h b ON b.doc_id = c.doc_b
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // source-pixel coordinates of dHash grid cell (x.x, y.y), and the
   // [[ndPixelBase]] channel closed forms sampled there (src = the
@@ -369,34 +410,7 @@ object MediaQueries {
        |      AS band_val
        |  FROM bits WHERE gx < ${Ppm.DHashW - 1}
        |  GROUP BY doc_id, i // ${Ppm.DHashBandBits}),
-       |sizes AS (
-       |  SELECT band_no, band_val, count(*) AS c
-       |  FROM bands GROUP BY band_no, band_val),
-       |cold AS (
-       |  SELECT b.doc_id, b.band_no, b.band_val FROM bands b
-       |  JOIN sizes s USING (band_no, band_val) WHERE s.c <= $NdBandCap),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM cold l JOIN cold r
-       |    ON l.band_no = r.band_no AND l.band_val = r.band_val
-       |   AND l.doc_id < r.doc_id),
-       |h AS (
-       |  SELECT doc_id,
-       |    MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
-       |    MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
-       |    MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
-       |    MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
-       |  FROM bands GROUP BY doc_id)
-       |SELECT c.doc_a, c.doc_b,
-       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-       |    AS BIGINT) AS hamming
-       |FROM cand c
-       |JOIN h a ON a.doc_id = c.doc_a JOIN h b ON b.doc_id = c.doc_b
-       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-       |    <= $NdMaxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |""".stripMargin + bandedTailSql(NdBandCap, NdMaxHamming)
 
   // ---------------------------------------------------------------------
   // REAL image bytes (r10 verdict #1): the same pixel closed forms, now

@@ -168,7 +168,36 @@ object RecallQueries {
     val ndRows = Seq(("image_dhash_banded", "nd_jitter",
       ndTruth.count(ndFound).toLong, ndTruth.size.toLong, MinhashFloor))
 
-    val violations = (mhRows ++ semRows ++ annRows ++ ndRows).flatMap {
+    // ---- audio energy-delta banded near-dup, planted jitter pairs --------
+    // same posture as the image row: unbanded-Hamming truth from the
+    // closed form, driver-side, bounded at 64 pairs — the one measure
+    // the mirrored full-pipeline oracle cannot regress with the engine.
+    val audPlantIds = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % AudioQueries.AudPlantMod
+          === AudioQueries.AudPlantRes &&
+        col("doc_id") >= AudioQueries.AudPlantMod)
+      .select("doc_id").orderBy("doc_id").limit(64)
+      .collect().map(_.getLong(0))
+    val audTruth = audPlantIds.flatMap { d =>
+      def bands(id: Long) = graft.multimodal.Wav.energyBands(
+        Array.tabulate(AudioQueries.FpSamples)(i =>
+          AudioQueries.synthNdSample(id, i)))
+      val src = d - AudioQueries.AudPlantDelta
+      val dist = bands(src).zip(bands(d))
+        .map { case (a, b) => java.lang.Integer.bitCount(a ^ b) }.sum
+      if (dist <= AudioQueries.AudMaxHamming) Some((src, d)) else None
+    }.toSet
+    val audFound = AudioQueries.queries("audio_neardup_documents")(s, dir)
+      .filter(col("doc_b") - col("doc_a")
+          === AudioQueries.AudPlantDelta &&
+        col("doc_b").isin(audPlantIds.toSeq: _*))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audRows = Seq(("audio_energy_banded", "aud_jitter",
+      audTruth.count(audFound).toLong, audTruth.size.toLong, MinhashFloor))
+
+    val violations = (mhRows ++ semRows ++ annRows ++ ndRows ++ audRows)
+      .flatMap {
       case (check, fam, rec, truth, floor) =>
         if (truth == 0L)
           Some((s"${check}:vacuous_truth", fam, rec, truth, 0.0, floor))
