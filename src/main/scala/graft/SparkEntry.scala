@@ -27,6 +27,7 @@ object SparkEntry {
     (SimQueries.queries, SimQueries.oracles),
     (MediaQueries.queries, MediaQueries.oracles),
     (AudioQueries.queries, AudioQueries.oracles),
+    (VideoQueries.queries, VideoQueries.oracles),
     (ConfigQueries.queries, ConfigQueries.oracles),
     (RecallQueries.queries, RecallQueries.oracles),
   )

@@ -359,22 +359,32 @@ object MediaQueries {
        |    <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** [[ndPixelBase]]'s three channel closed forms as DuckDB SQL over a
+    * source-id expression and source-coordinate expressions — ONE
+    * formula text shared by the image near-dup oracle and the VIDEO
+    * tier's per-frame oracles ([[VideoQueries]]), so the Scala form and
+    * every SQL mirror cannot drift apart independently.
+    */
+  private[queries] def basePixelSql(src: String, sx: String, sy: String)
+      : (String, String, String) = {
+    val e = s"($src // 256)"
+    (s"((31 * $src + 17 * $e + 7 * $sx + 16 * $sy" +
+       s" + 5 * $src * $sx + 9 * $e * $sx + 3 * $src * $sy) % 256)",
+     s"((17 * $src + 29 * $e + 5 * $sx * $sy + 3" +
+       s" + 7 * $src * $sy + 5 * $e * $sx) % 256)",
+     s"((53 * $src + 41 * $e + 11 * $sx + 13 * $sy" +
+       s" + 11 * $src * $sx * $sy + 7 * $e * $sy) % 256)")
+  }
+
   // source-pixel coordinates of dHash grid cell (x.x, y.y), and the
   // [[ndPixelBase]] channel closed forms sampled there (src = the
   // rendered doc, jitter applied on top of SqlR for planted docs)
   private val SqlSx = s"((x.x * $ImgW) // ${Ppm.DHashW})"
   private val SqlSy = s"((y.y * $ImgH) // ${Ppm.DHashH})"
-  private val SqlE = "(m.src // 256)"
-  private val SqlR =
-    s"((31 * m.src + 17 * $SqlE + 7 * $SqlSx + 16 * $SqlSy" +
-      s" + 5 * m.src * $SqlSx + 9 * $SqlE * $SqlSx" +
-      s" + 3 * m.src * $SqlSy) % 256)"
-  private val SqlG =
-    s"((17 * m.src + 29 * $SqlE + 5 * $SqlSx * $SqlSy + 3" +
-      s" + 7 * m.src * $SqlSy + 5 * $SqlE * $SqlSx) % 256)"
-  private val SqlB =
-    s"((53 * m.src + 41 * $SqlE + 11 * $SqlSx + 13 * $SqlSy" +
-      s" + 11 * m.src * $SqlSx * $SqlSy + 7 * $SqlE * $SqlSy) % 256)"
+  private val (sqlR, sqlG, sqlB) = basePixelSql("m.src", SqlSx, SqlSy)
+  private val SqlR = sqlR
+  private val SqlG = sqlG
+  private val SqlB = sqlB
 
   /** Full-pipeline oracle: closed-form pixels → downsampled luminance →
     * gradient bits → 16-bit bands → capped banded candidates → exact
