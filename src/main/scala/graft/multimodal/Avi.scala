@@ -24,18 +24,10 @@ package graft.multimodal
   */
 object Avi {
 
+  import Riff.{le16, le32, tag}
+
   final case class Info(width: Int, height: Int, nFrames: Int,
                         microSecPerFrame: Int)
-
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-
-  private def le32(b: Array[Byte], p: Int): Long =
-    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-
-  private def tag(b: Array[Byte], p: Int): String =
-    new String(b, p, 4, "US-ASCII")
 
   private def rowBytes(width: Int): Int = (width * 3 + 3) & ~3
 
@@ -123,19 +115,18 @@ object Avi {
     var pos = 12
     while (pos + 12 <= bytes.length) {
       val id = tag(bytes, pos)
-      val size = le32(bytes, pos + 4)
-      require(size >= 0 && size <= Int.MaxValue - 8, "avi: bad chunk size")
+      val size = Riff.chunkSize(bytes, pos, "avi")
       if (id == "LIST" && tag(bytes, pos + 8) == form)
-        return (pos + 12, size.toInt - 4)
-      pos += 8 + size.toInt + (size.toInt & 1)
+        return (pos + 12, size - 4)
+      pos = Riff.nextChunk(pos, size, bytes.length)
     }
     throw new IllegalArgumentException(s"avi: missing $form list")
   }
 
   /** Chunk-walking header parse; never reads frame data. */
   def header(bytes: Array[Byte]): Info = {
-    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
-      tag(bytes, 8) == "AVI ", "avi: not a RIFF/AVI payload")
+    require(Riff.hasMagic(bytes, "AVI "),
+      "avi: not a RIFF/AVI payload")
     val (hdrl, hdrlSize) = findList(bytes, "hdrl")
     require(hdrl + 64 <= bytes.length, "avi: truncated hdrl list")
     require(tag(bytes, hdrl) == "avih" &&
@@ -151,7 +142,7 @@ object Avi {
     var sawStrf = false
     while (!sawStrf && pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
-      val size = le32(bytes, pos + 4).toInt
+      val size = Riff.chunkSize(bytes, pos, "avi")
       if (id == "LIST") pos += 12 // descend into strl
       else if (id == "strf") {
         require(pos + 8 + 40 <= bytes.length, "avi: truncated strf")
@@ -160,7 +151,7 @@ object Avi {
         require(le32(bytes, pos + 8 + 16) == 0,
           "avi: only BI_RGB (uncompressed) supported")
         sawStrf = true
-      } else pos += 8 + size + (size & 1)
+      } else pos = Riff.nextChunk(pos, size, bytes.length)
     }
     require(sawStrf, "avi: missing strf format header")
     Info(width, height, nFrames, usPerFrame)
@@ -182,14 +173,14 @@ object Avi {
     while (f < info.nFrames) {
       require(pos + 8 <= end, "avi: truncated movi list")
       val id = tag(bytes, pos)
-      val size = le32(bytes, pos + 4).toInt
+      val size = Riff.chunkSize(bytes, pos, "avi")
       if (id == "00db" || id == "00dc") {
         require(size == frameSize, "avi: frame size mismatch")
         require(pos + 8 + size <= end, "avi: truncated frame data")
         offs(f) = pos + 8
         f += 1
       }
-      pos += 8 + size + (size & 1)
+      pos = Riff.nextChunk(pos, size, end)
     }
     offs
   }

@@ -40,19 +40,11 @@ package graft.multimodal
   */
 object Wav {
 
+  import Riff.{le16, le32, tag}
+
   /** Parsed `fmt ` + `data` metadata; nSamples is per channel. */
   final case class Header(sampleRate: Int, channels: Int,
                           bitsPerSample: Int, nSamples: Int)
-
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-
-  private def le32(b: Array[Byte], p: Int): Long =
-    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-
-  private def tag(b: Array[Byte], p: Int): String =
-    new String(b, p, 4, "US-ASCII")
 
   /** Encode mono 16-bit PCM samples as a canonical 44-byte-header WAVE
     * payload.
@@ -83,15 +75,13 @@ object Wav {
     * internal message.
     */
   def header(bytes: Array[Byte]): Header = {
-    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
-      tag(bytes, 8) == "WAVE", "wav: not a RIFF/WAVE payload")
+    require(Riff.hasMagic(bytes, "WAVE"), "wav: not a RIFF/WAVE payload")
     var pos = 12
     var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
     var data: Option[(Int, Int)] = None     // (offset, declared size)
     while (data.isEmpty && pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
-      val size = le32(bytes, pos + 4)
-      require(size >= 0 && size <= Int.MaxValue - 8, "wav: bad chunk size")
+      val size = Riff.chunkSize(bytes, pos, "wav")
       val body = pos + 8
       id match {
         case "fmt " =>
@@ -106,18 +96,21 @@ object Wav {
           fmt = Some((le32(bytes, body + 4).toInt, le16(bytes, body + 2),
             bits))
         case "data" =>
-          data = Some((body, size.toInt))
+          data = Some((body, size))
         case _ => // LIST/INFO/fact/...: skip (word-aligned)
       }
-      pos = body + size.toInt + (size.toInt & 1)
+      pos = Riff.nextChunk(pos, size, bytes.length)
     }
     val (rate, channels, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("wav: missing fmt chunk"))
     val (off, dsize) = data.getOrElse(
       throw new IllegalArgumentException("wav: missing data chunk"))
     require(rate > 0 && channels == 1, "wav: only mono supported")
-    // the truncated-in-flight case: header DECLARES more than is present
-    require(off + dsize <= bytes.length, "wav: truncated sample data")
+    // the truncated-in-flight case: header DECLARES more than is
+    // present (Long arithmetic — a near-Int.MaxValue declared size must
+    // fail here, not wrap negative and pass)
+    require(off.toLong + dsize <= bytes.length.toLong,
+      "wav: truncated sample data")
     require(dsize % 2 == 0, "wav: odd PCM16 data size")
     Header(rate, channels, bits, dsize / 2)
   }
@@ -129,9 +122,9 @@ object Wav {
     var pos = 12
     var off = -1
     while (off < 0) {
-      val size = le32(bytes, pos + 4).toInt
+      val size = Riff.chunkSize(bytes, pos, "wav")
       if (tag(bytes, pos) == "data") off = pos + 8
-      else pos = pos + 8 + size + (size & 1)
+      else pos = Riff.nextChunk(pos, size, bytes.length)
     }
     val samples = new Array[Short](h.nSamples)
     var i = 0

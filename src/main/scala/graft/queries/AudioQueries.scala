@@ -308,36 +308,17 @@ object AudioQueries {
       .mapPartitions(_.map { d =>
         val clean = Wav.encode(SampleRate,
           Array.tabulate(nSamplesOf(d))(i => synthSample(d, i)))
-        val bytes =
-          if (d % 10 == 4) { val b = clean.clone(); b(0) = 0; b }
-          else if (d % 10 == 7) java.util.Arrays.copyOfRange(clean, 0, 20)
-          else if (d % 10 == 9)
-            java.util.Arrays.copyOfRange(clean, 0, clean.length - 10)
-          else clean
-        // per-row quarantine: decode failures become data, not job
-        // death; reasons are OUR deterministic sniff taxonomy, never a
-        // JVM exception message
-        try {
-          val (_, samples) = Wav.decode(bytes)
-          var sa = 0L
-          var i = 0
-          while (i < samples.length) {
-            sa += math.abs(samples(i).toLong); i += 1
-          }
-          (d, "ok", Option.empty[String], Some(sa))
-        } catch {
-          case _: IllegalArgumentException =>
-            val riff = bytes.length >= 12 &&
-              bytes(0) == 'R' && bytes(1) == 'I' &&
-              bytes(2) == 'F' && bytes(3) == 'F' &&
-              bytes(8) == 'W' && bytes(9) == 'A' &&
-              bytes(10) == 'V' && bytes(11) == 'E'
-            val reason =
-              if (!riff) "bad_magic"
-              else if (bytes.length < 44) "corrupt_header"
-              else "truncated_data"
-            (d, "quarantined", Some(reason), Option.empty[Long])
-        }
+        // truncAt=20 is mid-fmt; 44 bytes = the canonical WAVE header
+        QuarantineGate.row(d, clean, 20,
+          graft.multimodal.Riff.hasMagic(_, "WAVE"), 44, bytes => {
+            val (_, samples) = Wav.decode(bytes)
+            var sa = 0L
+            var i = 0
+            while (i < samples.length) {
+              sa += math.abs(samples(i).toLong); i += 1
+            }
+            sa
+          })
       })
       .toDF("doc_id", "status", "reason", "sum_abs")
       .orderBy("doc_id")

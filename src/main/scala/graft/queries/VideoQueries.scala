@@ -332,37 +332,18 @@ object VideoQueries {
     import s.implicits._
     docs(s, dir)
       .mapPartitions(_.map { d =>
-        val clean = encodeDoc(d)
-        val bytes =
-          if (d % 10 == 4) { val b = clean.clone(); b(0) = 0; b }
-          else if (d % 10 == 7) java.util.Arrays.copyOfRange(clean, 0, 24)
-          else if (d % 10 == 9)
-            java.util.Arrays.copyOfRange(clean, 0, clean.length - 10)
-          else clean
-        // per-row quarantine: decode failures become data, not job
-        // death; reasons are OUR deterministic sniff taxonomy, never a
-        // JVM exception message
-        try {
-          val frames = Avi.decodeFrames(bytes)
-          var sr = 0L
-          frames.foreach { img =>
-            var i = 0
-            while (i < img.rgb.length) { sr += img.rgb(i); i += 3 }
-          }
-          (d, "ok", Option.empty[String], Some(sr))
-        } catch {
-          case _: IllegalArgumentException =>
-            val riff = bytes.length >= 12 &&
-              bytes(0) == 'R' && bytes(1) == 'I' &&
-              bytes(2) == 'F' && bytes(3) == 'F' &&
-              bytes(8) == 'A' && bytes(9) == 'V' &&
-              bytes(10) == 'I' && bytes(11) == ' '
-            val reason =
-              if (!riff) "bad_magic"
-              else if (bytes.length < HeaderBytes) "corrupt_header"
-              else "truncated_data"
-            (d, "quarantined", Some(reason), Option.empty[Long])
-        }
+        // truncAt=24 is mid-hdrl
+        QuarantineGate.row(d, encodeDoc(d), 24,
+          graft.multimodal.Riff.hasMagic(_, "AVI "), HeaderBytes,
+          bytes => {
+            val frames = Avi.decodeFrames(bytes)
+            var sr = 0L
+            frames.foreach { img =>
+              var i = 0
+              while (i < img.rgb.length) { sr += img.rgb(i); i += 3 }
+            }
+            sr
+          })
       })
       .toDF("doc_id", "status", "reason", "sum_r")
       .orderBy("doc_id")

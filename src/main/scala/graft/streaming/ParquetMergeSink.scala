@@ -150,7 +150,8 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     // deleting: an all-empty-batches stream must still read back as an
     // empty table, not fail read()'s received-no-batch require. Built
     // from the local schema — no second execution of the batch plan —
-    // and harmless to the union reads, which drop __bucket per root.
+    // and shaped like the leaf bucket dirs (flat, no __bucket column),
+    // so the multi-root reads accept it as just another root.
     if (keyed && !hasParquetLeaf(out)) {
       rmTree(out)
       spark.createDataFrame(
@@ -177,6 +178,21 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     } else if (compactEvery > 0 && list("delta-").size >= maxDeltas)
       compact(batchId)
   }
+
+  /** One multi-root parquet read with schema MERGE across roots: a
+    * restarted stream may legitimately deliver deltas with an EVOLVED
+    * schema (upgraded application, new column with nulls for history)
+    * over an older base generation. Single-file schema inference would
+    * silently DROP the new column — `base-*` sorts before `delta-*`, so
+    * the inferred schema is the oldest — where the pre-r11 per-root
+    * unionByName at least failed loudly. Merging unions the root
+    * schemas and nulls the missing values, the long-lived-table
+    * posture; the extra footer reads are bounded by maxDeltas +
+    * nBuckets.
+    */
+  private def readRoots(paths: Seq[Path]): DataFrame =
+    spark.read.option("mergeSchema", true)
+      .parquet(paths.map(_.toString): _*)
 
   /** Total on-disk bytes of the given delta dirs — file stats only. */
   private def pendingBytes(deltas: Seq[Path]): Long =
@@ -212,10 +228,10 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     // read-and-union paid one full plan + listing per delta, which the
     // byte-gated cadence turned into 10–20 plans per gate read (sparse
     // streams legitimately never fold).
-    latestWins(spark.read.parquet(parts.flatMap { p =>
+    latestWins(readRoots(parts.flatMap { p =>
         val bs = bucketDirs(p)
         if (bs.nonEmpty) bs else Seq(p)
-      }.map(_.toString): _*))
+      }))
       .drop("__batch_id", "__pri")
   }
 
@@ -243,7 +259,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     val all =
       if (pruned.nonEmpty)
         // leaf dirs are flat (see read()) — one multi-root read
-        spark.read.parquet(pruned.map(_.toString): _*)
+        readRoots(pruned)
       else {
         // no matching bucket dir on disk (keys never written, or only
         // flat-empty parts exist): an empty merged table in the sink's
@@ -294,7 +310,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
         if (inputs.isEmpty) return
         val liveIds = foldedDeltas
           .map(_.getFileName.toString.stripPrefix("delta-").toLong)
-        val all = spark.read.parquet(inputs.map(_.toString): _*)
+        val all = readRoots(inputs)
         val kept =
           if (liveIds.isEmpty) all
           else all.filter(col("__pri") === 1 ||
@@ -319,7 +335,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
           val bs = bucketDirs(p)
           if (bs.nonEmpty) bs else Seq(p)
         }
-        val all = spark.read.parquet(inputs.map(_.toString): _*)
+        val all = readRoots(inputs)
         (latestWins(all).withColumn("__pri", lit(0))
            .withColumn("__bucket",
              pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))),
@@ -414,7 +430,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     require(parts.nonEmpty, s"MERGE sink at $dir received no batch")
     val liveIds = deltas
       .map(_.getFileName.toString.stripPrefix("delta-").toLong)
-    val all = spark.read.parquet(parts.map(_.toString): _*)
+    val all = readRoots(parts)
     val kept =
       if (liveIds.isEmpty) all
       else all.filter(col("__pri") === 1 ||

@@ -62,6 +62,34 @@ class AviSpec extends AnyFunSuite {
     fails(bits8, "only 24-bit")
   }
 
+  test("hostile chunk-size words fail typed — no spin, no untyped crash") {
+    val clean = enc(7L)
+    def le32set(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+      b(p + 2) = ((v >> 16) & 0xff).toByte
+      b(p + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def fails(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Avi.decodeFrames(b))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // a size word that is negative as an Int (0xFFFFFFF8): the pre-fix
+    // walks advanced by 8 + (-8) = 0 forever
+    val negStrh = clean.clone(); le32set(negStrh, 104, 0xFFFFFFF8L)
+    fails(negStrh, "bad chunk size")
+    // a huge-but-Int-positive size that overruns the payload: the walk
+    // must clamp and surface the caller's typed missing/truncated check
+    val bigStrh = clean.clone(); le32set(bigStrh, 104, 0x7FFFFF00L)
+    fails(bigStrh, "missing strf")
+    // same two in the movi frame walk (first frame chunk header at 212+12)
+    val negFrame = clean.clone(); le32set(negFrame, 212 + 12 + 4, 0xFFFFFFF8L)
+    negFrame(212 + 12) = 'j'.toByte // non-frame id so the size is walked
+    fails(negFrame, "bad chunk size")
+    val bigFrame = clean.clone(); le32set(bigFrame, 212 + 12 + 4, 0x7FFFFF00L)
+    bigFrame(212 + 12) = 'j'.toByte
+    fails(bigFrame, "truncated movi")
+  }
+
   test("scene-cut separation: cuts >> threshold >> within-scene motion") {
     for (d <- 0L until 40L) {
       val hs = Avi.decodeFrames(enc(d)).map(Ppm.dHashBandsOf)

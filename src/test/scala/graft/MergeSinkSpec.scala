@@ -311,4 +311,29 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(plan.contains("Window") || plan.contains("WindowGroupLimit"),
       s"expected windowed latest-wins, got:\n$plan")
   }
+
+  test("schema-evolved deltas keep their new column over old roots — " +
+      "merged on read and through a fold, nulls for history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val s = sinkIn(dir)
+    s.merge(batch((1L, "a", 1L), (2L, "b", 1L)), 0L)
+    // upgraded application restarts the stream with an ADDED column:
+    // the sink must not let single-file schema inference (which reads
+    // the OLDEST root) silently drop it from the merged view
+    val evolved = Seq((2L, "b2", 2L, "x"), (3L, "c", 2L, "y"))
+      .toDF("k", "v", "n", "extra")
+    s.merge(evolved, 1L)
+    def extras =
+      s.read().collect()
+        .map(r => r.getAs[Long]("k") ->
+          Option(r.getAs[String]("extra"))).toMap
+    val before = extras
+    assert(before == Map(
+      1L -> None, 2L -> Some("x"), 3L -> Some("y")))
+    // the fold reads the same multi-root set: the merged schema (and
+    // the evolved rows' values) must survive compaction
+    s.compact(1L)
+    assert(extras == before)
+  }
 }

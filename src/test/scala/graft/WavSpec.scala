@@ -63,6 +63,27 @@ class WavSpec extends AnyFunSuite {
     fails(stereo, "only mono")
   }
 
+  test("hostile data-chunk size fails typed — no Int-wrap past the " +
+      "truncation check, no untyped allocation") {
+    val clean = Wav.encode(8000,
+      Array.tabulate(520)(i => AudioQueries.synthSample(7L, i)))
+    def le32set(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+      b(p + 2) = ((v >> 16) & 0xff).toByte
+      b(p + 3) = ((v >> 24) & 0xff).toByte
+    }
+    // data size word at 40: declare ~Int.MaxValue bytes in a 1 KB
+    // payload — off + dsize wrapped negative pre-fix and passed the
+    // bounds check, sending decode() into a ~2 GB allocation
+    val huge = clean.clone(); le32set(huge, 40, 0x7FFFFFF0L)
+    val e = intercept[IllegalArgumentException](Wav.header(huge))
+    assert(e.getMessage.contains("truncated sample data"), e.getMessage)
+    // a size word negative as an Int is rejected as a bad chunk size
+    val neg = clean.clone(); le32set(neg, 40, 0xFFFFFFF8L)
+    val e2 = intercept[IllegalArgumentException](Wav.header(neg))
+    assert(e2.getMessage.contains("bad chunk size"), e2.getMessage)
+  }
+
   test("fingerprint: planted pairs near, unrelated docs ~32/64 apart") {
     def bands(d: Long) = Wav.energyBands(
       Array.tabulate(AudioQueries.FpSamples)(i =>
