@@ -386,18 +386,22 @@ object MediaQueries {
   private val SqlG = sqlG
   private val SqlB = sqlB
 
-  /** Full-pipeline oracle: closed-form pixels → downsampled luminance →
-    * gradient bits → 16-bit bands → capped banded candidates → exact
-    * Hamming. Every intermediate is integer-exact on both engines.
+  /** The shared closed-form band pipeline as SQL CTEs — pixels (plant +
+    * jitter applied) → downsampled luminance → gradient bits → 16-bit
+    * bands, over ALL documents, with the train/test split bucket
+    * carried so bipartite consumers ([[mediaIngestStreamSql]]) can
+    * partition the doc set. Prefix for [[imageNeardupSql]] (all-pairs
+    * tail) and the streaming front-door oracle (corpus-vs-stream tail).
     */
-  val imageNeardupSql: String =
+  private val ndBandsCtes: String =
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % $NdPlantMod = $NdPlantRes
        |           AND doc_id >= $NdPlantMod
        |         THEN doc_id - $NdPlantDelta ELSE doc_id END AS src,
        |    (doc_id % $NdPlantMod = $NdPlantRes
-       |       AND doc_id >= $NdPlantMod) AS planted
+       |       AND doc_id >= $NdPlantMod) AS planted,
+       |    ${TextQueries.SplitBucketSql} AS bucket
        |  FROM documents),
        |g AS (
        |  SELECT m.doc_id, x.x AS gx, y.y AS gy,
@@ -420,7 +424,14 @@ object MediaQueries {
        |      AS band_val
        |  FROM bits WHERE gx < ${Ppm.DHashW - 1}
        |  GROUP BY doc_id, i // ${Ppm.DHashBandBits}),
-       |""".stripMargin + bandedTailSql(NdBandCap, NdMaxHamming)
+       |""".stripMargin
+
+  /** Full-pipeline oracle: closed-form pixels → downsampled luminance →
+    * gradient bits → 16-bit bands → capped banded candidates → exact
+    * Hamming. Every intermediate is integer-exact on both engines.
+    */
+  val imageNeardupSql: String =
+    ndBandsCtes + bandedTailSql(NdBandCap, NdMaxHamming)
 
   // ---------------------------------------------------------------------
   // REAL image bytes (r10 verdict #1): the same pixel closed forms, now
@@ -539,6 +550,192 @@ object MediaQueries {
        |  CASE WHEN doc_id % 10 NOT IN (4, 7) THEN sum_r END AS sum_r
        |FROM sums ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // STREAMING media ingest front door: the multimodal twin of the text
+  // tier's ingest gates. New documents (split bucket ≥ IncrSplit, the
+  // same 90/10 convention as dedup_incremental / the block front door)
+  // arrive as a stream of REAL PNG payloads; every trigger decodes them
+  // partition-parallel — malformed bytes (the planted bad-magic /
+  // truncated-IHDR rows) route to quarantine, never kill the trigger —
+  // dHashes the healthy ones, and banded-joins them STREAM-STATIC
+  // against the standing corpus's band index (bucket < IncrSplit,
+  // memoized once per corpus version like the postings / block-min
+  // artifacts). Verdict per doc: quarantined / dup (exact-Hamming ≤
+  // NdMaxHamming vs a corpus image, ties broken by (hamming,
+  // corpus_id)) / new. The planted near-dups (doc_id ≡ 3 mod 10 renders
+  // doc_id − 3's image jittered) resolve to 'dup' exactly when their
+  // source landed in the corpus slice — a fact both engines derive from
+  // the same split hash, never hard-coded. At 100 TB: the corpus index
+  // is band-granular warehouse state built once per corpus version;
+  // each trigger joins only its delta's ≤ 4·|batch| band rows against
+  // it, candidate volume capped by the hot-band rule.
+
+  /** Corpus-side band index over the IncrSplit corpus slice: one row
+    * per (corpus doc, band) with the full hash carried for the exact
+    * verify, hot bands (> [[NdBandCap]] members) excluded — the static
+    * side of the front door's per-trigger join.
+    */
+  private def corpusMediaBandsMemo(s: SparkSession, dir: String)
+      : DataFrame =
+    TextQueries.memoArtifact(s, dir, "corpus_media_bands") {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)),
+        1, 6), 16, 10).cast(LongType) % 100
+      val hashes = Tables.load(s, dir, "documents")
+        .filter(bucket < TextQueries.IncrSplit)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val bs = Ppm.dHashBandsOf(Png.decode(
+            Png.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))))
+          (d, bs(0), bs(1), bs(2), bs(3))
+        })
+        .toDF("corpus_id", "cb0", "cb1", "cb2", "cb3")
+      val banded = hashes.select(col("corpus_id"), col("cb0"),
+        col("cb1"), col("cb2"), col("cb3"),
+        posexplode(array(col("cb0"), col("cb1"), col("cb2"), col("cb3")))
+          .as(Seq("band_no", "band_val")))
+      banded.join(
+          broadcast(banded.groupBy("band_no", "band_val")
+            .agg(count(lit(1)).as("__c"))
+            .filter(col("__c") > NdBandCap)
+            .select("band_no", "band_val")),
+          Seq("band_no", "band_val"), "left_anti")
+        .localCheckpoint(true)
+    }
+
+  def mediaIngestStreamBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = Tables.load(s, dir, "documents").schema
+    val corpus = corpusMediaBandsMemo(s, dir)
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val bucket = conv(substring(md5(col("doc_id").cast(StringType)),
+          1, 6), 16, 10).cast(LongType) % 100
+        s.readStream.schema(schema).parquet(drop)
+          .filter(bucket >= TextQueries.IncrSplit)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { d =>
+            // the arriving payload: REAL PNG bytes, with the image
+            // tier's quarantine plants (mod-10 classes disjoint from
+            // the near-dup plant's)
+            val clean = Png.encode(ImgW, ImgH,
+              (x, y) => synthNdPixel(d, x, y))
+            val bytes =
+              if (d % 10 == 4) { val b = clean.clone(); b(0) = 0; b }
+              else if (d % 10 == 7)
+                java.util.Arrays.copyOfRange(clean, 0, 20)
+              else clean
+            try {
+              val bs = Ppm.dHashBandsOf(Png.decode(bytes))
+              (d, "ok", Option.empty[String],
+                Some(bs(0)), Some(bs(1)), Some(bs(2)), Some(bs(3)))
+            } catch {
+              case _: IllegalArgumentException =>
+                val reason =
+                  if (!Png.hasSignature(bytes)) "bad_magic" else "corrupt"
+                (d, "quarantined", Some(reason), Option.empty[Int],
+                  Option.empty[Int], Option.empty[Int], Option.empty[Int])
+            }
+          })
+          .toDF("doc_id", "decode_status", "reason",
+            "b0", "b1", "b2", "b3")
+          // quarantined rows carry a null band array: posexplode_outer
+          // keeps them as one null-band row the static join passes
+          // through, so the sink sees every arriving doc exactly once+
+          .select(col("doc_id"), col("decode_status"), col("reason"),
+            col("b0"), col("b1"), col("b2"), col("b3"),
+            posexplode_outer(when(col("decode_status") === "ok",
+              array(col("b0"), col("b1"), col("b2"), col("b3"))))
+              .as(Seq("band_no", "band_val")))
+          .join(corpus, Seq("band_no", "band_val"), "left_outer")
+          .withColumn("hamming",
+            when(col("corpus_id").isNotNull,
+              (bit_count(col("b0").bitwiseXOR(col("cb0"))) +
+               bit_count(col("b1").bitwiseXOR(col("cb1"))) +
+               bit_count(col("b2").bitwiseXOR(col("cb2"))) +
+               bit_count(col("b3").bitwiseXOR(col("cb3"))))
+                .cast("long")))
+          .select("doc_id", "decode_status", "reason", "corpus_id",
+            "hamming")
+      },
+      sink => {
+        // per-doc verdict: the exact-verified best match (min by
+        // (hamming, corpus_id) — partition-layout-independent)
+        val best = min(when(col("hamming") <= NdMaxHamming,
+          struct(col("hamming"), col("corpus_id")))).as("m")
+        sink.groupBy("doc_id")
+          .agg(first(col("decode_status")).as("ds"),
+            first(col("reason")).as("reason"), best)
+          .select(col("doc_id"),
+            when(col("ds") === "quarantined", lit("quarantined"))
+              .when(col("m").isNotNull, lit("dup"))
+              .otherwise(lit("new")).as("status"),
+            col("reason"),
+            col("m.corpus_id").as("dup_of"),
+            col("m.hamming").as("hamming"))
+          .orderBy("doc_id")
+      })
+  }
+
+  /** Oracle: the shared band CTEs over all docs, then the BIPARTITE
+    * tail — corpus-side hot-band cap, stream×corpus banded candidates
+    * (corrupt arrivals excluded: their bytes never decode), exact
+    * Hamming verify, best match by (hamming, corpus_id) — and the
+    * quarantine/new/dup CASE per arriving doc.
+    */
+  val mediaIngestStreamSql: String =
+    ndBandsCtes +
+    s"""sizes AS (
+       |  SELECT band_no, band_val, count(*) AS c
+       |  FROM bands JOIN m USING (doc_id)
+       |  WHERE m.bucket < ${TextQueries.IncrSplit}
+       |  GROUP BY band_no, band_val),
+       |cold AS (
+       |  SELECT b.doc_id, b.band_no, b.band_val FROM bands b
+       |  JOIN m USING (doc_id)
+       |  JOIN sizes s USING (band_no, band_val)
+       |  WHERE m.bucket < ${TextQueries.IncrSplit} AND s.c <= $NdBandCap),
+       |scand AS (
+       |  SELECT DISTINCT sb.doc_id, c.doc_id AS corpus_id
+       |  FROM bands sb JOIN m sm USING (doc_id)
+       |  JOIN cold c ON sb.band_no = c.band_no
+       |   AND sb.band_val = c.band_val
+       |  WHERE sm.bucket >= ${TextQueries.IncrSplit}
+       |    AND sm.doc_id % 10 NOT IN (4, 7)),
+       |h AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+       |    MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+       |    MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+       |    MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY doc_id),
+       |ham AS (
+       |  SELECT sc.doc_id, sc.corpus_id,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      AS BIGINT) AS hamming
+       |  FROM scand sc
+       |  JOIN h a ON a.doc_id = sc.doc_id
+       |  JOIN h b ON b.doc_id = sc.corpus_id),
+       |best AS (
+       |  SELECT doc_id, corpus_id, hamming, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY hamming, corpus_id) AS rn
+       |  FROM ham WHERE hamming <= $NdMaxHamming)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 10 IN (4, 7) THEN 'quarantined'
+       |       WHEN best.corpus_id IS NOT NULL THEN 'dup'
+       |       ELSE 'new' END AS status,
+       |  CASE WHEN d.doc_id % 10 = 4 THEN 'bad_magic'
+       |       WHEN d.doc_id % 10 = 7 THEN 'corrupt' END AS reason,
+       |  best.corpus_id AS dup_of, best.hamming AS hamming
+       |FROM (SELECT doc_id FROM m
+       |      WHERE bucket >= ${TextQueries.IncrSplit}) d
+       |LEFT JOIN best ON best.doc_id = d.doc_id AND best.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta_documents" -> (mediaMeta _),
     "media_features_documents" -> (mediaFeatures _),
@@ -548,6 +745,7 @@ object MediaQueries {
     "media_meta_png_documents" -> (mediaMetaPng _),
     "image_neardup_png_documents" -> (imageNeardupPng _),
     "media_quarantine_documents" -> (mediaQuarantine _),
+    "stream_media_ingest_bounded" -> (mediaIngestStreamBounded _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -559,5 +757,6 @@ object MediaQueries {
     "media_meta_png_documents" -> mediaMetaPngSql,
     "image_neardup_png_documents" -> imageNeardupSql,
     "media_quarantine_documents" -> mediaQuarantineSql,
+    "stream_media_ingest_bounded" -> mediaIngestStreamSql,
   )
 }

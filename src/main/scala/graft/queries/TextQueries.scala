@@ -36,7 +36,7 @@ object TextQueries {
     * dedup_incremental must all agree with the Scala side about which
     * docs are train.
     */
-  private val SplitBucketSql =
+  private[queries] val SplitBucketSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100"
 
   /** The split label the bucket implies (80/10/10). */
@@ -950,8 +950,10 @@ object TextQueries {
   private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long, Long, Int, String), AnyRef]
 
-  private def memoArtifact[T <: AnyRef](s: SparkSession, dir: String,
-                                        name: String)(build: => T): T = {
+  private[queries] def memoArtifact[T <: AnyRef](s: SparkSession,
+                                                 dir: String,
+                                                 name: String)(
+      build: => T): T = {
     val p = new java.io.File(s"$dir/documents.parquet")
     val parts = Option(p.listFiles())
       .map(_.filter(_.getName.endsWith(".parquet")).toSeq)
