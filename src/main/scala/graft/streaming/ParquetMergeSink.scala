@@ -70,6 +70,36 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
   private val root = Paths.get(dir)
   Files.createDirectories(root)
 
+  // ---- schema-evolution bookkeeping -----------------------------------
+  // `_schema` = fingerprint of the last-written batch schema;
+  // `_evolved` = sticky marker that SOME two roots on disk may disagree
+  // (set the moment an arriving batch's schema differs from the last).
+  // readRoots() merges parquet schemas only when the marker exists:
+  // schema merging is a per-read all-footers job, and paying it on
+  // every monitor-gate read measured +2-3 s per heavy stream gate at
+  // sf0.1 — for sinks whose schema never changes. The marker is written
+  // BEFORE the differing delta lands (crash between the two at worst
+  // leaves a false-positive marker, which only costs the merge reads);
+  // it stays sticky because bucket-targeted folds never rewrite
+  // untouched buckets, so old-schema files can outlive any one fold.
+  private val schemaFile = root.resolve("_schema")
+  private val evolvedMarker = root.resolve("_evolved")
+
+  private def noteSchema(
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sig = schema.fields
+      .map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!Files.exists(schemaFile)) Files.write(schemaFile, sig)
+    else if (!java.util.Arrays.equals(Files.readAllBytes(schemaFile),
+        sig)) {
+      if (!Files.exists(evolvedMarker)) Files.write(evolvedMarker,
+        Array.emptyByteArray)
+      Files.write(schemaFile, sig)
+    }
+  }
+
   private def list(prefix: String): Seq[Path] = {
     val walk = Files.list(root)
     try walk.iterator().asScala.toSeq
@@ -114,6 +144,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     val stamped = batch
       .withColumn("__batch_id", lit(batchId))
       .withColumn("__pri", lit(1))
+    noteSchema(stamped.schema)
     if (keyed) {
       val bucketed = stamped
         .withColumn("__bucket",
@@ -187,11 +218,13 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     * the inferred schema is the oldest — where the pre-r11 per-root
     * unionByName at least failed loudly. Merging unions the root
     * schemas and nulls the missing values, the long-lived-table
-    * posture; the extra footer reads are bounded by maxDeltas +
-    * nBuckets.
+    * posture — but ONLY once the `_evolved` marker says the roots can
+    * actually disagree (see the bookkeeping note at [[noteSchema]]):
+    * merging is an all-footers job per read, and a never-evolved sink
+    * must not pay it on every monitor read.
     */
   private def readRoots(paths: Seq[Path]): DataFrame =
-    spark.read.option("mergeSchema", true)
+    spark.read.option("mergeSchema", Files.exists(evolvedMarker))
       .parquet(paths.map(_.toString): _*)
 
   /** Total on-disk bytes of the given delta dirs — file stats only. */

@@ -80,7 +80,13 @@ class MergeSinkSpec extends AnyFunSuite {
       try walk.iterator().asScala.toSeq.foreach { p =>
         val t = to.resolve(from.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(t)
-        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        else {
+          Files.createDirectories(t.getParent)
+          // the sink keeps standing files (_schema) at the root now —
+          // a crash-window restore legitimately re-copies over them
+          Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       } finally walk.close()
     }
     val dir = Files.createTempDirectory("mergesink")
