@@ -102,8 +102,14 @@ object Bench {
             None
           }
         }.toVector
-        // replace only with a defensible sample: ≥2 clean solo reps.
-        // Fewer → keep the sweep numbers and say so in the detail JSON.
+        // replace only with a defensible sample: ≥2 clean solo reps AND
+        // a solo spread no worse than the sweep spread (r11 verdict: on
+        // a hot machine the solo probe itself can be the contaminated
+        // measurement — r11's raw artifact published pipeline_quickstart
+        // at 70.4 s solo [spread 68.1!] over its own 9.3 s sweep median,
+        // inflating the headline 37%; the published number must always
+        // be the LOWER-variance sample). Fewer clean reps, or a noisier
+        // solo → keep the sweep numbers and say so in the detail JSON.
         // A solo failure lands in the shared errors map ONLY on the
         // keep-sweep path: when ≥2 clean solo reps replaced the samples
         // the published median is real, and an errors entry alongside it
@@ -115,11 +121,13 @@ object Bench {
         if (solo.size >= 2) {
           val flaked = if (soloErrs.isEmpty) ""
             else s""","solo_flake":${jstr(soloErrs.mkString(" | "))}"""
+          val replaced = solo.max - solo.min < v.max - v.min
           soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
             s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
             s""""solo_median":${f"${median(solo)}%.3f"},""" +
-            s""""solo_spread":${f"${solo.max - solo.min}%.3f"}$flaked}"""
-          times(name) = solo
+            s""""solo_spread":${f"${solo.max - solo.min}%.3f"},""" +
+            s""""published":"${if (replaced) "solo" else "sweep"}"$flaked}"""
+          if (replaced) times(name) = solo
         } else {
           if (soloErrs.nonEmpty)
             errors(name) = "solo: " + soloErrs.mkString(" | ").take(230)

@@ -28,6 +28,7 @@ object SparkEntry {
     (MediaQueries.queries, MediaQueries.oracles),
     (AudioQueries.queries, AudioQueries.oracles),
     (VideoQueries.queries, VideoQueries.oracles),
+    (JpegQueries.queries, JpegQueries.oracles),
     (ConfigQueries.queries, ConfigQueries.oracles),
     (RecallQueries.queries, RecallQueries.oracles),
   )

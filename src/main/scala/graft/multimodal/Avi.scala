@@ -128,30 +128,40 @@ object Avi {
     require(Riff.hasMagic(bytes, "AVI "),
       "avi: not a RIFF/AVI payload")
     val (hdrl, hdrlSize) = findList(bytes, "hdrl")
+    // the hdrl list's own declared extent bounds everything below: a
+    // spec-conforming file may carry extra chunks after strl (odml,
+    // vedt, ...) and the scan must not walk past the list into movi
+    val hdrlEnd = math.min(hdrl.toLong + hdrlSize,
+      bytes.length.toLong).toInt
     require(hdrl + 64 <= bytes.length, "avi: truncated hdrl list")
     require(tag(bytes, hdrl) == "avih" &&
       hdrlSize >= 64, "avi: truncated avih header")
+    val avihSize = Riff.chunkSize(bytes, hdrl, "avi")
+    require(avihSize >= 56 && hdrl + 8 + avihSize <= bytes.length,
+      "avi: truncated avih header")
     val usPerFrame = le32(bytes, hdrl + 8).toInt
     val nFrames = le32(bytes, hdrl + 24).toInt
     val width = le32(bytes, hdrl + 40).toInt
     val height = le32(bytes, hdrl + 44).toInt
     require(width > 0 && height > 0 && nFrames > 0 && usPerFrame > 0,
       "avi: bad avih geometry")
-    // find strf inside strl to validate the pixel format contract
-    var pos = hdrl + 8 + 56
+    // find strf inside strl to validate the pixel format contract;
+    // advance past avih by its DECLARED size (r11 advice — an extended
+    // avih is spec-legal), and bound the scan by the hdrl extent
+    var pos = Riff.nextChunk(hdrl, avihSize, hdrlEnd)
     var sawStrf = false
-    while (!sawStrf && pos + 8 <= bytes.length) {
+    while (!sawStrf && pos + 8 <= hdrlEnd) {
       val id = tag(bytes, pos)
       val size = Riff.chunkSize(bytes, pos, "avi")
       if (id == "LIST") pos += 12 // descend into strl
       else if (id == "strf") {
-        require(pos + 8 + 40 <= bytes.length, "avi: truncated strf")
+        require(pos + 8 + 40 <= hdrlEnd, "avi: truncated strf")
         require(le16(bytes, pos + 8 + 14) == 24,
           "avi: only 24-bit frames supported")
         require(le32(bytes, pos + 8 + 16) == 0,
           "avi: only BI_RGB (uncompressed) supported")
         sawStrf = true
-      } else pos = Riff.nextChunk(pos, size, bytes.length)
+      } else pos = Riff.nextChunk(pos, size, hdrlEnd)
     }
     require(sawStrf, "avi: missing strf format header")
     Info(width, height, nFrames, usPerFrame)

@@ -30,6 +30,21 @@ object MultimodalOps {
       .otherwise("unknown")
   }
 
+  /** JVM-side magic dispatch over the implemented codecs — the
+    * heterogeneous-ingest twin of [[sniffFormat]] (which is a column
+    * expression and cannot tell WAV from AVI inside the shared RIFF
+    * magic). Used by the mixed-format front door to route each payload
+    * to its codec leg; anything unrecognized quarantines as bad_magic.
+    */
+  def sniffBytes(bytes: Array[Byte]): String =
+    if (Png.hasSignature(bytes)) "png"
+    else if (Jpeg.hasSignature(bytes)) "jpeg"
+    else if (Riff.hasMagic(bytes, "WAVE")) "wav"
+    else if (Riff.hasMagic(bytes, "AVI ")) "avi"
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      "ppm"
+    else "unknown"
+
   /** Byte size, content hash, and sniffed container format for a binary
     * media column — pure column expressions, one scan.
     */

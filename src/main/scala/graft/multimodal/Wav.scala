@@ -74,7 +74,14 @@ object Wav {
     * class — the quarantine taxonomy keys on these, never on a JVM
     * internal message.
     */
-  def header(bytes: Array[Byte]): Header = {
+  def header(bytes: Array[Byte]): Header = parse(bytes)._1
+
+  /** The one chunk walk both [[header]] and [[decode]] share: returns
+    * the parsed header AND the data-chunk body offset, so decode never
+    * re-walks the chunk list with weaker bounds than the validated pass
+    * (r11 advice — the old re-walk was safe only by call order).
+    */
+  private def parse(bytes: Array[Byte]): (Header, Int) = {
     require(Riff.hasMagic(bytes, "WAVE"), "wav: not a RIFF/WAVE payload")
     var pos = 12
     var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
@@ -112,20 +119,12 @@ object Wav {
     require(off.toLong + dsize <= bytes.length.toLong,
       "wav: truncated sample data")
     require(dsize % 2 == 0, "wav: odd PCM16 data size")
-    Header(rate, channels, bits, dsize / 2)
+    (Header(rate, channels, bits, dsize / 2), off)
   }
 
   /** Full decode: header + the PCM16 samples. */
   def decode(bytes: Array[Byte]): (Header, Array[Short]) = {
-    val h = header(bytes)
-    // re-walk to the data chunk start (header() validated the walk)
-    var pos = 12
-    var off = -1
-    while (off < 0) {
-      val size = Riff.chunkSize(bytes, pos, "wav")
-      if (tag(bytes, pos) == "data") off = pos + 8
-      else pos = Riff.nextChunk(pos, size, bytes.length)
-    }
+    val (h, off) = parse(bytes)
     val samples = new Array[Short](h.nSamples)
     var i = 0
     while (i < h.nSamples) {

@@ -21,13 +21,19 @@ private[queries] object QuarantineGate {
     */
   def row(d: Long, clean: Array[Byte], truncAt: Int,
       magicOk: Array[Byte] => Boolean, headerBytes: Int,
-      stat: Array[Byte] => Long)
+      stat: Array[Byte] => Long,
+      tailKeep: Int => Int = _ - 10)
       : (Long, String, Option[String], Option[Long]) = {
     val bytes =
       if (d % 10 == 4) { val b = clean.clone(); b(0) = 0; b }
       else if (d % 10 == 7) java.util.Arrays.copyOfRange(clean, 0, truncAt)
       else if (d % 10 == 9)
-        java.util.Arrays.copyOfRange(clean, 0, clean.length - 10)
+        // tail cut: `len - 10` for the lossless codecs (any missing
+        // sample fails their declared-size checks); a lossy codec's
+        // decoder tolerates a trimmed tail (ImageIO decodes a JPEG
+        // missing its last 10 bytes), so its leg cuts deeper — into the
+        // entropy-coded scan — via its own tailKeep
+        java.util.Arrays.copyOfRange(clean, 0, tailKeep(clean.length))
       else clean
     // per-row quarantine: decode failures become data, not job death;
     // reasons are OUR deterministic sniff taxonomy, never a JVM

@@ -85,14 +85,36 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
   private val schemaFile = root.resolve("_schema")
   private val evolvedMarker = root.resolve("_evolved")
 
-  private def noteSchema(
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val sig = schema.fields
+  private def schemaSig(
+      schema: org.apache.spark.sql.types.StructType): Array[Byte] =
+    schema.fields
       .map(f => s"${f.name}:${f.dataType.catalogString}")
       .sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (!Files.exists(schemaFile)) Files.write(schemaFile, sig)
-    else if (!java.util.Arrays.equals(Files.readAllBytes(schemaFile),
+
+  private def noteSchema(
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sig = schemaSig(schema)
+    if (!Files.exists(schemaFile)) {
+      // BOOTSTRAP (r11 advice): a sink dir created before this
+      // bookkeeping existed has roots on disk but no `_schema` file.
+      // Seeding the fingerprint from the INCOMING batch would make an
+      // upgraded-application restart (evolved schema over an old base)
+      // look never-evolved — exactly the silent-column-drop the marker
+      // was built to prevent. Derive the baseline from an existing
+      // root's parquet footer instead (one footer read, paid once ever)
+      // and compare THAT against the incoming batch.
+      val preexisting = (list("base-") ++ list("delta-")).headOption
+      val baseline = preexisting.map { p =>
+        val leaf = { val bs = bucketDirs(p); bs.headOption.getOrElse(p) }
+        schemaSig(spark.read.parquet(leaf.toString).schema)
+      }.getOrElse(sig)
+      Files.write(schemaFile, baseline)
+      if (!java.util.Arrays.equals(baseline, sig)) {
+        Files.write(evolvedMarker, Array.emptyByteArray)
+        Files.write(schemaFile, sig)
+      }
+    } else if (!java.util.Arrays.equals(Files.readAllBytes(schemaFile),
         sig)) {
       if (!Files.exists(evolvedMarker)) Files.write(evolvedMarker,
         Array.emptyByteArray)
@@ -296,10 +318,18 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       else {
         // no matching bucket dir on disk (keys never written, or only
         // flat-empty parts exist): an empty merged table in the sink's
-        // schema, recovered from any schema-bearing root
+        // schema. Routed through readRoots over the SAME leaf-flattened
+        // root set a non-empty lookup reads (r11 advice) — a
+        // single-root read of the lexicographically-oldest root on an
+        // EVOLVED sink would be missing the newer columns, so the
+        // point-lookup result schema would depend on whether any
+        // bucket dir matched.
         val roots = list("base-") ++ list("delta-")
         require(roots.nonEmpty, s"MERGE sink at $dir received no batch")
-        spark.read.parquet(roots.head.toString).drop("__bucket").limit(0)
+        readRoots(roots.flatMap { p =>
+          val bs = bucketDirs(p)
+          if (bs.nonEmpty) bs else Seq(p)
+        }).limit(0)
       }
     latestWins(all.join(broadcast(lk), keys, "left_semi"))
       .drop("__batch_id", "__pri")

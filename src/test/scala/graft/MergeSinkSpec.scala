@@ -342,4 +342,63 @@ class MergeSinkSpec extends AnyFunSuite {
     s.compact(1L)
     assert(extras == before)
   }
+
+  test("upgrade-path bootstrap: a sink dir created before the _schema " +
+      "bookkeeping still detects an evolved restart (r11 advice)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val s = sinkIn(dir)
+    s.merge(batch((1L, "a", 1L), (2L, "b", 1L)), 0L)
+    // simulate the pre-r11 on-disk state: roots exist, no bookkeeping
+    java.nio.file.Files.deleteIfExists(dir.resolve("_schema"))
+    java.nio.file.Files.deleteIfExists(dir.resolve("_evolved"))
+    // a fresh sink instance (restarted application) delivers an EVOLVED
+    // batch as its first write; seeding the fingerprint from that batch
+    // would mark the sink never-evolved and silently drop the column
+    val s2 = sinkIn(dir)
+    s2.merge(Seq((3L, "c", 2L, "y")).toDF("k", "v", "n", "extra"), 1L)
+    assert(java.nio.file.Files.exists(dir.resolve("_evolved")),
+      "bootstrap against on-disk roots must detect the evolution")
+    val out = s2.read().collect()
+      .map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[String]("extra"))).toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some("y")))
+    // and the non-evolved upgrade path stays unmarked: same-schema
+    // first write over pre-bookkeeping roots must NOT pay merge reads
+    val dir2 = java.nio.file.Files.createTempDirectory("mergesink")
+    val t = sinkIn(dir2)
+    t.merge(batch((1L, "a", 1L)), 0L)
+    java.nio.file.Files.deleteIfExists(dir2.resolve("_schema"))
+    val t2 = sinkIn(dir2)
+    t2.merge(batch((2L, "b", 2L)), 1L)
+    assert(!java.nio.file.Files.exists(dir2.resolve("_evolved")),
+      "same-schema bootstrap must not set the sticky merge marker")
+  }
+
+  test("point-lookup on an evolved sink: the no-matching-bucket empty " +
+      "result carries the SAME merged schema as a hit (r11 advice)") {
+    import spark.implicits._
+    // two keys landing in DIFFERENT buckets of a 2-bucket layout, so a
+    // lookup for the unwritten one deterministically finds no matching
+    // __bucket= dir and takes the empty-result fallback path
+    val hashed = spark.range(0, 16)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kA = hashed.collectFirst { case (k, 0L) => k }.get
+    val kB = hashed.collectFirst { case (k, 1L) => k }.get
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val s = new ParquetMergeSink(spark, dir.toString, Seq("k"),
+      compactEvery = 0, nBuckets = 2)
+    // only bucket-A keys are ever written; batch 1 evolves the schema
+    s.merge(batch((kA, "a", 1L)), 0L)
+    s.merge(Seq((kA, "a2", 2L, "x")).toDF("k", "v", "n", "extra"), 1L)
+    val hit = s.read(Seq(kA).toDF("k"))
+    assert(hit.columns.contains("extra"),
+      "evolved column must be present in point-lookup results")
+    val miss = s.read(Seq(kB).toDF("k")) // bucket B: no dir on disk
+    assert(miss.columns.sorted.sameElements(hit.columns.sorted),
+      s"evolved lookup schemas differ: ${hit.columns.toSeq} vs " +
+        s"${miss.columns.toSeq}")
+    assert(miss.count() == 0)
+  }
 }
