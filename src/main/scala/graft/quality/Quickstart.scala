@@ -121,15 +121,35 @@ object Quickstart {
                    t: TableCfg): Seq[TestDef] = {
     val wanted = t.cols.map(_.column).toSet
     val cps = ColProfile.fromRows(prof).filter(cp => wanted(cp.column))
-    val lovs = cps
+    val lovCols = cps
       .filter(cp => cp.dataType == "string" &&
         cp.distinctCt.exists(d => d > 1 && d <= 20))
-      .map { cp =>
-        cp.column -> df.filter(col(cp.column).isNotNull)
-          .groupBy(col(cp.column)).agg(count(lit(1)).as("ct"))
-          .orderBy(col("ct").desc, col(cp.column).asc)
-          .collect().map(_.getString(0)).toSeq
-      }.toMap
+      .map(_.column)
+    val lovs =
+      if (lovCols.isEmpty) Map.empty[String, Seq[String]]
+      else {
+        // ONE job for ALL LOV columns (r11 verdict #5; was one
+        // groupBy-collect PER column — at 100 TB each LOV column cost
+        // an extra full-table scan): unpivot the triggered columns to
+        // (col_name, value) rows in the same scan and count in a
+        // single grouped pass. The collect is control-plane-sized by
+        // the trigger itself (≤ 20 values per column); the (count
+        // desc, value asc) LOV order is imposed driver-side on those
+        // bounded rows, identical to the old per-column orderBy.
+        val counts = df
+          .select(explode(array(lovCols.map(c =>
+              struct(lit(c).as("col_name"),
+                col(c).cast("string").as("value"))): _*)).as("kv"))
+          .select(col("kv.col_name"), col("kv.value"))
+          .filter(col("value").isNotNull)
+          .groupBy("col_name", "value")
+          .agg(count(lit(1)).as("ct"))
+          .collect()
+        counts.groupBy(_.getString(0)).map { case (c, rows) =>
+          c -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+            .map(_.getString(1)).toSeq
+        }
+      }
     TestGenerator.generate(cps, lovs)
   }
 
@@ -138,11 +158,39 @@ object Quickstart {
   /** profile → generate → evaluate → export, as saga steps sharing a
     * ctx. Any required-step failure marks the job failed and the caller
     * refuses to serve a partial rollup. (The compensation matrix itself
-    * — skip/abort/finalizer ordering — is PipelineSpec's subject.)
+    * — skip/abort/finalizer ordering — is PipelineSpec's subject;
+    * QuickstartSpec's failure-injection case kills THIS saga
+    * mid-evaluate and asserts the compensation order and the rerun's
+    * convergence.)
     */
   def run(s: SparkSession, dir: String): DataFrame = {
+    val res = runJob(s, dir)
+    require(res.succeeded, "quickstart saga failed: " +
+      res.steps.map(st => s"${st.name}=${st.status}${
+        st.message.map(m => s"($m)").getOrElse("")}").mkString(", "))
+    res.ctx("rollup").asInstanceOf[DataFrame]
+  }
+
+  /** The saga with its full result exposed, plus a failure-injection
+    * seam (r11 verdict #7, the `stream_liveness_availablenow` pattern):
+    * `failHook(stepName)` runs at the top of every step's execute —
+    * a hook that throws kills the job at that step. On failure each
+    * EXECUTED step's compensation discards its partial ctx outputs in
+    * REVERSE order (the saga contract), recording itself under
+    * `compensated` so a harness can assert the order; a rerun then
+    * starts from nothing and must converge to the uninterrupted
+    * rollup.
+    */
+  def runJob(s: SparkSession, dir: String,
+             failHook: String => Unit = _ => ())
+      : MultiStepJob.JobResult = {
     import MultiStepJob._
     val tables = Config.map(_.table)
+    def compensate(ctx: Ctx, name: String, keys: Seq[String]): Unit = {
+      keys.foreach(ctx.remove)
+      ctx.update("compensated", ctx.getOrElse("compensated",
+        Seq.empty[String]).asInstanceOf[Seq[String]] :+ name)
+    }
     val steps = Seq(
       new Step {
         val name = "profile"
@@ -155,46 +203,59 @@ object Quickstart {
                 s"${t.table} lacks configured columns $missing")
           }
         def execute(ctx: Ctx): Unit = {
+          failHook(name)
           val profiles = Profiler.profileMany(
             Config.map(t => (Tables.load(s, dir, t.table), t.table)))
           tables.zip(profiles).foreach { case (t, p) =>
             ctx.update(s"profile:$t", p)
           }
         }
+        override def onJobFail(ctx: Ctx): Unit =
+          compensate(ctx, name, tables.map(t => s"profile:$t"))
       },
       new Step {
         val name = "generate"
-        def execute(ctx: Ctx): Unit = Config.foreach { t =>
-          val prof = ctx(s"profile:${t.table}").asInstanceOf[DataFrame]
-          val defs = generateDefs(Tables.load(s, dir, t.table), prof, t)
-          if (defs.isEmpty)
-            throw new AbortJob(s"generation produced no tests for ${t.table}")
-          ctx.update(s"defs:${t.table}", defs)
+        def execute(ctx: Ctx): Unit = {
+          failHook(name)
+          Config.foreach { t =>
+            val prof = ctx(s"profile:${t.table}").asInstanceOf[DataFrame]
+            val defs = generateDefs(Tables.load(s, dir, t.table), prof, t)
+            if (defs.isEmpty)
+              throw new AbortJob(
+                s"generation produced no tests for ${t.table}")
+            ctx.update(s"defs:${t.table}", defs)
+          }
         }
+        override def onJobFail(ctx: Ctx): Unit =
+          compensate(ctx, name, tables.map(t => s"defs:$t"))
       },
       new Step {
         val name = "evaluate"
-        def execute(ctx: Ctx): Unit = Config.foreach { t =>
-          val defs = ctx(s"defs:${t.table}").asInstanceOf[Seq[TestDef]]
-          ctx.update(s"outcomes:${t.table}",
-            TestEvaluator.run(Tables.load(s, dir, t.table), defs))
+        def execute(ctx: Ctx): Unit = {
+          failHook(name)
+          Config.foreach { t =>
+            val defs = ctx(s"defs:${t.table}").asInstanceOf[Seq[TestDef]]
+            ctx.update(s"outcomes:${t.table}",
+              TestEvaluator.run(Tables.load(s, dir, t.table), defs))
+          }
         }
+        override def onJobFail(ctx: Ctx): Unit =
+          compensate(ctx, name, tables.map(t => s"outcomes:$t"))
       },
       new Step {
         val name = "export"
         def execute(ctx: Ctx): Unit = {
+          failHook(name)
           val all = tables
             .map(t => ctx(s"outcomes:$t").asInstanceOf[DataFrame])
             .reduce(_ unionByName _)
           ctx.update("rollup", OutcomeExport.statusRollup(
             OutcomeExport.pack(all, SuiteName, component = Component)))
         }
+        override def onJobFail(ctx: Ctx): Unit =
+          compensate(ctx, name, Seq("rollup"))
       })
-    val res = MultiStepJob.execute(steps)
-    require(res.succeeded, "quickstart saga failed: " +
-      res.steps.map(st => s"${st.name}=${st.status}${
-        st.message.map(m => s"($m)").getOrElse("")}").mkString(", "))
-    res.ctx("rollup").asInstanceOf[DataFrame]
+    MultiStepJob.execute(steps)
   }
 
   // ---- oracle side: the symbolic suite ------------------------------------

@@ -903,6 +903,17 @@ object EventQueries {
       graft.events.ControlPlane.instanceRules(s, "instance"))
   }
 
+  /** The same rule loop via the STREAM path (r11 verdict #8): the
+    * streaming OOS detector's alerts pass through the rule engine
+    * IN-STREAM (per micro-batch), the run-level FAILED_RUN leg resolves
+    * post-drain from the streaming sessionizer's assignments — under
+    * the SAME generated-from-fixture oracle as the batch query.
+    */
+  def streamRuleAlertsBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.instanceAlertsBounded(s, dir,
+      GapSeconds, Dag.closureLocal(Dag.FunnelEdges).toSet,
+      graft.events.ControlPlane.instanceRules(s, "instance"))
+
   /** Oracle GENERATED from the same fixture (the ControlPlane pattern):
     * the alert stream is the union of the OOS and failed-run mirrors'
     * cores, each rule a branch filtered by its type_matches list with
@@ -1073,6 +1084,36 @@ object EventQueries {
   def streamVolumeRestart(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.volumeSummariesRestart(s, dir)
 
+  /** RocksDB state-store gates (r11 verdict #3): the SAME restart /
+    * state-evolution / journey gates, run with
+    * `spark.sql.streaming.stateStore.providerClass` set to the
+    * spillable RocksDB provider — the production posture once keyed
+    * state outgrows executor heap — under the SAME batch oracles. A
+    * hash match proves the operators are provider-agnostic: identical
+    * session/journey/state-upgrade results whether state lives on-heap
+    * or in RocksDB. (No silent fallback exists: an unloadable provider
+    * class fails the stream start loudly.)
+    */
+  def streamSessionsRestartRocksdb(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.streaming.StreamingOps.withStateStoreProvider(s,
+      graft.streaming.StreamingOps.RocksDbProvider) {
+      streamSessionsRestart(s, dir)
+    }
+
+  def streamSessionsEvolveRocksdb(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.streaming.StreamingOps.withStateStoreProvider(s,
+      graft.streaming.StreamingOps.RocksDbProvider) {
+      streamSessionsEvolve(s, dir)
+    }
+
+  def streamJourneysRocksdb(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.withStateStoreProvider(s,
+      graft.streaming.StreamingOps.RocksDbProvider) {
+      streamJourneysBounded(s, dir)
+    }
+
   /** Trigger.AvailableNow catch-up drains with an injected mid-drain
     * failure + checkpoint recovery (r8 verdict missing #3) — one
     * stateless-state session query, one stateful update-mode monitor
@@ -1173,10 +1214,14 @@ object EventQueries {
     "stream_liveness_update" -> (streamLivenessUpdate _),
     "stream_sessions_restart" -> (streamSessionsRestart _),
     "stream_sessions_evolve" -> (streamSessionsEvolve _),
+    "stream_sessions_restart_rocksdb" -> (streamSessionsRestartRocksdb _),
+    "stream_sessions_evolve_rocksdb" -> (streamSessionsEvolveRocksdb _),
+    "stream_journeys_rocksdb" -> (streamJourneysRocksdb _),
     "stream_sessions_availablenow" -> (streamSessionsAvailableNow _),
     "stream_liveness_availablenow" -> (streamLivenessAvailableNow _),
     "stream_volume_restart" -> (streamVolumeRestart _),
     "stream_oos_multi_bounded" -> (streamOosMultiBounded _),
+    "stream_rule_alerts_bounded" -> (streamRuleAlertsBounded _),
     "ev_journeys" -> (journeys _),
     "ev_journeys_bounded" -> (journeysBounded _),
     "ev_journeys_payload" -> (journeysPayload _),
@@ -1222,10 +1267,14 @@ object EventQueries {
     "stream_liveness_update" -> livenessSql,
     "stream_sessions_restart" -> streamSessionsBoundedSql,
     "stream_sessions_evolve" -> streamSessionsBoundedSql,
+    "stream_sessions_restart_rocksdb" -> streamSessionsBoundedSql,
+    "stream_sessions_evolve_rocksdb" -> streamSessionsBoundedSql,
+    "stream_journeys_rocksdb" -> journeysBoundedSql,
     "stream_sessions_availablenow" -> streamSessionsBoundedSql,
     "stream_liveness_availablenow" -> livenessSql,
     "stream_volume_restart" -> volumeAnomaliesSql,
     "stream_oos_multi_bounded" -> outOfSequenceMultiSql,
+    "stream_rule_alerts_bounded" -> ruleInstanceAlertsSql,
     "ev_journeys" -> journeysSql,
     "ev_journeys_bounded" -> journeysBoundedSql,
     "ev_journeys_payload" -> journeysPayloadSql,

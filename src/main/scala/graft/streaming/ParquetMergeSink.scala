@@ -43,7 +43,11 @@ import org.apache.spark.sql.functions._
   * tie deterministically (delta wins; contents are identical under
   * Structured Streaming's deterministic replay). Single-writer
   * assumption: one streaming query owns the directory — Structured
-  * Streaming guarantees non-overlapping foreachBatch calls per query.
+  * Streaming guarantees non-overlapping foreachBatch calls per query —
+  * and the assumption is ENFORCED by an epoch lease (r11): a second
+  * writer opening the same dir fences the first, whose next write
+  * fails loudly instead of interleaving generations (see the fencing
+  * note at [[checkFence]]).
   *
   * APPEND MODE (`keys` empty, r10 — replaces the r9 `Seq("__none")`
   * placeholder whose compaction died on an unresolved column and
@@ -84,6 +88,58 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
   // untouched buckets, so old-schema files can outlive any one fold.
   private val schemaFile = root.resolve("_schema")
   private val evolvedMarker = root.resolve("_evolved")
+
+  // ---- concurrent-writer fencing --------------------------------------
+  // (r11 verdict #4) The sink's replay-idempotence story assumes ONE
+  // writer owns the directory; two streams pointed at the same root
+  // would interleave delta/base generations and corrupt a fold. The
+  // guard is an EPOCH LEASE, the standard fencing-token scheme: each
+  // writer claims max-epoch-plus-one at open by atomically creating
+  // `_writer-<epoch>` (CREATE_NEW — the filesystem arbitrates races),
+  // and every mutation (merge, compact, and compact's publish step
+  // specifically) first checks it still holds the HIGHEST epoch on
+  // disk. A newer writer therefore fences every older one: the old
+  // writer's next write fails loudly (IllegalStateException) instead of
+  // interleaving, and a fold that was mid-flight when the fence landed
+  // aborts BEFORE its publish — the new writer's generations are never
+  // clobbered by a stale fold. This is also the right restart
+  // semantics: a recovered application instance opens a fresh sink on
+  // the same dir and automatically supersedes its predecessor.
+  // (Reference analog: the backend's MySQL sink is inherently
+  // multi-client, dk-installer.py:1832-1847 — the parquet sink makes
+  // the single-writer assumption EXPLICIT and enforced rather than
+  // silent.)
+  private val epoch: Long = {
+    var e = maxEpochOnDisk() + 1
+    var claimed = -1L
+    while (claimed < 0)
+      try {
+        Files.createFile(root.resolve(f"_writer-$e%019d"))
+        claimed = e
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => e += 1
+      }
+    claimed
+  }
+
+  private def maxEpochOnDisk(): Long =
+    list("_writer-")
+      .map(_.getFileName.toString.stripPrefix("_writer-").toLong)
+      .maxOption.getOrElse(0L)
+
+  /** Test seam: runs after a fold's tmp write, before its pre-publish
+    * fence re-check — the only way to exercise the mid-fold fence
+    * window deterministically.
+    */
+  private[graft] var beforePublishHook: () => Unit = () => ()
+
+  private def checkFence(): Unit = {
+    val max = maxEpochOnDisk()
+    if (max > epoch)
+      throw new IllegalStateException(
+        s"MERGE sink at $dir fenced: writer epoch $epoch superseded " +
+          s"by $max — a newer writer owns this directory")
+  }
 
   private def schemaSig(
       schema: org.apache.spark.sql.types.StructType): Array[Byte] =
@@ -162,6 +218,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     * bucket-partitioned so compaction can target them.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = {
+    checkFence()
     val out = root.resolve(f"delta-$batchId%09d")
     val stamped = batch
       .withColumn("__batch_id", lit(batchId))
@@ -354,6 +411,7 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     * demoted to base precedence.
     */
   def compact(uptoBatch: Long): Unit = {
+    checkFence()
     val foldedDeltas = list("delta-")
       .filter(_.getFileName.toString.stripPrefix("delta-").toLong
         <= uptoBatch)
@@ -444,6 +502,17 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       .map(k => root.resolve(
         if (k == 0) f"base-$uptoBatch%09d" else f"base-$uptoBatch%09d-$k"))
       .find(!Files.exists(_)).get
+    // the fence's critical re-check: a writer superseded DURING the
+    // fold must abort before publishing — its inputs may already be
+    // stale against the new writer's deltas, and publishing would
+    // clobber or resurrect them. The tmp dir is swept; nothing visible
+    // to readers changed. (beforePublishHook is the spec's seam for
+    // landing a fence deterministically inside this window.)
+    beforePublishHook()
+    try checkFence()
+    catch {
+      case e: IllegalStateException => rmTree(tmp); throw e
+    }
     Files.move(tmp, publish)
     if (!keyed) {
       baseGens.foreach(rmTree)

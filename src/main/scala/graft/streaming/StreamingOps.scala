@@ -687,6 +687,35 @@ object StreamingOps {
     }
   }
 
+  /** RocksDB state-store posture (r11 verdict #3): at 100 TB the keyed
+    * session/journey state is the first thing that outgrows executor
+    * heap, and Spark's answer is the spillable RocksDB provider. The
+    * operators must be PROVIDER-AGNOSTIC — same oracle hashes under the
+    * default in-memory store and RocksDB — which this wrapper lets the
+    * registered `*_rocksdb` gates assert: the provider conf is read at
+    * QUERY START, so setting it around a gate that starts its own
+    * queries switches every state store the gate creates. There is no
+    * silent fallback: an unloadable provider class fails the query
+    * loudly, so a hash-green gate proves RocksDB actually held the
+    * state. Restores the prior conf even on failure — the sweep's other
+    * gates keep measuring the default-provider cost.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  def withStateStoreProvider[T](spark: SparkSession, provider: String)
+      (f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Memoized TIME-SLICED rewrite of a source table, shared across the
     * stream gates (r8 verdict #2): `updateModeRun` and `restartRun`
     * each need the source re-written as `nSlices` disjoint, name-ordered
@@ -1064,6 +1093,66 @@ object StreamingOps {
     * ≤|types|² pair counts); the bounded harness materializes the
     * append stream first so the replay stays deterministic.
     */
+  /** Instance-alert rules over the STREAMING detectors (r11 verdict
+    * #8): the detector → alert → rule → templated-action loop
+    * (`ev_rule_instance_alerts`) run via the stream path, two legs by
+    * the nature of the two alert families:
+    *
+    *  - OUT_OF_SEQUENCE (event-level): [[detectOutOfSequence]]'s keyed
+    *    state machine emits the alert stream, and
+    *    [[graft.events.EventOps.instanceAlertActions]] — a stateless
+    *    narrow pass — compiles the fixture rules IN-STREAM: every
+    *    micro-batch's alerts leave the trigger as finished templated
+    *    actions, the real continuous-deployment shape.
+    *  - FAILED_RUN (run-level): "the session's FINAL event is an
+    *    error" is only decidable when the session is complete, so the
+    *    leg streams the sessionizer's assignments and applies the
+    *    shared batch tail ([[graft.events.EventOps
+    *    .failedRunAlertsFromSess]]) post-drain, joining event types
+    *    back from the static table (the stream-static pattern; the
+    *    assignment stream carries only ids + session numbers).
+    *
+    * Both legs' actions union under the SAME generated-from-fixture
+    * oracle as the batch query — rule matching, template rendering,
+    * and session numbering must all agree across the batch/stream
+    * boundary for the hash to hold.
+    */
+  def instanceAlertsBounded(spark: SparkSession, sfDir: String,
+                            gapSeconds: Long,
+                            dagClosure: Set[(String, String)],
+                            rules: Seq[
+                              graft.events.EventOps.InstanceAlertRule])
+      : DataFrame = {
+    import spark.implicits._
+    val E = graft.events.EventOps
+    val oosActions = boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => E.instanceAlertActions(
+        detectOutOfSequence(eventStream(spark, drop).as[SEvent],
+            gapSeconds, dagClosure).toDF()
+          .select(lit("OUT_OF_SEQUENCE").as("alert_type"),
+            col("user_id"), col("session_id"), col("event_id"),
+            col("event_type"), col("prev_type")),
+        rules, ordered = false),
+      identity)
+    val failedActions = boundedStreamRun(spark, s"$sfDir/events.parquet",
+      drop => assignSessions(eventStream(spark, drop).as[SEvent],
+        gapSeconds).toDF(),
+      sink => {
+        val types = graft.Tables.load(spark, sfDir, "events")
+          .select(col("event_id"), col("event_type"))
+        val failed = E.failedRunAlertsFromSess(sink.join(types,
+            "event_id"))
+          .select(lit("FAILED_RUN").as("alert_type"), col("user_id"),
+            col("session_id"), lit(null).cast("long").as("event_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("string").as("prev_type"))
+        E.instanceAlertActions(failed, rules, ordered = false)
+      })
+    oosActions.unionByName(failedActions)
+      .orderBy(col("rule_id"), col("user_id"), col("session_id"),
+        coalesce(col("event_id"), lit(-1L)))
+  }
+
   /** Bounded END-TO-END run of the STREAMING INCREMENTAL PROFILER: each
     * micro-batch is profiled on its own
     * (`Profiler.profileMergeable` — base passes only, distributed), and

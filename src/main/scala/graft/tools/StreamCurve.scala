@@ -77,7 +77,36 @@ object StreamCurve {
     val json = results.map { case (o, k, p, s, n) =>
       s"""{"op":"$o","k":$k,"files":$p,"sec":$s,"out":$n}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"stream_batch_curve","rows":$nRows,"runs":$json}""")
+    // STATE-STORE PROVIDER dimension (r11 verdict #3): the same
+    // stateful ops at the middle batch count under the spillable
+    // RocksDB provider. The default provider holds every key's state
+    // on-heap — at 100 TB keyed session state that is the first OOM —
+    // while RocksDB keeps a bounded block cache + native memtables and
+    // spills to local SSD, trading per-batch commit overhead for
+    // bounded executor memory. The curve quantifies that trade at the
+    // 1 M-row scale so the artifact carries measured, not asserted,
+    // numbers.
+    val kMid = ks(ks.length / 2)
+    val dirMid = java.nio.file.Files
+      .createTempDirectory(s"graft-curve-rocks").toString
+    ev.repartitionByRange(kMid, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dirMid/events.parquet")
+    val statefulOps = ops.filter(o => Set("sessions", "journeys")(o._1))
+    val rocksRuns = statefulOps.map { case (opName, run) =>
+      val t0 = System.nanoTime()
+      val n = graft.streaming.StreamingOps.withStateStoreProvider(spark,
+        graft.streaming.StreamingOps.RocksDbProvider) {
+        run(spark, dirMid).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[curve] op=$opName%-8s k=$kMid (rocksdb) time=$sec%.2fs")
+      s"""{"op":"$opName","k":$kMid,"provider":"rocksdb","sec":$sec,"out":$n}"""
+    }.mkString("[", ",", "]")
+    val note = "default provider holds all keyed state on-heap (first " +
+      "OOM at corpus-scale key counts); RocksDB bounds executor memory " +
+      "via native memtables + local-disk spill at a per-batch commit " +
+      "overhead measured in provider_runs (same k, same corpus)"
+    println(s"""{"metric":"stream_batch_curve","rows":$nRows,"runs":$json,"provider_runs":$rocksRuns,"provider_note":"$note"}""")
     spark.stop()
   }
 }

@@ -343,6 +343,41 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(extras == before)
   }
 
+  test("concurrent-writer fencing: a second writer fences the first — " +
+      "stale merges and mid-fold publishes fail loudly, reads stay " +
+      "consistent with exactly one winner") {
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val w1 = sinkIn(dir, every = 0)
+    w1.merge(batch((1L, "a", 1L), (2L, "b", 1L)), 0L)
+    // a second writer (restarted application instance, or a mispointed
+    // second stream) opens the same directory: higher epoch, w1 fenced
+    val w2 = sinkIn(dir, every = 0)
+    w2.merge(batch((2L, "b2", 2L)), 1L)
+    // the stale writer can neither deliver a batch nor fold
+    intercept[IllegalStateException](w1.merge(batch((3L, "x", 9L)), 2L))
+    intercept[IllegalStateException](w1.compact(1L))
+    // the winner's view is intact: w1's pre-fence delivery plus w2's
+    assert(readMap(w2) == Map(
+      1L -> ("a", 1L), 2L -> ("b2", 2L)))
+    // the fold-race window specifically: a fence landing DURING w2's
+    // fold (after its tmp was written, before publish) must abort the
+    // publish — no new base generation appears, no folded input is
+    // deleted, and the read is unchanged
+    w2.beforePublishHook = () => java.nio.file.Files.createFile(
+      dir.resolve(f"_writer-${Long.MaxValue}%019d"))
+    val partsBefore = w2.partCount
+    intercept[IllegalStateException](w2.compact(1L))
+    assert(w2.partCount == partsBefore,
+      "aborted fold must neither publish nor delete inputs")
+    assert(readMap(w2) == Map(1L -> ("a", 1L), 2L -> ("b2", 2L)))
+    // and no stray tmp dir survives the abort
+    val walk = java.nio.file.Files.list(dir)
+    try assert(!scala.jdk.CollectionConverters.IteratorHasAsScala(
+        walk.iterator()).asScala
+      .exists(_.getFileName.toString.startsWith("tmp-")))
+    finally walk.close()
+  }
+
   test("upgrade-path bootstrap: a sink dir created before the _schema " +
       "bookkeeping still detects an evolved restart (r11 advice)") {
     import spark.implicits._

@@ -49,6 +49,77 @@ class QuickstartSpec extends AnyFunSuite {
     }
   }
 
+  test("LOV derivation is one fused job: generate-step Spark job count " +
+      "does not grow with the number of LOV columns") {
+    import Quickstart.{ColCfg, TableCfg}
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val prof = Profiler.profile(df, "orders").localCheckpoint(true)
+    def jobsFor(tag: String, t: TableCfg): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try {
+        val defs = Quickstart.generateDefs(df, prof, t)
+        assert(defs.nonEmpty)
+      } finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    // one vs two low-cardinality string columns (o_orderpriority has 5
+    // values, same LOV trigger band as o_orderstatus)
+    val one = jobsFor("lov-one", TableCfg("orders", Seq(
+      ColCfg("o_orderstatus", "str", distinctValueCt = true))))
+    val two = jobsFor("lov-two", TableCfg("orders", Seq(
+      ColCfg("o_orderstatus", "str", distinctValueCt = true),
+      ColCfg("o_orderpriority", "str", distinctValueCt = true))))
+    assert(one > 0, "LOV derivation must actually run a job")
+    assert(two == one,
+      s"job count must not scale with LOV columns: 1 col -> $one " +
+        s"jobs, 2 cols -> $two jobs")
+    // and the fused pass preserves the (count desc, value asc) domain
+    // order the oracle mirrors
+    val defs = Quickstart.generateDefs(df, prof, TableCfg("orders", Seq(
+      ColCfg("o_orderstatus", "str", distinctValueCt = true,
+        lov = Seq("F", "O", "P")))))
+    val lovDef = defs.find(_.testType == "LOV_Match")
+    assert(lovDef.nonEmpty, "LOV_Match must generate for o_orderstatus")
+  }
+
+  test("failure injection mid-evaluate: required failure skips export, " +
+      "compensation runs in reverse order discarding partial state, " +
+      "and the rerun converges to the uninterrupted rollup") {
+    import graft.jobs.MultiStepJob
+    var fired = false
+    val failed = Quickstart.runJob(spark, SparkTestSession.sf,
+      failHook = name => if (name == "evaluate" && !fired) {
+        fired = true
+        throw new RuntimeException("injected mid-evaluate failure")
+      })
+    assert(!failed.succeeded)
+    val byName = failed.steps.map(s => s.name -> s.status).toMap
+    assert(byName("profile") == MultiStepJob.Ok)
+    assert(byName("generate") == MultiStepJob.Ok)
+    assert(byName("evaluate") == MultiStepJob.Failed)
+    assert(byName("export") == MultiStepJob.Skipped,
+      "export must not run on a required evaluate failure")
+    // compensation: reverse order of the EXECUTED steps, and every
+    // partial output discarded — a rerun starts from nothing
+    assert(failed.ctx("compensated") ==
+      Seq("evaluate", "generate", "profile"))
+    assert(!failed.ctx.contains("rollup"))
+    assert(!failed.ctx.keys.exists(_.startsWith("profile:")))
+    assert(!failed.ctx.keys.exists(_.startsWith("defs:")))
+    assert(!failed.ctx.keys.exists(_.startsWith("outcomes:")))
+    // the rerun (no injection — the transient failure cleared, the
+    // availablenow recovery pattern) must produce the exact rollup an
+    // uninterrupted run produces
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    val rerun = Quickstart.run(spark, SparkTestSession.sf)
+    val uninterrupted = Quickstart.run(spark, SparkTestSession.sf)
+    assert(sig(rerun) == sig(uninterrupted))
+    assert(rerun.count() > 0)
+  }
+
   test("the generated suite is not vacuously PASSED: perturbed data " +
       "fails the right generated tests") {
     import spark.implicits._

@@ -731,6 +731,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sig(pResumed) == sig(pBounded))
   }
 
+  test("RocksDB state store: the stateful gates produce bit-identical " +
+      "results under the spillable provider, and the conf is restored") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    // sessionization through a restart, state held by RocksDB: must
+    // equal the default-provider uninterrupted run bit for bit
+    val rocks = StreamingOps.withStateStoreProvider(spark,
+      StreamingOps.RocksDbProvider) {
+      assert(spark.conf.get(key) == StreamingOps.RocksDbProvider)
+      StreamingOps.sessionSummariesRestart(spark,
+        SparkTestSession.sf, 1800, nSlices = 4, stopAfter = 2)
+    }
+    val uninterrupted = StreamingOps.sessionSummariesBounded(spark,
+      SparkTestSession.sf, 1800)
+    assert(sig(rocks) == sig(uninterrupted))
+    assert(rocks.count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "provider conf must be restored for the rest of the sweep")
+    // journeys (the second stateful family) under RocksDB
+    val jRocks = StreamingOps.withStateStoreProvider(spark,
+      StreamingOps.RocksDbProvider) {
+      StreamingOps.journeySummariesBounded(spark, SparkTestSession.sf,
+        "signup", "purchase")
+    }
+    val jDefault = StreamingOps.journeySummariesBounded(spark,
+      SparkTestSession.sf, "signup", "purchase")
+    assert(sig(jRocks) == sig(jDefault))
+  }
+
   test("Trigger.AvailableNow: the catch-up drain terminates on its own, " +
       "and a mid-drain death resumes from the checkpoint to the " +
       "uninterrupted answer") {
