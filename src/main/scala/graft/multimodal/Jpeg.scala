@@ -132,6 +132,12 @@ object Jpeg {
     var pos = 2
     while (pos + 4 <= bytes.length) {
       require((bytes(pos) & 0xff) == 0xff, "jpeg: broken marker stream")
+      // ITU T.81 §B.1.1.2: any number of 0xFF FILL bytes may precede a
+      // marker code — a spec-legal `FF FF DB` must not be read as a
+      // marker whose code is 0xFF with a garbage length
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
+      require(pos + 4 <= bytes.length, "jpeg: truncated marker stream")
       val code = bytes(pos + 1) & 0xff
       require(code != 0xd9 && code != 0xda,
         "jpeg: no frame header before SOS/EOI")

@@ -110,14 +110,65 @@ object JpegQueries {
       if ((7 * x + 11 * y + d) % 41 == 0) math.min(255, v + 2) else v
     } else gray(d, x, y)
 
-  private def imageOf(g: (Int, Int) => Int): Ppm.Image =
-    Ppm.Image(ImgW, ImgH, Array.tabulate(ImgW * ImgH * 3)(i =>
-      g((i / 3) % ImgW, (i / 3) / ImgW)))
+  /** One render per image: the closed form (whose per-pixel cost is a
+    * seeded Fisher–Yates) is evaluated exactly once per pixel into the
+    * pixel array, and the SAME image feeds both the error comparison
+    * and the encoder — shared with JpegSpec/JpegProbe so the
+    * calibration, the spec pins, and the gate cannot drift onto
+    * different renders.
+    */
+  private def imageOf(g: (Int, Int) => Int): Ppm.Image = {
+    val rgb = new Array[Int](ImgW * ImgH * 3)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val v = g(x, y)
+        val i = (y * ImgW + x) * 3
+        rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    Ppm.Image(ImgW, ImgH, rgb)
+  }
 
-  private def encodeGray(g: (Int, Int) => Int): Array[Byte] =
-    Jpeg.encode(ImgW, ImgH, Quality, (x, y) => {
-      val v = g(x, y); (v, v, v)
-    })
+  /** The corpus image for doc d (planted docs render their jittered
+    * source; see [[renderGray]]).
+    */
+  private[graft] def renderImage(d: Long): Ppm.Image =
+    imageOf(renderGray(d, _, _))
+
+  /** The UN-jittered image for doc d — the pair leg's source side. */
+  private[graft] def cleanImage(d: Long): Ppm.Image =
+    imageOf(gray(d, _, _))
+
+  private[graft] def encodeImage(img: Ppm.Image): Array[Byte] =
+    Jpeg.encode(img.width, img.height, Quality,
+      (x, y) => (img(x, y, 0), img(x, y, 1), img(x, y, 2)))
+
+  /** (mean, max) absolute Rec.601 luminance error per pixel between two
+    * equal-geometry images — the one measure the tolerance bands bound,
+    * defined once for the gate, the spec, and the probe.
+    */
+  private[graft] def lumErr(a: Ppm.Image, b: Ppm.Image): (Double, Long) = {
+    var sumE = 0L
+    var maxE = 0L
+    var y = 0
+    while (y < a.height) {
+      var x = 0
+      while (x < a.width) {
+        def lum(im: Ppm.Image) = 299L * im(x, y, 0) +
+          587L * im(x, y, 1) + 114L * im(x, y, 2)
+        val e = math.abs(lum(a) - lum(b)) / 1000
+        sumE += e
+        if (e > maxE) maxE = e
+        x += 1
+      }
+      y += 1
+    }
+    (sumE.toDouble / (a.width * a.height), maxE)
+  }
 
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -134,36 +185,22 @@ object JpegQueries {
     // the jpeg-round-tripped SOURCE image; all computed executor-side
     val stats = docs(s, dir)
       .mapPartitions(_.map { d =>
-        val orig = imageOf(renderGray(d, _, _))
-        val dec = Jpeg.decode(encodeGray(renderGray(d, _, _)))
-        var sumE = 0L
-        var maxE = 0L
-        if (dec.width == ImgW && dec.height == ImgH) {
-          var y = 0
-          while (y < ImgH) {
-            var x = 0
-            while (x < ImgW) {
-              def lum(im: Ppm.Image) = 299L * im(x, y, 0) +
-                587L * im(x, y, 1) + 114L * im(x, y, 2)
-              val e = math.abs(lum(orig) - lum(dec)) / 1000
-              sumE += e
-              if (e > maxE) maxE = e
-              x += 1
-            }
-            y += 1
-          }
-        }
+        val orig = renderImage(d)
+        val dec = Jpeg.decode(encodeImage(orig))
+        val (meanE, maxE) =
+          if (dec.width == ImgW && dec.height == ImgH) lumErr(orig, dec)
+          else (0.0, 0L)
         val hdRound = Ppm.dHashDistance(Ppm.dHashBandsOf(orig),
           Ppm.dHashBandsOf(dec))
         val hdPair =
           if (d % JpegPlantMod == JpegPlantRes && d >= JpegPlantMod) {
-            val src = d - JpegPlantDelta
-            val srcDec = Jpeg.decode(encodeGray(gray(src, _, _)))
+            val srcDec = Jpeg.decode(encodeImage(
+              cleanImage(d - JpegPlantDelta)))
             Ppm.dHashDistance(Ppm.dHashBandsOf(dec),
               Ppm.dHashBandsOf(srcDec)).toLong
           } else -1L
-        (d, dec.width.toLong, dec.height.toLong,
-          sumE.toDouble / (ImgW * ImgH), maxE, hdRound.toLong, hdPair)
+        (d, dec.width.toLong, dec.height.toLong, meanE, maxE,
+          hdRound.toLong, hdPair)
       })
       .toDF("doc_id", "width", "height", "mean_err", "max_err",
         "hd_round", "hd_pair")
@@ -218,7 +255,7 @@ object JpegQueries {
     import s.implicits._
     docs(s, dir)
       .mapPartitions(_.map { d =>
-        val clean = encodeGray(renderGray(d, _, _))
+        val clean = encodeImage(renderImage(d))
         QuarantineGate.row(d, clean, truncAt = 20,
           magicOk = Jpeg.hasSignature, headerBytes = 64,
           stat = { b =>
@@ -268,7 +305,7 @@ object JpegQueries {
           case 2 => Avi.encode(VideoQueries.VidW, VideoQueries.VidH,
             VideoQueries.nFramesOf(d), VideoQueries.UsPerFrame,
             (f, x, y) => VideoQueries.framePixel(d, f, x, y))
-          case 3 => encodeGray(renderGray(d, _, _))
+          case 3 => encodeImage(renderImage(d))
           case _ => s"no-media-$d".getBytes("UTF-8")
         }
         val bytes =

@@ -157,19 +157,22 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       // Seeding the fingerprint from the INCOMING batch would make an
       // upgraded-application restart (evolved schema over an old base)
       // look never-evolved — exactly the silent-column-drop the marker
-      // was built to prevent. Derive the baseline from an existing
-      // root's parquet footer instead (one footer read, paid once ever)
-      // and compare THAT against the incoming batch.
-      val preexisting = (list("base-") ++ list("delta-")).headOption
-      val baseline = preexisting.map { p =>
+      // was built to prevent. Derive a footer signature from EVERY
+      // existing root (one footer read per root, paid once ever — a
+      // root's leaves share one schema, written by a single batch or
+      // fold): the marker must also catch roots that already disagree
+      // AMONG THEMSELVES (an upgraded app wrote evolved deltas before
+      // this instance opened), where comparing the incoming batch
+      // against only the oldest root would miss the evolution whenever
+      // the incoming schema matches it.
+      val rootSigs = (list("base-") ++ list("delta-")).map { p =>
         val leaf = { val bs = bucketDirs(p); bs.headOption.getOrElse(p) }
         schemaSig(spark.read.parquet(leaf.toString).schema)
-      }.getOrElse(sig)
-      Files.write(schemaFile, baseline)
-      if (!java.util.Arrays.equals(baseline, sig)) {
-        Files.write(evolvedMarker, Array.emptyByteArray)
-        Files.write(schemaFile, sig)
       }
+      val allSigs = rootSigs :+ sig
+      Files.write(schemaFile, sig)
+      if (allSigs.exists(!java.util.Arrays.equals(_, allSigs.head)))
+        Files.write(evolvedMarker, Array.emptyByteArray)
     } else if (!java.util.Arrays.equals(Files.readAllBytes(schemaFile),
         sig)) {
       if (!Files.exists(evolvedMarker)) Files.write(evolvedMarker,

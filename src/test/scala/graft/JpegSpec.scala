@@ -17,26 +17,15 @@ class JpegSpec extends AnyFunSuite {
 
   private val Sf = "/root/testdata/sf0.001"
 
-  private def pix(d: Long)(x: Int, y: Int) = {
-    val v = JpegQueries.gray(d, x, y)
-    (v, v, v)
-  }
-
   test("jpeg round-trip: exact geometry, bounded pixel error, bit-stable " +
       "dHash on the shipped closed form") {
     (0L to 40L).foreach { d =>
-      val orig = Ppm.Image(16, 16, Array.tabulate(16 * 16 * 3)(i =>
-        JpegQueries.gray(d, (i / 3) % 16, (i / 3) / 16)))
-      val dec = Jpeg.decode(Jpeg.encode(16, 16, JpegQueries.Quality,
-        pix(d)))
+      val orig = JpegQueries.cleanImage(d)
+      val dec = Jpeg.decode(JpegQueries.encodeImage(orig))
       assert(dec.width == 16 && dec.height == 16)
-      val errs = for (y <- 0 until 16; x <- 0 until 16) yield
-        math.abs((299L * orig(x, y, 0) + 587L * orig(x, y, 1) +
-          114L * orig(x, y, 2)) -
-          (299L * dec(x, y, 0) + 587L * dec(x, y, 1) +
-            114L * dec(x, y, 2))) / 1000
-      assert(errs.sum.toDouble / 256 <= JpegQueries.TolMeanLum)
-      assert(errs.max <= JpegQueries.TolMaxLum)
+      val (meanE, maxE) = JpegQueries.lumErr(orig, dec)
+      assert(meanE <= JpegQueries.TolMeanLum)
+      assert(maxE <= JpegQueries.TolMaxLum)
       assert(Ppm.dHashDistance(Ppm.dHashBandsOf(orig),
         Ppm.dHashBandsOf(dec)) <= JpegQueries.TolHashRound)
     }
@@ -44,7 +33,7 @@ class JpegSpec extends AnyFunSuite {
 
   test("jpeg sof parses geometry without pixel decode; typed failures " +
       "on the malformed taxonomy") {
-    val clean = Jpeg.encode(16, 16, 0.9f, pix(3L))
+    val clean = JpegQueries.encodeImage(JpegQueries.cleanImage(3L))
     assert(Jpeg.sof(clean) == Jpeg.Sof(16, 16, 8, 3))
     val flipped = clean.clone(); flipped(0) = 0
     assert(intercept[IllegalArgumentException](Jpeg.sof(flipped))
@@ -57,6 +46,13 @@ class JpegSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Jpeg.decode(java.util.Arrays.copyOfRange(clean, 0, 20)))
       .getMessage.contains("jpeg"))
+    // spec-legal FILL bytes (ITU T.81 B.1.1.2: any number of 0xFF may
+    // precede a marker code) must not derail the marker walk
+    val filled = new Array[Byte](clean.length + 1)
+    filled(0) = clean(0); filled(1) = clean(1)
+    filled(2) = 0xff.toByte
+    System.arraycopy(clean, 2, filled, 3, clean.length - 2)
+    assert(Jpeg.sof(filled) == Jpeg.Sof(16, 16, 8, 3))
     // the lossy-codec truncation asymmetry the quarantine plant is
     // built around: a 10-byte tail cut DECODES, a 60% cut throws typed
     Jpeg.decode(java.util.Arrays.copyOfRange(clean, 0, clean.length - 10))
@@ -71,15 +67,9 @@ class JpegSpec extends AnyFunSuite {
     assert(out.count() == 0, out.collect().mkString("\n"))
     // sensitivity: the same per-doc measure with a hostile bound must
     // fire — proves the violation plumbing can produce rows
-    val dec = Jpeg.decode(Jpeg.encode(16, 16, JpegQueries.Quality,
-      pix(11L)))
-    val orig = Ppm.Image(16, 16, Array.tabulate(16 * 16 * 3)(i =>
-      JpegQueries.gray(11L, (i / 3) % 16, (i / 3) / 16)))
-    val meanErr = (for (y <- 0 until 16; x <- 0 until 16) yield
-      math.abs((299L * orig(x, y, 0) + 587L * orig(x, y, 1) +
-        114L * orig(x, y, 2)) -
-        (299L * dec(x, y, 0) + 587L * dec(x, y, 1) +
-          114L * dec(x, y, 2))) / 1000).sum.toDouble / 256
+    val orig = JpegQueries.cleanImage(11L)
+    val dec = Jpeg.decode(JpegQueries.encodeImage(orig))
+    val (meanErr, _) = JpegQueries.lumErr(orig, dec)
     assert(meanErr > 0.0,
       "lossy round-trip with literally zero error would make the " +
         "tolerance band untestable")

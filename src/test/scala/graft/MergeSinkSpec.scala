@@ -408,6 +408,24 @@ class MergeSinkSpec extends AnyFunSuite {
     t2.merge(batch((2L, "b", 2L)), 1L)
     assert(!java.nio.file.Files.exists(dir2.resolve("_evolved")),
       "same-schema bootstrap must not set the sticky merge marker")
+    // roots that already disagree AMONG THEMSELVES (an upgraded app
+    // wrote an evolved delta before this instance opened): the marker
+    // must be set even when the INCOMING batch matches the oldest root
+    // (the single-root baseline would miss it — r12 self-review)
+    val dir3 = java.nio.file.Files.createTempDirectory("mergesink")
+    val u = sinkIn(dir3)
+    u.merge(batch((1L, "a", 1L)), 0L)
+    u.merge(Seq((2L, "b", 2L, "x")).toDF("k", "v", "n", "extra"), 1L)
+    java.nio.file.Files.deleteIfExists(dir3.resolve("_schema"))
+    java.nio.file.Files.deleteIfExists(dir3.resolve("_evolved"))
+    val u2 = sinkIn(dir3)
+    u2.merge(batch((3L, "c", 3L)), 2L) // matches the OLD schema
+    assert(java.nio.file.Files.exists(dir3.resolve("_evolved")),
+      "disagreeing pre-bookkeeping roots must set the merge marker")
+    val out3 = u2.read().collect()
+      .map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[String]("extra"))).toMap
+    assert(out3 == Map(1L -> None, 2L -> Some("x"), 3L -> None))
   }
 
   test("point-lookup on an evolved sink: the no-matching-bucket empty " +
