@@ -292,64 +292,117 @@ object JpegQueries {
     * routes to ITS codec's header/decode leg and emits a format-specific
     * exact statistic; unknown magic quarantines.
     */
+  /** One arriving payload through the dispatcher — the per-row body
+    * shared by the batch query and the streaming front door (one
+    * implementation, so the routing/stat/taxonomy rules cannot drift
+    * between the two surfaces).
+    */
+  private def mixedRow(d: Long)
+      : (Long, String, String, Option[String], Option[Long]) = {
+    val clean: Array[Byte] = (d % 5) match {
+      case 0 => Png.encode(MediaQueries.ImgW, MediaQueries.ImgH,
+        (x, y) => MediaQueries.synthPixel(d, x, y))
+      case 1 => Wav.encode(AudioQueries.SampleRate,
+        Array.tabulate(AudioQueries.nSamplesOf(d))(i =>
+          AudioQueries.synthSample(d, i)))
+      case 2 => Avi.encode(VideoQueries.VidW, VideoQueries.VidH,
+        VideoQueries.nFramesOf(d), VideoQueries.UsPerFrame,
+        (f, x, y) => VideoQueries.framePixel(d, f, x, y))
+      case 3 => encodeImage(renderImage(d))
+      case _ => s"no-media-$d".getBytes("UTF-8")
+    }
+    val bytes =
+      if (d % 7 == 6) { val b = clean.clone(); b(0) = 0; b }
+      else clean
+    val fmt = MultimodalOps.sniffBytes(bytes)
+    try fmt match {
+      case "png" =>
+        val img = Png.decode(bytes)
+        var sr = 0L
+        var i = 0
+        while (i < img.rgb.length) { sr += img.rgb(i); i += 3 }
+        (d, fmt, "ok", Option.empty[String], Some(sr))
+      case "wav" =>
+        (d, fmt, "ok", Option.empty[String],
+          Some(Wav.header(bytes).nSamples.toLong))
+      case "avi" =>
+        val h = Avi.header(bytes)
+        (d, fmt, "ok", Option.empty[String],
+          Some(h.nFrames.toLong * 100000 + h.width * 100 + h.height))
+      case "jpeg" =>
+        val frame = Jpeg.sof(bytes)
+        (d, fmt, "ok", Option.empty[String],
+          Some(frame.width.toLong * 1000 + frame.height))
+      case _ =>
+        (d, "unknown", "quarantined", Some("bad_magic"),
+          Option.empty[Long])
+    } catch {
+      // a recognized-format payload that fails its codec leg still
+      // becomes data, never job death (no such plant here — the
+      // oracle proves the branch is unreached on this corpus)
+      case _: IllegalArgumentException =>
+        (d, fmt, "quarantined", Some("corrupt"), Option.empty[Long])
+    }
+  }
+
   def mediaMixedIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .mapPartitions(_.map { d =>
-        val clean: Array[Byte] = (d % 5) match {
-          case 0 => Png.encode(MediaQueries.ImgW, MediaQueries.ImgH,
-            (x, y) => MediaQueries.synthPixel(d, x, y))
-          case 1 => Wav.encode(AudioQueries.SampleRate,
-            Array.tabulate(AudioQueries.nSamplesOf(d))(i =>
-              AudioQueries.synthSample(d, i)))
-          case 2 => Avi.encode(VideoQueries.VidW, VideoQueries.VidH,
-            VideoQueries.nFramesOf(d), VideoQueries.UsPerFrame,
-            (f, x, y) => VideoQueries.framePixel(d, f, x, y))
-          case 3 => encodeImage(renderImage(d))
-          case _ => s"no-media-$d".getBytes("UTF-8")
-        }
-        val bytes =
-          if (d % 7 == 6) { val b = clean.clone(); b(0) = 0; b }
-          else clean
-        val fmt = MultimodalOps.sniffBytes(bytes)
-        try fmt match {
-          case "png" =>
-            val img = Png.decode(bytes)
-            var sr = 0L
-            var i = 0
-            while (i < img.rgb.length) { sr += img.rgb(i); i += 3 }
-            (d, fmt, "ok", Option.empty[String], Some(sr))
-          case "wav" =>
-            (d, fmt, "ok", Option.empty[String],
-              Some(Wav.header(bytes).nSamples.toLong))
-          case "avi" =>
-            val h = Avi.header(bytes)
-            (d, fmt, "ok", Option.empty[String],
-              Some(h.nFrames.toLong * 100000 + h.width * 100 + h.height))
-          case "jpeg" =>
-            val frame = Jpeg.sof(bytes)
-            (d, fmt, "ok", Option.empty[String],
-              Some(frame.width.toLong * 1000 + frame.height))
-          case _ =>
-            (d, "unknown", "quarantined", Some("bad_magic"),
-              Option.empty[Long])
-        } catch {
-          // a recognized-format payload that fails its codec leg still
-          // becomes data, never job death (no such plant here — the
-          // oracle proves the branch is unreached on this corpus)
-          case _: IllegalArgumentException =>
-            (d, fmt, "quarantined", Some("corrupt"), Option.empty[Long])
-        }
-      })
+      .mapPartitions(_.map(mixedRow))
       .toDF("doc_id", "format", "status", "reason", "stat")
       .orderBy("doc_id")
   }
 
-  val mediaMixedIngestSql: String =
+  /** The mixed-format dispatcher as a STREAMING front door: new
+    * documents (split bucket ≥ IncrSplit, the text/media tiers' 90/10
+    * convention) arrive as heterogeneous payloads, and every trigger
+    * sniffs, routes, and quarantines them IN-STREAM — the dispatcher
+    * is a stateless narrow pass, so the per-trigger cost is exactly
+    * the batch query's per-row cost on the delta. Gated by the batch
+    * oracle restricted to the streamed slice.
+    */
+  def mediaMixedIngestStreamBounded(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = Tables.load(s, dir, "documents").schema
+    graft.streaming.StreamingOps.boundedStreamRun(s,
+      s"$dir/documents.parquet",
+      drop => {
+        val bucket = conv(substring(md5(col("doc_id").cast(StringType)),
+          1, 6), 16, 10).cast(LongType) % 100
+        s.readStream.schema(schema).parquet(drop)
+          .filter(bucket >= TextQueries.IncrSplit)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(mixedRow))
+          .toDF("doc_id", "format", "status", "reason", "stat")
+      },
+      sink => sink.orderBy("doc_id"))
+  }
+
+  /** The 0-99 split bucket of a given doc-id column expression — the
+    * SAME definition as TextQueries.SplitBucketSql / the Scala
+    * deterministicSplit, alias-qualified so it can sit in scopes where
+    * bare `doc_id` is ambiguous.
+    */
+  private def bucketPredSql(idCol: String): String =
+    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 6))::BIGINT " +
+      s"% 100 >= ${TextQueries.IncrSplit}"
+
+  /** The mixed-dispatch oracle, optionally restricted to the streamed
+    * (split bucket ≥ IncrSplit) slice — ONE query body for the batch
+    * and streaming gates.
+    */
+  private def mixedIngestSqlFor(streamSlice: Boolean): String = {
+    val pxPred =
+      if (streamSlice) s" AND ${bucketPredSql("doc_id")}" else ""
+    val outerPred =
+      if (streamSlice) s"WHERE ${bucketPredSql("d.doc_id")}\n" else ""
     s"""WITH px AS (
        |  SELECT d.doc_id,
        |    (31 * d.doc_id + 16 * y.y + 7 * x.x) % 256 AS r
-       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d,
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE doc_id % 5 = 0$pxPred) d,
        |    (SELECT unnest(generate_series(0, ${MediaQueries.ImgW - 1}))
        |       AS x) x,
        |    (SELECT unnest(generate_series(0, ${MediaQueries.ImgH - 1}))
@@ -376,17 +429,24 @@ object JpegQueries {
        |           + ${VideoQueries.VidW} * 100 + ${VideoQueries.VidH}
        |       ELSE ${ImgW * 1000 + ImgH} END AS stat
        |FROM documents d LEFT JOIN pngsum p ON d.doc_id = p.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |${outerPred}ORDER BY d.doc_id""".stripMargin
+  }
+
+  val mediaMixedIngestSql: String = mixedIngestSqlFor(streamSlice = false)
+  val mediaMixedIngestStreamSql: String =
+    mixedIngestSqlFor(streamSlice = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_jpeg_tolerance_check" -> (mediaJpegToleranceCheck _),
     "media_quarantine_jpeg" -> (mediaQuarantineJpeg _),
     "media_mixed_ingest" -> (mediaMixedIngest _),
+    "stream_mixed_ingest_bounded" -> (mediaMixedIngestStreamBounded _),
   )
 
   val oracles: Map[String, String] = Map(
     "media_jpeg_tolerance_check" -> mediaJpegToleranceCheckSql,
     "media_quarantine_jpeg" -> mediaQuarantineJpegSql,
     "media_mixed_ingest" -> mediaMixedIngestSql,
+    "stream_mixed_ingest_bounded" -> mediaMixedIngestStreamSql,
   )
 }

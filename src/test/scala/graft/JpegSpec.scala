@@ -117,4 +117,24 @@ class JpegSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming mixed ingest equals the batch dispatcher on the " +
+      "streamed slice, row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("format"), r.getAs[String]("status"),
+        r.getAs[String]("reason"),
+        Option(r.getAs[java.lang.Long]("stat")))).toSeq
+    val streamed = rows(
+      JpegQueries.queries("stream_mixed_ingest_bounded")(spark, Sf))
+    assert(streamed.nonEmpty, "the ≥IncrSplit slice must not be empty")
+    val bucket = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string")),
+        1, 6), 16, 10).cast("long") % 100
+    val batchSlice = rows(
+      JpegQueries.queries("media_mixed_ingest")(spark, Sf)
+        .filter(bucket >= graft.queries.TextQueries.IncrSplit))
+    assert(streamed == batchSlice)
+  }
 }
