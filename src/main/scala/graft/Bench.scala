@@ -17,13 +17,142 @@ import org.apache.spark.sql.SparkSession
   * the noop write evaluates every output column with zero sink cost.
   * Totals are therefore honest but NOT comparable with the r1–r4
   * artifacts' count-mode numbers.
+  *
+  * BUDGET-AWARE protocol (r12 verdict #1): the r12 driver run blew its
+  * wall-clock budget — the harness SIGTERM killed the JVM mid-solo-
+  * probes and the round shipped `rc: 124, parsed: null`, i.e. NO
+  * official bench number at all. The artifact the driver gate reads is
+  * worth more than any individual sample, so the bench now (a) tracks a
+  * wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 2250 s,
+  * measured from JVM start) and SHEDS work, never the summary: rep 1
+  * always covers every query (the coverage floor), later reps are
+  * skipped whole if the previous rep's cost no longer fits, heavy
+  * multi-drain gates get at most HeavyReps samples (their cost is
+  * harness-dominated and their medians were stable across 5 reps for
+  * three rounds), and solo probes are ranked by sweep spread and spent
+  * worst-first until the budget says stop — partial solo coverage is
+  * NOTED in the artifact (`solo_skipped`) instead of running open-
+  * ended; and (b) registers a shutdown hook that flushes the summary
+  * line + detail file from whatever samples exist if the JVM is torn
+  * down early (`"partial":true`), so even a SIGTERM leaves a parsed
+  * artifact rather than a log tail.
   */
 object Bench {
+  // ---- shared state the shutdown hook may read mid-run -------------------
+  // all mutations and the hook's reads synchronize on `lock`; the flush
+  // itself is once-only (emitted CAS) so the normal end-of-main emit and
+  // a concurrent hook cannot double-print
+  private val lock = new Object
+  private val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    .withDefaultValue(Vector.empty)
+  private val errors = scala.collection.mutable.Map.empty[String, String]
+  private val soloNote = scala.collection.mutable.Map.empty[String, String]
+  private val soloSkipped = scala.collection.mutable.ListBuffer.empty[String]
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var repsDone = 0
+  @volatile private var repsPlanned = 0
+  @volatile private var sfDirNote = ""
+  @volatile private var detailPathNote = "BENCH_FULL.json"
+
+  private def median(v: Vector[Double]): Double = {
+    val s = v.sorted; s(s.size / 2)
+  }
+  private def r3(v: Double): String = f"$v%.3f"
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Build + write the detail file and print the stdout contract line.
+    * Idempotent (first caller wins): called at the end of main, and by
+    * the shutdown hook when main never got there. Reads only plain maps
+    * and files — safe on a stopped SparkContext.
+    */
+  private def emitSummary(partial: Boolean): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
+    lock.synchronized {
+      val med = times.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+        .map { case (n, v) => n -> median(v) }
+      val total = med.map(_._2).sum
+      val errs = errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val fullQs = med.map { case (k, v) => jstr(k) + ":" + r3(v) }
+        .mkString("{", ",", "}")
+      val fullSpread = med.map { case (n, _) =>
+        val v = times(n); jstr(n) + ":" + r3(v.max - v.min)
+      }.mkString("{", ",", "}")
+      val soloJson = soloNote.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val skippedJson = soloSkipped.sorted.map(jstr).mkString("[", ",", "]")
+      val partialNote = if (partial) ""","partial":true""" else ""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPathNote),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"solo_skipped":$skippedJson,"errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote,"sf":"$sfDirNote"}""")
+      catch { case _: Throwable => () }
+      // compact stdout line: fixed family-representative headliners
+      // first, then the slowest remaining queries, size-capped so the
+      // line plus its surroundings always fits the driver's ~2000-byte
+      // stdout tail window (the FULL per-query map lives in the detail
+      // FILE — printing it blew the window in r5/r6 and the official
+      // artifact recorded `parsed: null` both rounds)
+      val headliners = Vector(
+        "q1_pricing", "q3_top_orders", "q5_region_revenue",
+        "w1_running_revenue", "rollup_pricing", "topk_event_type",
+        "profile_compare_lineitem", "dq_autogen_lineitem", "ev_sessions",
+        "ev_journeys", "ev_late_starts", "dedup_exact_documents",
+        "neardup_minhash_collapsed_documents", "knn_embeddings",
+        "ann_lsh_embeddings", "semantic_dedup_ann_prod", "bm25_documents",
+        "bpe_pairs_documents", "curation_funnel_documents",
+        "stream_sessions_bounded", "stream_curate_bounded")
+      val medMap = med.toMap
+      val bySlowest = med.sortBy(-_._2).map(_._1)
+      val ordered = (headliners.filter(medMap.contains) ++
+        bySlowest.filterNot(headliners.contains)).distinct
+      val budget = 1200
+      val picked = scala.collection.mutable.ListBuffer.empty[String]
+      var used = 2
+      var truncated = 0
+      ordered.foreach { n =>
+        val frag = jstr(n) + ":" + r3(medMap(n))
+        if (used + frag.length + 1 <= budget) {
+          picked += frag; used += frag.length + 1
+        } else truncated += 1
+      }
+      val qs = picked.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPathNote","errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote,"sf":"$sfDirNote"}""")
+      System.out.flush()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    // wall-clock budget, measured from JVM start (the forked JVM is what
+    // the harness `timeout` ultimately reaps; sbt's own startup ran
+    // before this JVM existed and is budgeted by the default's slack).
+    // Default 2250 s: the r11 run PASSED the harness at 2,557 s end-to-
+    // end and r12 died somewhere past that, so 2250 s of JVM time plus
+    // ~100-200 s of sbt startup/teardown stays on the passing side with
+    // real headroom.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC",
+      "2250").toDouble
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    // leave a flush margin: summary write + spark.stop + sbt teardown
+    val workDeadlineMs = jvmStartMs + ((budgetSec - 90.0) * 1000).toLong
+    def remainingSec: Double =
+      (workDeadlineMs - System.currentTimeMillis()) / 1000.0
+    sfDirNote = sfDir
+    detailPathNote = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_FULL.json")
+    repsPlanned = reps
+    // the SIGTERM backstop: if the harness reaps the JVM before main
+    // emits, flush whatever samples exist as a partial-but-PARSED
+    // artifact (r12 shipped rc=124/parsed:null — the one outcome this
+    // hook makes impossible as long as the hook gets to run)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitSummary(true)))
     val spark = Sessions.local(cpus, cpus)
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/parquet-footer warmup outside the timings (the r1
@@ -32,32 +161,61 @@ object Bench {
     val only = args.toSet // optional: bench just these queries
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
     // a query that throws must not book its elapsed time as a normal
     // median — the artifact marks it so a crashed/empty query can never
     // masquerade as a fast one (review: the sf1 stream queries ran on
     // zero rows for four rounds and nothing in the JSON said so)
-    val errors = scala.collection.mutable.Map.empty[String, String]
-    for (rep <- 1 to reps) {
-      val order = new scala.util.Random(rep).shuffle(names)
-      order.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          // only successful reps book time: a fast-crashing rep would
-          // otherwise contribute a misleadingly small median while the
-          // failure hides in the errors map
-          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        lock.synchronized {
           errors(name) = s"${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).linesIterator.take(1)
               .mkString.filter(_ >= ' ').take(120)
         }
+        None
       }
     }
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted; s(s.size / 2)
+    // HEAVY-query rep reduction (r12 verdict #1): the multi-drain
+    // composite stream gates cost 7-11 s each and their cost is harness-
+    // dominated (checkpoint replay, two full drains) — their medians
+    // were stable to <10% across 5 reps for three straight rounds, so
+    // reps beyond HeavyReps buy no precision. A query whose rep-1 time
+    // exceeds HeavyCutoffSec is sampled in only the first HeavyReps
+    // reps; at r12's profile this sheds ~230 s of sweep time.
+    val HeavyCutoffSec = 4.0
+    val HeavyReps = 3
+    var rep = 1
+    var lastRepCost = 0.0
+    var continueReps = true
+    while (rep <= reps && continueReps) {
+      // only successful reps book time: a fast-crashing rep would
+      // otherwise contribute a misleadingly small median while the
+      // failure hides in the errors map
+      val repT0 = System.nanoTime()
+      val order = new scala.util.Random(rep).shuffle(names)
+      order.foreach { case (name, fn) =>
+        val heavy = lock.synchronized(
+          times(name).headOption.exists(_ > HeavyCutoffSec))
+        if (rep <= HeavyReps || !heavy)
+          runOne(name, fn).foreach { t =>
+            lock.synchronized { times(name) = times(name) :+ t }
+          }
+      }
+      lastRepCost = (System.nanoTime() - repT0) / 1e9
+      repsDone = rep
+      // rep 1 is the coverage floor and always runs to completion;
+      // later reps are skipped WHOLE when the previous rep's cost no
+      // longer fits the remaining budget (a half-measured rep would
+      // bias medians toward whichever shuffled prefix ran)
+      if (rep < reps && remainingSec < lastRepCost * 1.15)
+        continueReps = false
+      rep += 1
     }
     // SOLO-PROBE protocol (r9 verdict #3, widened r10 verdict #5): a
     // rep that lands right after a heavy neighbor inherits its GC/page
@@ -79,122 +237,83 @@ object Bench {
     // 20% of median keeps the trigger meaning "contaminated", not "big".
     val SoloSpreadCap = 1.5
     val SoloReps = 3
-    val soloNote = scala.collection.mutable.Map.empty[String, String]
-    if (reps >= 2) names.foreach { case (name, fn) =>
-      val v = times(name)
-      if (v.nonEmpty &&
-          v.max - v.min > math.max(SoloSpreadCap, 0.2 * median(v))) {
-        System.gc()
-        // accumulate EVERY solo failure (overwriting kept only the last
-        // one, and the replace path reduced it to a bare boolean — an
-        // OOM vs a checkpoint collision was unadjudicable without a
-        // re-run, contradicting the protocol's purpose)
-        val soloErrs = scala.collection.mutable.ListBuffer.empty[String]
-        val solo = (1 to SoloReps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            soloErrs += s"${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).linesIterator.take(1)
-                .mkString.filter(_ >= ' ').take(110)
-            None
-          }
-        }.toVector
-        // replace only with a defensible sample: ≥2 clean solo reps AND
-        // a solo spread no worse than the sweep spread (r11 verdict: on
-        // a hot machine the solo probe itself can be the contaminated
-        // measurement — r11's raw artifact published pipeline_quickstart
-        // at 70.4 s solo [spread 68.1!] over its own 9.3 s sweep median,
-        // inflating the headline 37%; the published number must always
-        // be the LOWER-variance sample). Fewer clean reps, or a noisier
-        // solo → keep the sweep numbers and say so in the detail JSON.
-        // A solo failure lands in the shared errors map ONLY on the
-        // keep-sweep path: when ≥2 clean solo reps replaced the samples
-        // the published median is real, and an errors entry alongside it
-        // would read downstream (mk_skew, adjudication) as a crashed
-        // query contradicting its own number — the flake is recorded in
-        // the solo note instead (r10 advice).
-        def jstr(s: String): String =
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        if (solo.size >= 2) {
-          val flaked = if (soloErrs.isEmpty) ""
-            else s""","solo_flake":${jstr(soloErrs.mkString(" | "))}"""
-          val replaced = solo.max - solo.min < v.max - v.min
-          soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
-            s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
-            s""""solo_median":${f"${median(solo)}%.3f"},""" +
-            s""""solo_spread":${f"${solo.max - solo.min}%.3f"},""" +
-            s""""published":"${if (replaced) "solo" else "sweep"}"$flaked}"""
-          if (replaced) times(name) = solo
+    if (repsDone >= 2) {
+      // candidates RANKED by sweep spread, worst first (r12 verdict #1):
+      // the budget is spent where adjudication needs it most, and when
+      // it runs out the un-probed tail is listed in `solo_skipped`
+      // instead of the whole artifact dying open-ended
+      val candidates = names.flatMap { case (name, fn) =>
+        val v = lock.synchronized(times(name))
+        if (v.nonEmpty &&
+            v.max - v.min > math.max(SoloSpreadCap, 0.2 * median(v)))
+          Some((name, fn, v))
+        else None
+      }.sortBy { case (_, _, v) => -(v.max - v.min) }
+      candidates.foreach { case (name, fn, v) =>
+        // probe cost estimate: SoloReps runs at the sweep median plus GC
+        // slack; a probe that does not fit is skipped, not started —
+        // half a probe adjudicates nothing
+        val est = SoloReps * median(v) + 3.0
+        if (remainingSec < est) {
+          lock.synchronized { soloSkipped += name }
         } else {
-          if (soloErrs.nonEmpty)
-            errors(name) = "solo: " + soloErrs.mkString(" | ").take(230)
-          soloNote(name) = s"""{"sweep_median":${f"${median(v)}%.3f"},""" +
-            s""""sweep_spread":${f"${v.max - v.min}%.3f"},""" +
-            s""""solo_failed":true}"""
+          System.gc()
+          // accumulate EVERY solo failure (overwriting kept only the
+          // last one, and the replace path reduced it to a bare boolean
+          // — an OOM vs a checkpoint collision was unadjudicable without
+          // a re-run, contradicting the protocol's purpose)
+          val soloErrs = scala.collection.mutable.ListBuffer.empty[String]
+          val solo = (1 to SoloReps).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              soloErrs += s"${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).linesIterator.take(1)
+                  .mkString.filter(_ >= ' ').take(110)
+              None
+            }
+          }.toVector
+          // replace only with a defensible sample: ≥2 clean solo reps AND
+          // a solo spread no worse than the sweep spread (r11 verdict: on
+          // a hot machine the solo probe itself can be the contaminated
+          // measurement — r11's raw artifact published pipeline_quickstart
+          // at 70.4 s solo [spread 68.1!] over its own 9.3 s sweep median,
+          // inflating the SUITE-TOTAL headline 37% — the query's own
+          // published median was ~7.6× its sweep value; the published
+          // number must always be the LOWER-variance sample). Fewer clean
+          // reps, or a noisier solo → keep the sweep numbers and say so
+          // in the detail JSON.
+          // A solo failure lands in the shared errors map ONLY on the
+          // keep-sweep path: when ≥2 clean solo reps replaced the samples
+          // the published median is real, and an errors entry alongside it
+          // would read downstream (mk_skew, adjudication) as a crashed
+          // query contradicting its own number — the flake is recorded in
+          // the solo note instead (r10 advice).
+          lock.synchronized {
+            if (solo.size >= 2) {
+              val flaked = if (soloErrs.isEmpty) ""
+                else s""","solo_flake":${jstr(soloErrs.mkString(" | "))}"""
+              val replaced = solo.max - solo.min < v.max - v.min
+              soloNote(name) = s"""{"sweep_median":${r3(median(v))},""" +
+                s""""sweep_spread":${r3(v.max - v.min)},""" +
+                s""""solo_median":${r3(median(solo))},""" +
+                s""""solo_spread":${r3(solo.max - solo.min)},""" +
+                s""""published":"${if (replaced) "solo" else "sweep"}"$flaked}"""
+              if (replaced) times(name) = solo
+            } else {
+              if (soloErrs.nonEmpty)
+                errors(name) = "solo: " + soloErrs.mkString(" | ").take(230)
+              soloNote(name) = s"""{"sweep_median":${r3(median(v))},""" +
+                s""""sweep_spread":${r3(v.max - v.min)},""" +
+                s""""solo_failed":true}"""
+            }
+          }
         }
       }
     }
-    // a query with zero successful reps has no median and no spread —
-    // it appears ONLY in errors, and the total sums real work only
-    val timed = names.filter { case (n, _) => times(n).nonEmpty }
-    val med = timed.map { case (n, _) => n -> median(times(n)) }
-    val total = med.map(_._2).sum
-    val errs = errors.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
-        "\""
-    }.mkString("{", ",", "}")
-    def r3(v: Double): String = f"$v%.3f"
-    // FULL per-query detail (median + spread for all ~120 queries) goes
-    // to a FILE: the driver's stdout capture keeps only the last ~2000
-    // bytes, and the full map blew past that in r5/r6 — the official
-    // bench artifact recorded `parsed: null` both rounds. The printed
-    // line stays the machine-parsed contract; the file is the archive.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_FULL.json")
-    val fullQs = med.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val fullSpread = timed.map { case (n, _) =>
-      s"\"" + n + "\":" + r3(times(n).max - times(n).min)
-    }.mkString("{", ",", "}")
-    val soloJson = soloNote.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
-    // compact stdout line: fixed family-representative headliners first,
-    // then the slowest remaining queries, size-capped so the line plus
-    // its surroundings always fits the driver's tail window
-    val headliners = Vector(
-      "q1_pricing", "q3_top_orders", "q5_region_revenue",
-      "w1_running_revenue", "rollup_pricing", "topk_event_type",
-      "profile_compare_lineitem", "dq_autogen_lineitem", "ev_sessions",
-      "ev_journeys", "ev_late_starts", "dedup_exact_documents",
-      "neardup_minhash_collapsed_documents", "knn_embeddings",
-      "ann_lsh_embeddings", "semantic_dedup_ann_prod", "bm25_documents",
-      "bpe_pairs_documents", "curation_funnel_documents",
-      "stream_sessions_bounded", "stream_curate_bounded")
-    val medMap = med.toMap
-    val bySlowest = med.sortBy(-_._2).map(_._1)
-    val ordered = (headliners.filter(medMap.contains) ++
-      bySlowest.filterNot(headliners.contains)).distinct
-    // bytes for the queries map: the driver keeps only the LAST ~2000
-    // bytes of stdout, and sbt's "[success] ..." trailer plus any late
-    // log line eats into that window — leave real headroom
-    val budget = 1200
-    val picked = scala.collection.mutable.ListBuffer.empty[String]
-    var used = 2
-    var truncated = 0
-    ordered.foreach { n =>
-      val frag = "\"" + n + "\":" + r3(medMap(n))
-      if (used + frag.length + 1 <= budget) {
-        picked += frag; used += frag.length + 1
-      } else truncated += 1
-    }
-    val qs = picked.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPath","errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    emitSummary(false)
     spark.stop()
   }
 }

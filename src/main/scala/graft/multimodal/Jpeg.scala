@@ -141,6 +141,15 @@ object Jpeg {
       val code = bytes(pos + 1) & 0xff
       require(code != 0xd9 && code != 0xda,
         "jpeg: no frame header before SOS/EOI")
+      // ITU T.81 §B.1.1.3: TEM (0x01) and RSTm (0xD0-0xD7) are
+      // STANDALONE markers with no length field — reading a 16-bit
+      // length off the bytes that follow them would misparse real-world
+      // streams and spuriously quarantine them (r12 advice; they never
+      // appear between SOI and SOF in the closed ImageIO corpus, but the
+      // mixed-format front door positions this walk for arbitrary bytes)
+      if (code == 0x01 || (code >= 0xd0 && code <= 0xd7)) {
+        pos += 2
+      } else {
       val len = be16(pos + 2)
       require(len >= 2 && pos + 2 + len <= bytes.length,
         "jpeg: truncated marker segment")
@@ -151,6 +160,7 @@ object Jpeg {
           bytes(p + 5) & 0xff)
       }
       pos += 2 + len
+      }
     }
     throw new IllegalArgumentException("jpeg: truncated marker stream")
   }

@@ -145,8 +145,23 @@ object Quickstart {
           .groupBy("col_name", "value")
           .agg(count(lit(1)).as("ct"))
           .collect()
+        // count ties break on the value's UTF-8 BYTE sequence, not Java
+        // String order (r12 advice): the old per-column Spark orderBy
+        // compared UTF8-binary, and Java's UTF-16 code-unit compare
+        // disagrees with it for supplementary-vs-BMP characters — the
+        // LOV order (hence the generated LOV tests) must not change
+        // with the derivation strategy or diverge from a
+        // binary-collating oracle.
+        val utf8Order = new Ordering[String] {
+          def compare(a: String, b: String): Int = {
+            val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            java.util.Arrays.compareUnsigned(x, y)
+          }
+        }
         counts.groupBy(_.getString(0)).map { case (c, rows) =>
-          c -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+          c -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))(
+              Ordering.Tuple2(Ordering.Long, utf8Order))
             .map(_.getString(1)).toSeq
         }
       }

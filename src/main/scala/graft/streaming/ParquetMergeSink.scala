@@ -119,6 +119,17 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => e += 1
       }
+    // GC superseded lease files (r12 advice: they accumulated forever).
+    // Safe under races: deleting an OLDER epoch's file never weakens the
+    // fence — a stale writer's checkFence compares against the remaining
+    // MAX, which includes the file just claimed (strictly higher), and a
+    // concurrent claimer's CREATE_NEW arbitration is per-name, so a
+    // deleted old name being re-created would claim a LOWER epoch than
+    // ours and immediately fence itself on first write.
+    list("_writer-")
+      .filter(_.getFileName.toString.stripPrefix("_writer-").toLong
+        < claimed)
+      .foreach(p => Files.deleteIfExists(p))
     claimed
   }
 
@@ -132,6 +143,13 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     * window deterministically.
     */
   private[graft] var beforePublishHook: () => Unit = () => ()
+
+  /** Test seam: runs after a MERGE's tmp delta write, before the fence
+    * re-check that gates the rename — the mid-delivery fence window
+    * (r12 advice: entry-only checking let a writer fenced during the
+    * parquet write still publish its delta).
+    */
+  private[graft] var beforeDeltaPublishHook: () => Unit = () => ()
 
   private def checkFence(): Unit = {
     val max = maxEpochOnDisk()
@@ -223,6 +241,14 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
   def merge(batch: DataFrame, batchId: Long): Unit = {
     checkFence()
     val out = root.resolve(f"delta-$batchId%09d")
+    // the delta is staged under a tmp- name (invisible to every read —
+    // they list the "delta-"/"base-" prefixes) and only RENAMED into
+    // place after a fence re-check, mirroring compact's pre-publish
+    // re-check (r12 advice: the entry-only check left a window where a
+    // writer fenced between checkFence() and the parquet write still
+    // published its delta). A fence landing mid-write costs one swept
+    // tmp dir; nothing visible to readers changed.
+    val tmp = root.resolve(f"tmp-delta-$batchId%09d")
     val stamped = batch
       .withColumn("__batch_id", lit(batchId))
       .withColumn("__pri", lit(1))
@@ -254,9 +280,9 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
       (if (sparseDeltas) bucketed.repartition(1)
        else bucketed.repartition(nBuckets, col("__bucket")))
         .write.partitionBy("__bucket").mode("overwrite")
-        .parquet(out.toString)
+        .parquet(tmp.toString)
     } else
-      stamped.write.mode("overwrite").parquet(out.toString)
+      stamped.write.mode("overwrite").parquet(tmp.toString)
     // a zero-row partitionBy write leaves only _SUCCESS — a schema-less
     // dir that would break multi-root reads. Re-write it as a FLAT
     // empty delta (schema-bearing parquet, no bucket dirs) instead of
@@ -265,13 +291,23 @@ final class ParquetMergeSink(spark: SparkSession, dir: String,
     // from the local schema — no second execution of the batch plan —
     // and shaped like the leaf bucket dirs (flat, no __bucket column),
     // so the multi-root reads accept it as just another root.
-    if (keyed && !hasParquetLeaf(out)) {
-      rmTree(out)
+    if (keyed && !hasParquetLeaf(tmp)) {
+      rmTree(tmp)
       spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           stamped.schema)
-        .write.mode("overwrite").parquet(out.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
     }
+    // pre-publish fence re-check, then the atomic rename that makes the
+    // delta visible. A replayed batch overwrites its own earlier delta:
+    // the delete-then-move window is covered by foreachBatch replay
+    // semantics (an uncommitted batch is re-delivered on restart and
+    // rewrites this same delta deterministically).
+    beforeDeltaPublishHook()
+    try checkFence()
+    catch { case e: IllegalStateException => rmTree(tmp); throw e }
+    if (Files.exists(out)) rmTree(out)
+    Files.move(tmp, out)
     // DELTA-VOLUME-SCALED cadence (r10 verdict #6): the trigger-count
     // cadence alone makes a SPARSE stream pay a repartition + per-bucket
     // rewrite every compactEvery triggers even when the accumulated

@@ -704,8 +704,18 @@ object StreamingOps {
     "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
 
+  // Shared lock for every wrapper that scopes a mutation of the
+  // SESSION-level runtime conf around a block (r12 advice): the conf is
+  // shared JVM state, so without the lock an unrelated streaming query
+  // started concurrently inside the window would silently pick up the
+  // scoped provider, and two overlapping scoped gates could restore each
+  // other's value. Verify/Bench run gates sequentially, so the lock is
+  // uncontended there; it exists so a future concurrent harness fails
+  // SAFE (serializes) instead of cross-contaminating.
+  private val confScopeLock = new Object
+
   def withStateStoreProvider[T](spark: SparkSession, provider: String)
-      (f: => T): T = {
+      (f: => T): T = confScopeLock.synchronized {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, provider)
@@ -787,7 +797,27 @@ object StreamingOps {
       parts.map(Files.getLastModifiedTime(_).toMillis).maxOption
         .getOrElse(0L),
       parts.map(Files.size).sum, parts.size, nSlices)
-    stagedCache.synchronized(Option(stagedCache.get(key))).getOrElse {
+    // EXISTENCE check on cache hit (r12 verdict #5): the staged dir can
+    // be deleted out from under a cached entry — the r12 bench SIGTERM
+    // ran the shutdown hook while solo probes were still executing, and
+    // the LRU evict + deferred reap is the same hazard under churn. A
+    // hit whose directory no longer holds a parquet leaf is dropped and
+    // re-staged, so any single registered query is re-runnable
+    // standalone no matter what reaped its staging.
+    def alive(p: java.nio.file.Path): Boolean =
+      Files.isDirectory(p) && {
+        val walk = Files.list(p)
+        try walk.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+    stagedCache.synchronized {
+      Option(stagedCache.get(key)).filter { p =>
+        val ok = alive(p)
+        if (!ok) stagedCache.remove(key)
+        ok
+      }
+    }.getOrElse {
       // a NEW staging is starting: reap victims evicted during earlier
       // calls (deferred deletion — see pendingEvict)
       var victim = pendingEvict.poll()
@@ -798,7 +828,7 @@ object StreamingOps {
         .sortWithinPartitions("ts", "event_id")
         .write.mode("overwrite").parquet(dir.toString)
       stagedCache.synchronized {
-        Option(stagedCache.get(key)) match {
+        Option(stagedCache.get(key)).filter(alive) match {
           case Some(prev) => rmTreeQuiet(dir); prev // lost race
           case None =>
             // Bound the cache like the 64-entry range/artifact caches —

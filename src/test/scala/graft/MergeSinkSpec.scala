@@ -378,6 +378,42 @@ class MergeSinkSpec extends AnyFunSuite {
     finally walk.close()
   }
 
+  test("mid-DELIVERY fence window (r12 advice): a writer fenced after " +
+      "its delta's tmp write but before the rename must not publish — " +
+      "the delta stays invisible and the tmp dir is swept; superseded " +
+      "_writer-* lease files are GC'd on claim") {
+    val dir = java.nio.file.Files.createTempDirectory("mergesink")
+    val w1 = sinkIn(dir, every = 0)
+    w1.merge(batch((1L, "a", 1L)), 0L)
+    val w2 = sinkIn(dir, every = 0)
+    // lease GC: w2's claim removed w1's superseded lease file — exactly
+    // one _writer-* remains (the max epoch), so the fence still holds
+    def leases = {
+      val walk = java.nio.file.Files.list(dir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(
+          walk.iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("_writer-")).toSeq
+      finally walk.close()
+    }
+    assert(leases.size == 1, s"superseded leases must be GC'd: $leases")
+    // land a fence INSIDE w2's delivery window: tmp delta written, not
+    // yet renamed — the merge must abort, publish nothing, sweep tmp
+    w2.beforeDeltaPublishHook = () => java.nio.file.Files.createFile(
+      dir.resolve(f"_writer-${Long.MaxValue}%019d"))
+    val partsBefore = w2.partCount
+    intercept[IllegalStateException](w2.merge(batch((2L, "b", 2L)), 1L))
+    assert(w2.partCount == partsBefore,
+      "aborted delivery must not add a delta root")
+    assert(readMap(w2) == Map(1L -> ("a", 1L)),
+      "the fenced writer's mid-flight delta must stay invisible")
+    val walk2 = java.nio.file.Files.list(dir)
+    try assert(!scala.jdk.CollectionConverters.IteratorHasAsScala(
+        walk2.iterator()).asScala
+      .exists(_.getFileName.toString.startsWith("tmp-")),
+      "aborted delivery must sweep its tmp dir")
+    finally walk2.close()
+  }
+
   test("upgrade-path bootstrap: a sink dir created before the _schema " +
       "bookkeeping still detects an evolved restart (r11 advice)") {
     import spark.implicits._

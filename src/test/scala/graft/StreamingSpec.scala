@@ -1058,4 +1058,33 @@ class StreamingSpec extends AnyFunSuite {
       "content rewrite must not serve the stale staged dir")
   }
 
+  test("a staged dir deleted out from under the cache is RE-STAGED on " +
+      "the next call, and the gate built on it still runs (r12 verdict " +
+      "#5: the bench SIGTERM reaped staging under live solo probes)") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-restage")
+    val src = work.resolve("events.parquet").toString
+    graft.Tables.load(spark, SparkTestSession.sf, "events")
+      .limit(2000).write.mode("overwrite").parquet(src)
+    val srcRows = spark.read.parquet(src).count()
+    val first = StreamingOps.stagedTimeSliced(spark, src, 3)
+    // simulate the shutdown-hook / LRU-evict reap: the dir vanishes but
+    // the cache entry survives
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+    rmTree(java.nio.file.Paths.get(first))
+    val second = StreamingOps.stagedTimeSliced(spark, src, 3)
+    assert(Files.isDirectory(java.nio.file.Paths.get(second)),
+      "re-staged dir must exist")
+    val n = spark.read.parquet(second).count()
+    assert(n == srcRows,
+      s"re-staged corpus must be complete, got $n of $srcRows rows")
+  }
+
 }
