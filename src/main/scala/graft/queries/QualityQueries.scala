@@ -52,6 +52,48 @@ object QualityQueries {
       TestEvaluator.run(Tables.load(s, dir, "customer"), Suites.customer),
       "default-suite-1", component = ExportComponent))
 
+  /** JDBC WRITE-BACK round trip (r12 verdict #2): the customer suite's
+    * outcomes are upserted into an embedded-Derby table over SQL MERGE —
+    * TWICE, a doctored STALE placeholder first and the real outcomes
+    * second, so every row exercises the MATCHED→UPDATE path, not just
+    * insert — then read back through the pushdown JDBC source and gated
+    * against the SAME flat-suite oracle as dq_customer. Hash-green means
+    * the database leg is lossless row-for-row AND the upsert actually
+    * overwrote the stale rows (a skipped update would surface STALE
+    * statuses and -1 measures in the hash). The read-back is eagerly
+    * materialized so the per-invocation Derby instance can be shut down
+    * and reclaimed before the frame is consumed.
+    */
+  private def exportJdbcRoundtrip(s: SparkSession,
+                                  dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outcomes =
+      TestEvaluator.run(Tables.load(s, dir, "customer"), Suites.customer)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val db = s"$dbDir/exportdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val keys = Seq("table_name", "column_name", "test_type")
+    val stale = outcomes
+      .withColumn("status", lit("STALE"))
+      .withColumn("measure", lit(-1.0))
+      .withColumn("message", lit("pending"))
+      .withColumn("result_expr", lit("pending"))
+    graft.sources.JdbcSink.upsert(stale, url, "outcomes", keys)
+    graft.sources.JdbcSink.upsert(outcomes, url, "outcomes", keys)
+    val back = graft.sources.Sources.jdbc(s, url, "outcomes")
+      .select(outcomes.columns.map(col): _*)
+      .orderBy("column_name", "test_type")
+      .localCheckpoint(true)
+    graft.sources.JdbcSink.shutdownDerbyQuiet(db)
+    val walk = java.nio.file.Files.walk(dbDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
+    back
+  }
+
   private val exportRollupSql: String = {
     val c = ExportComponent
     val inList = c.includeList.map(t => s"'$t'").mkString(", ")
@@ -100,6 +142,7 @@ object QualityQueries {
     "hygiene_orders" -> hygiene("orders") _,
     "hygiene_documents" -> hygiene("documents") _,
     "dq_export_rollup_customer" -> (exportRollup _),
+    "export_jdbc_roundtrip" -> (exportJdbcRoundtrip _),
     // the reference's flagship quick-start flow (r10 verdict #4):
     // runtime profileMany → TestGenerator → TestEvaluator → packed
     // outcome export rollup, driven by the saga runner, under a full
@@ -122,6 +165,11 @@ object QualityQueries {
     "hygiene_orders" -> Hygiene.oracleSql("orders"),
     "hygiene_documents" -> Hygiene.oracleSql("documents"),
     "dq_export_rollup_customer" -> exportRollupSql,
+    // the round trip is lossless by contract, so the oracle is the same
+    // flat suite SQL as dq_customer — any database-leg mangling (type
+    // width, NULL handling, a missed MATCHED update) breaks the hash
+    "export_jdbc_roundtrip" ->
+      TestEvaluator.oracleSql("customer", Suites.customer),
     "pipeline_quickstart" -> graft.quality.Quickstart.oracleSql,
   )
 }

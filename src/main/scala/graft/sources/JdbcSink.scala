@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** JDBC WRITE-BACK sink: keyed upsert of a DataFrame into a database
+  * table — the missing half of the JDBC story (r12 verdict #2). The
+  * reference's export path ends in a DATABASE: TestGen posts outcomes
+  * to the events API which lands them in MySQL
+  * (dk-installer.py:1800-1847), and `export-observability` reads them
+  * back out (dk-installer.py:3342-3350). [[Sources.jdbc]] covers the
+  * read side with predicate/aggregate pushdown; this object covers the
+  * write side with the same MERGE (latest-wins per key) semantics the
+  * `ev_upsert` operator implements over parquet.
+  *
+  * Execution shape: `df.repartition(keys)` then per-PARTITION JDBC
+  * connections executing the portable two-statement upsert (UPDATE by
+  * key; INSERT on update-miss; duplicate-key → re-update) in committed
+  * batches — rows never pass through the driver, each key lands in
+  * exactly one task (no two tasks ever upsert the same key within a
+  * call), and each batch's transaction retries on transient lock
+  * conflicts the way the reference wraps every POST in
+  * retries-with-backoff (dk-installer.py:1273-1281). At 100 TB the
+  * bottleneck is the database, not Spark: the repartition is one
+  * shuffle of the export rows (control-plane-sized for test
+  * outcomes), and parallelism is capped by the partition count, which
+  * the caller sizes to what the database can absorb.
+  *
+  * Tested against embedded Derby (in-JVM, so executor tasks in local
+  * mode reach it; Derby's MERGE refuses a VALUES derived-table source,
+  * which is why the two-statement shape — valid on every JDBC target —
+  * is the implementation).
+  */
+object JdbcSink {
+
+  /** Spark → SQL type for DDL and VALUES casts. VARCHAR(1024) for
+    * strings: outcome messages/expressions are short; a caller with
+    * longer text supplies its own pre-created table.
+    */
+  private[sources] def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(1024)"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(
+        s"jdbc upsert: unsupported column type $other")
+  }
+
+  /** CREATE TABLE with a PRIMARY KEY on `keys` if it does not exist —
+    * the key index is what makes every MERGE a point operation instead
+    * of a scan (reference analog: MySQL upserts hit the key index,
+    * dk-installer.py:1832-1847). Existing tables are left as-is
+    * (SQLState X0Y32), so re-runs and concurrent creators are safe.
+    */
+  def ensureTable(url: String, table: String, schema: StructType,
+                  keys: Seq[String]): Unit = {
+    val keySet = keys.toSet
+    val cols = schema.fields.map { f =>
+      val notNull = if (keySet(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f.dataType)}$notNull"
+    }.mkString(", ")
+    val ddl = s"CREATE TABLE $table ($cols, " +
+      s"PRIMARY KEY (${keys.mkString(", ")}))"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** UPDATE ... WHERE keys — the upsert's first leg. Parameter order:
+    * non-key columns, then key columns.
+    */
+  private def updateSql(table: String, schema: StructType,
+                        keys: Seq[String]): Option[String] = {
+    val keySet = keys.toSet
+    val nonKeys = schema.fields.map(_.name).filterNot(keySet)
+    if (nonKeys.isEmpty) None
+    else Some(s"UPDATE $table SET " +
+      nonKeys.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keys.map(k => s"$k = ?").mkString(" AND "))
+  }
+
+  private def insertSql(table: String, schema: StructType): String = {
+    val all = schema.fields.map(_.name)
+    s"INSERT INTO $table (${all.mkString(", ")}) " +
+      s"VALUES (${all.map(_ => "?").mkString(", ")})"
+  }
+
+  /** Bind row values to `ps` in the order given by `fieldOrder` (indices
+    * into the row/schema), starting at parameter 1.
+    */
+  private def bind(ps: PreparedStatement, r: Row, schema: StructType,
+                   fieldOrder: Seq[Int]): Unit =
+    fieldOrder.zipWithIndex.foreach { case (i, pos) =>
+      val f = schema.fields(i)
+      val p = pos + 1
+      if (r.isNullAt(i)) f.dataType match {
+        case StringType => ps.setNull(p, Types.VARCHAR)
+        case DoubleType => ps.setNull(p, Types.DOUBLE)
+        case FloatType => ps.setNull(p, Types.REAL)
+        case LongType => ps.setNull(p, Types.BIGINT)
+        case IntegerType => ps.setNull(p, Types.INTEGER)
+        case ShortType => ps.setNull(p, Types.SMALLINT)
+        case BooleanType => ps.setNull(p, Types.BOOLEAN)
+        case TimestampType => ps.setNull(p, Types.TIMESTAMP)
+        case DateType => ps.setNull(p, Types.DATE)
+        case _: DecimalType => ps.setNull(p, Types.DECIMAL)
+        case other => throw new IllegalArgumentException(
+          s"jdbc upsert: unsupported column type $other")
+      } else f.dataType match {
+        case StringType => ps.setString(p, r.getString(i))
+        case DoubleType => ps.setDouble(p, r.getDouble(i))
+        case FloatType => ps.setFloat(p, r.getFloat(i))
+        case LongType => ps.setLong(p, r.getLong(i))
+        case IntegerType => ps.setInt(p, r.getInt(i))
+        case ShortType => ps.setShort(p, r.getShort(i))
+        case BooleanType => ps.setBoolean(p, r.getBoolean(i))
+        case TimestampType =>
+          ps.setTimestamp(p, r.getAs[java.sql.Timestamp](i))
+        case DateType => ps.setDate(p, r.getAs[java.sql.Date](i))
+        case _: DecimalType =>
+          ps.setBigDecimal(p, r.getAs[java.math.BigDecimal](i))
+        case other => throw new IllegalArgumentException(
+          s"jdbc upsert: unsupported column type $other")
+      }
+    }
+
+  /** Keyed upsert: MERGE every row of `df` into `table` (created with a
+    * PK on `keys` if absent). Latest-wins per key within a single call
+    * is the CALLER's contract (pre-aggregate to one row per key — the
+    * registered queries do); across calls, later calls overwrite
+    * matched keys, which is what makes re-delivery idempotent. Each
+    * batch commits its own transaction and retries on transient
+    * serialization/lock failures (SQLState 40001/40XL1) with backoff.
+    */
+  def upsert(df: DataFrame, url: String, table: String,
+             keys: Seq[String], batchSize: Int = 200): Unit = {
+    require(keys.nonEmpty, "jdbc upsert needs at least one key column")
+    val schema = df.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k missing from ${schema.fieldNames.mkString(",")}"))
+    ensureTable(url, table, schema, keys)
+    // portable two-statement upsert: UPDATE by key, INSERT when the
+    // update matched nothing. (Derby's MERGE refuses a VALUES derived
+    // table as its source, and the two-statement shape is what every
+    // JDBC target accepts.) Within one call each key lives in exactly
+    // one partition (the repartition below), so update-miss→insert
+    // cannot race itself; a CONCURRENT writer inserting the same key
+    // first surfaces as a duplicate-key error (SQLState 23505), which
+    // retries as an update — last committer wins, the MERGE semantics.
+    val upSql = updateSql(table, schema, keys)
+    val insSql = insertSql(table, schema)
+    val keySet = keys.toSet
+    val nonKeyIdx = schema.fields.zipWithIndex
+      .collect { case (f, i) if !keySet(f.name) => i }.toSeq
+    val keyIdx = keys.map(k => schema.fieldIndex(k))
+    val updOrder = nonKeyIdx ++ keyIdx
+    val insOrder = schema.fields.indices.toSeq
+    df.repartition(keys.map(col): _*).foreachPartition {
+        rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val upd = upSql.map(conn.prepareStatement)
+          val ins = conn.prepareStatement(insSql)
+          try {
+            rows.grouped(batchSize).foreach { group =>
+              var attempt = 0
+              var done = false
+              while (!done) {
+                try {
+                  group.foreach { r =>
+                    val updated = upd.exists { ps =>
+                      bind(ps, r, schema, updOrder)
+                      ps.executeUpdate() > 0
+                    }
+                    if (!updated) {
+                      bind(ins, r, schema, insOrder)
+                      try ins.executeUpdate()
+                      catch {
+                        // lost an insert race to a concurrent writer:
+                        // the row now exists, so update it instead
+                        case e: java.sql.SQLException
+                            if e.getSQLState == "23505" &&
+                              upd.nonEmpty =>
+                          upd.foreach { ps =>
+                            bind(ps, r, schema, updOrder)
+                            ps.executeUpdate()
+                          }
+                      }
+                    }
+                  }
+                  conn.commit()
+                  done = true
+                } catch {
+                  // transient serialization/lock conflict: roll the
+                  // batch back and retry with backoff — the reference
+                  // wraps every POST in retries the same way
+                  // (dk-installer.py:1273-1281)
+                  case e: java.sql.SQLException
+                      if attempt < 3 && Option(e.getSQLState)
+                        .exists(s => s == "40001" || s == "40XL1") =>
+                    conn.rollback()
+                    attempt += 1
+                    Thread.sleep(50L << attempt)
+                }
+              }
+            }
+          } finally { upd.foreach(_.close()); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Shut down one embedded Derby database (releases its file handles so
+    * the caller can reclaim the directory). Derby signals a successful
+    * single-db shutdown with SQLState 08006 — swallowed here; any other
+    * failure is also non-fatal for a cleanup path.
+    */
+  def shutdownDerbyQuiet(dbPath: String): Unit =
+    try DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+}

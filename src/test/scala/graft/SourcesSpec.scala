@@ -117,6 +117,54 @@ class SourcesSpec extends AnyFunSuite {
       scan)
   }
 
+  test("JDBC keyed upsert: idempotent on re-run, matched keys update, " +
+      "unmatched insert, NULLs survive the round trip (r12 verdict #2)") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("derby-up")
+    val db = s"$dbDir/updb"
+    val url = s"jdbc:derby:$db;create=true"
+    val base = Seq(
+      ("t1", "c1", "Row_Ct", Some(10.0), "PASSED"),
+      ("t1", "c2", "Null_Ct", None, "FAILED"),
+      ("t2", "c1", "Row_Ct", Some(5.0), "PASSED"))
+      .toDF("table_name", "column_name", "test_type", "measure", "status")
+    val keys = Seq("table_name", "column_name", "test_type")
+    def readBack() = Sources.jdbc(spark, url, "outcomes")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getString(4)))
+      .toSet
+    graft.sources.JdbcSink.upsert(base, url, "outcomes", keys)
+    val first = readBack()
+    assert(first.size == 3)
+    assert(first.exists(t => t._2 == "c2" && t._4.isEmpty),
+      "NULL measure must survive the write-back")
+    // IDEMPOTENCE: re-delivering the same rows changes nothing — the
+    // retry/replay posture the reference's POST retries assume
+    graft.sources.JdbcSink.upsert(base, url, "outcomes", keys)
+    assert(readBack() == first, "re-run must be a no-op")
+    // UPDATE + INSERT in one call: one matched key flips its payload,
+    // one new key appears
+    val delta = Seq(
+      ("t1", "c2", "Null_Ct", Some(0.0), "PASSED"),
+      ("t3", "c9", "Row_Ct", Some(7.0), "WARNING"))
+      .toDF("table_name", "column_name", "test_type", "measure", "status")
+    graft.sources.JdbcSink.upsert(delta, url, "outcomes", keys)
+    val after = readBack()
+    assert(after.size == 4)
+    assert(after(("t1", "c2", "Null_Ct", Some(0.0), "PASSED")),
+      "matched key must take the delta's payload")
+    assert(!after.exists(t => t._5 == "FAILED"),
+      "the superseded row must be gone")
+    assert(after(("t3", "c9", "Row_Ct", Some(7.0), "WARNING")))
+    // a second writer with MORE partitions lands the same final state
+    graft.sources.JdbcSink.upsert(
+      base.repartition(8).withColumn("status", lit("RERUN")),
+      url, "outcomes", keys, batchSize = 1)
+    assert(readBack().count(_._5 == "RERUN") == 3)
+    graft.sources.JdbcSink.shutdownDerbyQuiet(db)
+  }
+
   test("JDBC v2 catalog pushes aggregates into the database") {
     val dbDir = java.nio.file.Files.createTempDirectory("derby2").toString
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
