@@ -27,6 +27,7 @@ object SparkEntry {
     (SimQueries.queries, SimQueries.oracles),
     (MediaQueries.queries, MediaQueries.oracles),
     (AudioQueries.queries, AudioQueries.oracles),
+    (MulawQueries.queries, MulawQueries.oracles),
     (VideoQueries.queries, VideoQueries.oracles),
     (JpegQueries.queries, JpegQueries.oracles),
     (ConfigQueries.queries, ConfigQueries.oracles),

@@ -77,7 +77,7 @@ object AudioQueries {
   /** The same closed form as a DuckDB SQL expression over a src id
     * expression and a sample-index expression.
     */
-  private def rawSql(src: String, i: String): String =
+  private[queries] def rawSql(src: String, i: String): String =
     s"((31 * $src + 17 * ($src // 256) + (7 + $src % 64) * $i" +
       s" + 13 * $src * $i + 11 * (($src % 128) + 3) * $i * $i" +
       s" + 5 * ($src // 256) * $i * $i) % 2048)"
@@ -124,7 +124,7 @@ object AudioQueries {
     * rounding happens in the DataFrame with Spark's `round`, the same
     * expression tree as the oracle's).
     */
-  private def statsRow(d: Long, samples: Array[Short])
+  private[queries] def statsRow(d: Long, samples: Array[Short])
       : (Long, Long, Long, Long, Long, Double) = {
     var sumAbs = 0L; var peak = 0L; var zc = 0L; var sumSq = 0L
     var i = 0
@@ -141,7 +141,7 @@ object AudioQueries {
       math.sqrt(sumSq.toDouble / samples.length))
   }
 
-  private def featuresOf(decoded: org.apache.spark.sql.Dataset[
+  private[queries] def featuresOf(decoded: org.apache.spark.sql.Dataset[
       (Long, Long, Long, Long, Long, Double)]): DataFrame =
     decoded.toDF("doc_id", "n_samples", "sum_abs", "peak",
         "zero_crossings", "rms_raw")
