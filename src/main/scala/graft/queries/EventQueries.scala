@@ -724,6 +724,72 @@ object EventQueries {
        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- skewed FACT-to-FACT join under AQE skew split ----------------------
+
+  /** The OTHER shuffle that dies first on a Zipf key at 100× (r12
+    * verdict #4): a fact-to-fact equi-join where one join key owns a
+    * disproportionate share of BOTH sides — here error events joined to
+    * the same user's purchase events within the following hour (the
+    * attribution-window shape). Posture:
+    *
+    *  - `hint("merge")` on both sides pins the SORT-MERGE plan: at
+    *    100 TB neither fact side broadcasts, and SMJ is the shape AQE's
+    *    skew-join split can observe and repartition at runtime
+    *    (`spark.sql.adaptive.skewJoin.*`, on by default) — a skewed
+    *    post-shuffle partition is split into task-sized slices and the
+    *    matching side's partition is replicated per slice. PlansSpec
+    *    pins `skew=true` on this exact plan under a forced-skew corpus.
+    *  - The window predicate rides the SMJ as a post-join condition;
+    *    the equi key carries the shuffle.
+    *  - The rollup groups on the error HOUR, not the join key — the
+    *    realistic attribution report, and the shape that keeps AQE's
+    *    default skew path live: a rollup on the join key would be
+    *    satisfied by the SMJ's own output partitioning, and
+    *    OptimizeSkewedJoin refuses a split that introduces an extra
+    *    shuffle (only `forceOptimizeSkewedJoin` overrides it). With a
+    *    disjoint grouping key the aggregate reshuffles anyway, so the
+    *    split is free.
+    *  - The rollup is algebraic (count + integer sums), so partial
+    *    aggregation absorbs the hot user's pair volume map-side; the
+    *    sums are exact integers (id deltas), immune to float merge
+    *    order.
+    *
+    * The salted variant ([[graft.operators.Skew.saltedJoin]]) remains
+    * the fallback for engines/plans AQE cannot observe; this gate
+    * proves the AQE path on the declarative plan.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+    errs.hint("merge").join(buys.hint("merge"),
+        col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(date_trunc("hour", col("a_ts")).as("err_hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("b_id") - col("a_id")).as("id_delta_sum"),
+        max(col("b_id")).as("max_purchase_id"))
+      .orderBy("err_hour")
+  }
+
+  val skewJoinSql: String =
+    s"""$EvCte
+       |SELECT date_trunc('hour', a.ts) AS err_hour,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(b.event_id - a.event_id) AS BIGINT) AS id_delta_sum,
+       |  CAST(max(b.event_id) AS BIGINT) AS max_purchase_id
+       |FROM (SELECT * FROM ev WHERE event_type = 'error') a
+       |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+       |  ON a.user_id = b.user_id
+       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       |GROUP BY date_trunc('hour', a.ts)
+       |ORDER BY err_hour""".stripMargin
+
   // ---- A14 JSON props extraction ------------------------------------------
 
   def propsAgg(s: SparkSession, dir: String): DataFrame =
@@ -1233,6 +1299,7 @@ object EventQueries {
     "ev_metric_alerts" -> (metricAlerts _),
     "ev_rollup" -> (rollup _),
     "ev_salted_rollup" -> (saltedRollup _),
+    "ev_skew_join" -> (skewJoin _),
     "ev_volume_anomalies" -> (volumeAnomalies _),
     "ev_liveness" -> (liveness _),
     "ev_props_agg" -> (propsAgg _),
@@ -1286,6 +1353,7 @@ object EventQueries {
     "ev_metric_alerts" -> metricAlertsSql,
     "ev_rollup" -> rollupSql,
     "ev_salted_rollup" -> saltedRollupSql,
+    "ev_skew_join" -> skewJoinSql,
     "ev_volume_anomalies" -> volumeAnomaliesSql,
     "ev_liveness" -> livenessSql,
     "ev_props_agg" -> propsAggSql,

@@ -97,4 +97,79 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("graft_dot") || plan.contains("dotproduct") ||
       plan.toLowerCase.contains("dot"), plan)
   }
+
+  test("ev_skew_join under a Zipf key: AQE splits the hot partition " +
+      "(skew=true in the final SMJ) and the result matches the " +
+      "unhinted plan row-for-row (r12 verdict #4)") {
+    // forced-skew corpus: ~90% of events collapse onto ONE user, the
+    // Zipf shape the skew bench's GenSkew events carry at sf1
+    val src = Tables.load(spark, SparkTestSession.sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("skewjoin").toString
+    // ×10 replication (distinct event_ids) so the hot partition's
+    // shuffle bytes clear the scoped skew threshold at test scale
+    src.crossJoin(spark.range(10).toDF("k"))
+      .withColumn("event_id", col("event_id") * 10 + col("k")).drop("k")
+      .withColumn("user_id",
+        when(col("event_id") % 10 =!= 0, lit(1L)).otherwise(col("user_id")))
+      // many part files: one file is one parquet row group, i.e. ONE
+      // mapper owning every hot row -- and AQE can only split a skewed
+      // partition along mapper boundaries
+      .repartition(10)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // thresholds sized to the test corpus so the hot post-shuffle
+    // partition REGISTERS as skewed and splits (production keeps the
+    // 256 MB defaults; the mechanism under test is identical)
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // AQE splits a skewed partition along MAPPER boundaries — a
+      // single-map-task shuffle is unsplittable regardless of skew, so
+      // the scan must yield several map tasks at test scale (at 100 TB
+      // thousands of mappers is the given)
+      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      "spark.sql.files.openCostInBytes" -> "0")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = SparkEntry.queries("ev_skew_join")
+      val df = q(spark, dir)
+      val got = df.collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+      // AQE finalizes the plan only after execution: the final SMJ on
+      // the hot key must carry the skew-split marker
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split SMJ in:\n$plan")
+      // same values as the unhinted declarative plan (whatever shape
+      // Catalyst picks for it)
+      val e = Tables.load(spark, dir, "events")
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"))
+      val want = errs.join(buys,
+          col("user_id") === col("b_user") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(date_trunc("hour", col("a_ts")).as("err_hour"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("b_id") - col("a_id")).as("id_delta_sum"),
+          max(col("b_id")).as("max_purchase_id"))
+        .orderBy("err_hour")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want)
+      assert(got.map(_._2).sum > 100,
+        "vacuous-skew guard: the hot user must dominate the pair volume")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
