@@ -27,7 +27,9 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
-    val replicas = 10
+    // replica count as args(2): 10 = the sf1 gate corpus; 100 = the
+    // sf10 scale-curve probe corpus (r12 verdict #6)
+    val replicas = if (args.length > 2) args(2).toInt else 10
     val stride = 100000000L
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"),
