@@ -64,35 +64,88 @@ object QualityQueries {
     * materialized so the per-invocation Derby instance can be shut down
     * and reclaimed before the frame is consumed.
     */
+  /** Run `body` against a per-invocation embedded-Derby database and
+    * reclaim it: the returned frame must already be eagerly
+    * materialized (localCheckpoint) because the database is shut down
+    * and its directory deleted before this returns.
+    */
+  private def withDerby(body: String => DataFrame): DataFrame = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val db = s"$dbDir/exportdb"
+    try body(s"jdbc:derby:$db;create=true")
+    finally {
+      graft.sources.JdbcSink.shutdownDerbyQuiet(db)
+      val walk = java.nio.file.Files.walk(dbDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  private val exportKeys = Seq("table_name", "column_name", "test_type")
+
   private def exportJdbcRoundtrip(s: SparkSession,
                                   dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val outcomes =
       TestEvaluator.run(Tables.load(s, dir, "customer"), Suites.customer)
-    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
-    val db = s"$dbDir/exportdb"
-    val url = s"jdbc:derby:$db;create=true"
-    val keys = Seq("table_name", "column_name", "test_type")
-    val stale = outcomes
-      .withColumn("status", lit("STALE"))
-      .withColumn("measure", lit(-1.0))
-      .withColumn("message", lit("pending"))
-      .withColumn("result_expr", lit("pending"))
-    graft.sources.JdbcSink.upsert(stale, url, "outcomes", keys)
-    graft.sources.JdbcSink.upsert(outcomes, url, "outcomes", keys)
-    val back = graft.sources.Sources.jdbc(s, url, "outcomes")
-      .select(outcomes.columns.map(col): _*)
-      .orderBy("column_name", "test_type")
-      .localCheckpoint(true)
-    graft.sources.JdbcSink.shutdownDerbyQuiet(db)
-    val walk = java.nio.file.Files.walk(dbDir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } finally walk.close()
-    back
+    withDerby { url =>
+      val stale = outcomes
+        .withColumn("status", lit("STALE"))
+        .withColumn("measure", lit(-1.0))
+        .withColumn("message", lit("pending"))
+        .withColumn("result_expr", lit("pending"))
+      graft.sources.JdbcSink.upsert(stale, url, "outcomes", exportKeys)
+      graft.sources.JdbcSink.upsert(outcomes, url, "outcomes", exportKeys)
+      // order by the FULL upsert key (r13 advice): the customer suite
+      // spans one table today, but the gate stays deterministic if a
+      // suite ever covers several
+      graft.sources.Sources.jdbc(s, url, "outcomes")
+        .select(outcomes.columns.map(col): _*)
+        .orderBy("table_name", "column_name", "test_type")
+        .localCheckpoint(true)
+    }
   }
+
+  /** JDBC sink SCHEMA EVOLUTION round trip (r13 verdict #4): a v1
+    * export generation lands the outcomes WITHOUT the message /
+    * result_expr columns; a v2 generation carrying both new columns —
+    * for the deterministic half of the suite whose test_type has even
+    * character length — upserts into the SAME table.
+    * [[graft.sources.JdbcSink.ensureTable]] evolves the live table with
+    * `ALTER TABLE .. ADD COLUMN` (the reference migrates its system
+    * database in place on upgrade: `upgrade-system-version`,
+    * dk-installer.py:2396), and every v2 row takes the MATCHED→UPDATE
+    * path since v1 already inserted its key. Read back, v2-generation
+    * rows carry the new columns and v1-only rows read NULL in them —
+    * exactly the CASE the oracle mirrors over the flat compiled suite.
+    */
+  private def exportJdbcEvolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outcomes =
+      TestEvaluator.run(Tables.load(s, dir, "customer"), Suites.customer)
+    withDerby { url =>
+      val v1 = outcomes.drop("message", "result_expr")
+      val v2 = outcomes.filter(length(col("test_type")) % 2 === 0)
+      graft.sources.JdbcSink.upsert(v1, url, "outcomes", exportKeys)
+      graft.sources.JdbcSink.upsert(v2, url, "outcomes", exportKeys)
+      graft.sources.Sources.jdbc(s, url, "outcomes")
+        .select(outcomes.columns.map(col): _*)
+        .orderBy("table_name", "column_name", "test_type")
+        .localCheckpoint(true)
+    }
+  }
+
+  private val exportJdbcEvolveSql: String =
+    s"""SELECT table_name, column_name, test_type, measure, threshold,
+       |  status,
+       |  CASE WHEN length(test_type) % 2 = 0 THEN message END AS message,
+       |  CASE WHEN length(test_type) % 2 = 0 THEN result_expr
+       |       END AS result_expr
+       |FROM (${TestEvaluator.oracleSql("customer", Suites.customer)})
+       |ORDER BY table_name, column_name, test_type""".stripMargin
 
   private val exportRollupSql: String = {
     val c = ExportComponent
@@ -143,6 +196,7 @@ object QualityQueries {
     "hygiene_documents" -> hygiene("documents") _,
     "dq_export_rollup_customer" -> (exportRollup _),
     "export_jdbc_roundtrip" -> (exportJdbcRoundtrip _),
+    "export_jdbc_evolve" -> (exportJdbcEvolve _),
     // the reference's flagship quick-start flow (r10 verdict #4):
     // runtime profileMany → TestGenerator → TestEvaluator → packed
     // outcome export rollup, driven by the saga runner, under a full
@@ -170,6 +224,7 @@ object QualityQueries {
     // width, NULL handling, a missed MATCHED update) breaks the hash
     "export_jdbc_roundtrip" ->
       TestEvaluator.oracleSql("customer", Suites.customer),
+    "export_jdbc_evolve" -> exportJdbcEvolveSql,
     "pipeline_quickstart" -> graft.quality.Quickstart.oracleSql,
   )
 }

@@ -56,28 +56,90 @@ object JdbcSink {
         s"jdbc upsert: unsupported column type $other")
   }
 
-  /** CREATE TABLE with a PRIMARY KEY on `keys` if it does not exist —
-    * the key index is what makes every MERGE a point operation instead
-    * of a scan (reference analog: MySQL upserts hit the key index,
-    * dk-installer.py:1832-1847). Existing tables are left as-is
-    * (SQLState X0Y32), so re-runs and concurrent creators are safe.
+  /** Column names of `table` if it exists, probed through
+    * `DatabaseMetaData.getColumns` — the JDBC-standard way to ask
+    * "does this table exist, and with what shape", portable across
+    * dialects where SQLState matching is not (Derby says X0Y32 for an
+    * already-existing table, MySQL 42S01, Postgres 42P07 — r13 advice).
+    * Unquoted identifiers are stored case-FOLDED per dialect (Derby/H2
+    * upper, Postgres lower, MySQL as-is), so the probe tries the exact,
+    * upper, and lower spellings and takes the first hit. Returns None
+    * when no spelling matches. Names come back in the stored folding;
+    * callers compare case-insensitively.
+    */
+  private[sources] def tableColumns(conn: Connection,
+                                    table: String): Option[Seq[String]] = {
+    val md = conn.getMetaData
+    def probe(name: String): Option[Seq[String]] = {
+      val rs = md.getColumns(null, null, name, null)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString("COLUMN_NAME")
+        if (buf.isEmpty) None else Some(buf.toSeq)
+      } finally rs.close()
+    }
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      .iterator.flatMap(probe(_)).nextOption()
+  }
+
+  /** CREATE TABLE with a PRIMARY KEY on `keys` if absent — the key
+    * index is what makes every MERGE a point operation instead of a
+    * scan (reference analog: MySQL upserts hit the key index,
+    * dk-installer.py:1832-1847) — and EVOLVE an existing table whose
+    * shape is behind `schema`: new non-key nullable columns are added
+    * with `ALTER TABLE .. ADD COLUMN` (valid Derby/Postgres/MySQL/H2
+    * DDL), so an export whose outcome schema grew a field upgrades the
+    * table in place the way the reference migrates its system database
+    * on upgrade (`upgrade-system-version`, dk-installer.py:2396); rows
+    * already present read back NULL in the new columns. A new KEY
+    * column is refused — a primary key cannot grow in place, that is a
+    * re-key migration the caller must own. Existence is probed via
+    * DatabaseMetaData (not a dialect SQLState), and a CREATE lost to a
+    * concurrent creator re-probes instead of trusting any particular
+    * error code, so re-runs and races are safe on any JDBC target.
     */
   def ensureTable(url: String, table: String, schema: StructType,
                   keys: Seq[String]): Unit = {
     val keySet = keys.toSet
-    val cols = schema.fields.map { f =>
-      val notNull = if (keySet(f.name)) " NOT NULL" else ""
-      s"${f.name} ${sqlType(f.dataType)}$notNull"
-    }.mkString(", ")
-    val ddl = s"CREATE TABLE $table ($cols, " +
-      s"PRIMARY KEY (${keys.mkString(", ")}))"
     val conn = DriverManager.getConnection(url)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(ddl)
-      catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      } finally st.close()
+      def evolve(existing: Seq[String]): Unit = {
+        val have = existing.map(_.toLowerCase).toSet
+        val missing = schema.fields.filterNot(f => have(f.name.toLowerCase))
+        missing.find(f => keySet(f.name)).foreach { f =>
+          throw new IllegalArgumentException(
+            s"jdbc upsert: key column ${f.name} is missing from existing " +
+              s"table $table — a primary key cannot be grown in place")
+        }
+        missing.foreach { f =>
+          val st = conn.createStatement()
+          try st.executeUpdate(s"ALTER TABLE $table ADD COLUMN " +
+            s"${f.name} ${sqlType(f.dataType)}")
+          finally st.close()
+        }
+      }
+      tableColumns(conn, table) match {
+        case Some(existing) => evolve(existing)
+        case None =>
+          val cols = schema.fields.map { f =>
+            val notNull = if (keySet(f.name)) " NOT NULL" else ""
+            s"${f.name} ${sqlType(f.dataType)}$notNull"
+          }.mkString(", ")
+          val ddl = s"CREATE TABLE $table ($cols, " +
+            s"PRIMARY KEY (${keys.mkString(", ")}))"
+          val st = conn.createStatement()
+          try st.executeUpdate(ddl)
+          catch {
+            // lost the create race (or the dialect hid the table from a
+            // pre-create probe): if the table exists NOW, evolve it like
+            // any other existing table; otherwise the failure is real
+            case e: java.sql.SQLException =>
+              tableColumns(conn, table) match {
+                case Some(existing) => evolve(existing)
+                case None => throw e
+              }
+          } finally st.close()
+      }
     } finally conn.close()
   }
 
@@ -194,10 +256,17 @@ object JdbcSink {
                       try ins.executeUpdate()
                       catch {
                         // lost an insert race to a concurrent writer:
-                        // the row now exists, so update it instead
+                        // the row now exists, so update it instead —
+                        // and for a KEYS-ONLY schema (no updatable
+                        // columns) the duplicate already IS the desired
+                        // end-state, so the race is a successful no-op
+                        // (r13 advice). Integrity-violation SQLStates
+                        // are class 23 everywhere but the subclass
+                        // varies (Derby/Postgres/H2 23505, MySQL
+                        // 23000), so match the class.
                         case e: java.sql.SQLException
-                            if e.getSQLState == "23505" &&
-                              upd.nonEmpty =>
+                            if Option(e.getSQLState)
+                              .exists(_.startsWith("23")) =>
                           upd.foreach { ps =>
                             bind(ps, r, schema, updOrder)
                             ps.executeUpdate()
@@ -211,10 +280,12 @@ object JdbcSink {
                   // transient serialization/lock conflict: roll the
                   // batch back and retry with backoff — the reference
                   // wraps every POST in retries the same way
-                  // (dk-installer.py:1273-1281)
+                  // (dk-installer.py:1273-1281). Class 40 is the
+                  // standard transaction-rollback class; Derby's lock
+                  // timeout is the nonstandard 40XL1 inside it.
                   case e: java.sql.SQLException
                       if attempt < 3 && Option(e.getSQLState)
-                        .exists(s => s == "40001" || s == "40XL1") =>
+                        .exists(_.startsWith("40")) =>
                     conn.rollback()
                     attempt += 1
                     Thread.sleep(50L << attempt)

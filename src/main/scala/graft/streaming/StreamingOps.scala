@@ -811,13 +811,24 @@ object StreamingOps {
           .exists(_.getFileName.toString.endsWith(".parquet"))
         finally walk.close()
       }
-    stagedCache.synchronized {
-      Option(stagedCache.get(key)).filter { p =>
-        val ok = alive(p)
-        if (!ok) stagedCache.remove(key)
-        ok
+    // the alive() Files.list walk runs OUTSIDE the map lock (r13
+    // advice) — it touches disk; the lock guards microseconds of map
+    // ops only. A dead hit is dropped under a re-check (only if the
+    // key still maps to the SAME path — a concurrent re-stager may
+    // have replaced it) and whatever remains of the partially-reaped
+    // directory is queued for reclamation like any eviction victim.
+    val cached = stagedCache.synchronized(Option(stagedCache.get(key)))
+    val liveHit = cached.filter(alive)
+    if (cached.isDefined && liveHit.isEmpty) {
+      val dead = cached.get
+      stagedCache.synchronized {
+        if (stagedCache.get(key) eq dead) {
+          stagedCache.remove(key)
+          pendingEvict.add(dead)
+        }
       }
-    }.getOrElse {
+    }
+    liveHit.getOrElse {
       // a NEW staging is starting: reap victims evicted during earlier
       // calls (deferred deletion — see pendingEvict)
       var victim = pendingEvict.poll()
