@@ -36,6 +36,20 @@ import org.apache.spark.sql.SparkSession
   * line + detail file from whatever samples exist if the JVM is torn
   * down early (`"partial":true`), so even a SIGTERM leaves a parsed
   * artifact rather than a log tail.
+  *
+  * CONTENDED-RUN self-diagnosis (r13 verdict #1 — the r13 official run
+  * finished rep 1 at ~4× idle cost under end-of-round contention, shed
+  * reps 2–5 whole, and published single samples as medians with an
+  * empty solo section because every one-rep spread is 0.000): (a) a
+  * one-rep artifact now carries `"medians_are_single_samples":true`;
+  * (b) when the budget stops fitting the next rep, BREADTH is shed
+  * before DEPTH — heavy gates drop to their one booked sample
+  * (`"heavy_shed_to_1_rep":true`) so the light majority still gets ≥2
+  * reps; (c) if only one rep completed anyway, solo candidates are
+  * ranked by absolute deviation vs the committed prior-round medians
+  * ([[priorMedians]], worst 20) instead of the spread signal that no
+  * longer exists, so the samples most likely to mislead a round-over-
+  * round compare get adjudicated first.
   */
 object Bench {
   // ---- shared state the shutdown hook may read mid-run -------------------
@@ -51,6 +65,7 @@ object Bench {
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var repsDone = 0
   @volatile private var repsPlanned = 0
+  @volatile private var heavyShed = false
   @volatile private var sfDirNote = ""
   @volatile private var detailPathNote = "BENCH_FULL.json"
 
@@ -58,6 +73,29 @@ object Bench {
     val s = v.sorted; s(s.size / 2)
   }
   private def r3(v: Double): String = f"$v%.3f"
+
+  /** Committed prior-round per-query medians (r13 verdict #1b): the
+    * fallback solo-ranking signal when only one rep completed and every
+    * in-sweep spread is 0.000. Flat regex parse of the artifact's
+    * "queries" object — bench-emitted flat JSON, no nesting inside it;
+    * an unreadable/absent file degrades to an empty map (no fallback
+    * candidates, same as before this existed).
+    */
+  private def priorMedians(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR_MED",
+      "BENCH_sf01_med.json")
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -85,9 +123,15 @@ object Bench {
         .mkString("{", ",", "}")
       val skippedJson = soloSkipped.sorted.map(jstr).mkString("[", ",", "]")
       val partialNote = if (partial) ""","partial":true""" else ""
+      // r13 verdict #1a: with one completed rep every "median" is a
+      // single (possibly contended) sample — say so IN the artifact so
+      // a reader can't mistake samples for medians
+      val singleNote = if (repsDone <= 1)
+        ""","medians_are_single_samples":true""" else ""
+      val shedNote = if (heavyShed) ""","heavy_shed_to_1_rep":true""" else ""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPathNote),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"solo_skipped":$skippedJson,"errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote,"sf":"$sfDirNote"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"solo_skipped":$skippedJson,"errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote$singleNote$shedNote,"sf":"$sfDirNote"}""")
       catch { case _: Throwable => () }
       // compact stdout line: fixed family-representative headliners
       // first, then the slowest remaining queries, size-capped so the
@@ -119,7 +163,7 @@ object Bench {
         } else truncated += 1
       }
       val qs = picked.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPathNote","errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote,"sf":"$sfDirNote"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPathNote","errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote$singleNote$shedNote,"sf":"$sfDirNote"}""")
       System.out.flush()
     }
   }
@@ -191,30 +235,44 @@ object Bench {
     val HeavyCutoffSec = 4.0
     val HeavyReps = 3
     var rep = 1
-    var lastRepCost = 0.0
     var continueReps = true
     while (rep <= reps && continueReps) {
       // only successful reps book time: a fast-crashing rep would
       // otherwise contribute a misleadingly small median while the
       // failure hides in the errors map
-      val repT0 = System.nanoTime()
       val order = new scala.util.Random(rep).shuffle(names)
       order.foreach { case (name, fn) =>
         val heavy = lock.synchronized(
           times(name).headOption.exists(_ > HeavyCutoffSec))
-        if (rep <= HeavyReps || !heavy)
+        if (rep == 1 || (!heavy) ||
+            (!heavyShed && rep <= HeavyReps))
           runOne(name, fn).foreach { t =>
             lock.synchronized { times(name) = times(name) :+ t }
           }
       }
-      lastRepCost = (System.nanoTime() - repT0) / 1e9
       repsDone = rep
-      // rep 1 is the coverage floor and always runs to completion;
-      // later reps are skipped WHOLE when the previous rep's cost no
-      // longer fits the remaining budget (a half-measured rep would
-      // bias medians toward whichever shuffled prefix ran)
-      if (rep < reps && remainingSec < lastRepCost * 1.15)
-        continueReps = false
+      // rep 1 is the coverage floor and always runs to completion.
+      // After it, shed BREADTH before DEPTH (r13 verdict #1c): when the
+      // projected cost of the next rep no longer fits, first drop the
+      // heavy gates to their 1 booked sample — two reps of everything
+      // light buys far more median than one contended sample of
+      // everything twice — and only when even the light rep doesn't fit
+      // stop whole. Projections use each query's own fastest booked
+      // sample (an optimistic floor, hence the 1.15 margins).
+      if (rep < reps) {
+        val (lightEst, heavyEst) = lock.synchronized {
+          val booked = names.flatMap { case (n, _) =>
+            val v = times(n); if (v.isEmpty) None else Some(n -> v.min)
+          }
+          (booked.collect { case (_, t) if t <= HeavyCutoffSec => t }.sum,
+            booked.collect { case (_, t) if t > HeavyCutoffSec => t }.sum)
+        }
+        val nextHeavy =
+          if (!heavyShed && rep + 1 <= HeavyReps) heavyEst else 0.0
+        if (remainingSec < lightEst * 1.15) continueReps = false
+        else if (remainingSec < (lightEst + nextHeavy) * 1.15)
+          heavyShed = true
+      }
       rep += 1
     }
     // SOLO-PROBE protocol (r9 verdict #3, widened r10 verdict #5): a
@@ -237,19 +295,45 @@ object Bench {
     // 20% of median keeps the trigger meaning "contaminated", not "big".
     val SoloSpreadCap = 1.5
     val SoloReps = 3
-    if (repsDone >= 2) {
-      // candidates RANKED by sweep spread, worst first (r12 verdict #1):
-      // the budget is spent where adjudication needs it most, and when
-      // it runs out the un-probed tail is listed in `solo_skipped`
-      // instead of the whole artifact dying open-ended
-      val candidates = names.flatMap { case (name, fn) =>
-        val v = lock.synchronized(times(name))
-        if (v.nonEmpty &&
-            v.max - v.min > math.max(SoloSpreadCap, 0.2 * median(v)))
-          Some((name, fn, v))
-        else None
-      }.sortBy { case (_, _, v) => -(v.max - v.min) }
-      candidates.foreach { case (name, fn, v) =>
+    // candidate ranking signal (r13 verdict #1b): with ≥2 reps, the
+    // in-sweep spread says where adjudication is needed; with ONE rep
+    // every spread is 0.000 and the r13 artifact silently enrolled
+    // nobody — the fallback signal is deviation vs the committed
+    // prior-round medians already on disk, worst absolute delta first,
+    // capped at the 20 largest (the single contended samples most
+    // likely to mislead a round-over-round compare).
+    val candidates: Seq[((String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        Vector[Double]), String)] =
+      if (repsDone >= 2) {
+        // RANKED by sweep spread, worst first (r12 verdict #1): the
+        // budget is spent where adjudication needs it most, and when it
+        // runs out the un-probed tail is listed in `solo_skipped`
+        // instead of the whole artifact dying open-ended
+        names.flatMap { case (name, fn) =>
+          val v = lock.synchronized(times(name))
+          if (v.nonEmpty &&
+              v.max - v.min > math.max(SoloSpreadCap, 0.2 * median(v)))
+            Some((name, fn, v))
+          else None
+        }.sortBy { case (_, _, v) => -(v.max - v.min) }
+          .map(c => (c, ""))
+      } else if (reps >= 2 && sfDir == "/root/testdata/sf0.1") {
+        // fallback fires only when MORE reps were planned than ran and
+        // the prior medians are comparable (the committed file is the
+        // controlled sf0.1 sweep) — a deliberate reps=1 smoke at
+        // another SF must stay cheap
+        val prior = priorMedians()
+        names.flatMap { case (name, fn) =>
+          val v = lock.synchronized(times(name))
+          prior.get(name).collect {
+            case p if v.nonEmpty => ((name, fn, v), math.abs(v.head - p), p)
+          }
+        }.sortBy(-_._2).take(20).map { case (c, _, p) =>
+          (c, s""""prior_median":${r3(p)},""")
+        }
+      } else Seq.empty
+    candidates.foreach { case ((name, fn, v), extraNote) =>
         // probe cost estimate: SoloReps runs at the sweep median plus GC
         // slack; a probe that does not fit is skipped, not started —
         // half a probe adjudicates nothing
@@ -303,7 +387,7 @@ object Bench {
               val flaked = if (soloErrs.isEmpty) ""
                 else s""","solo_flake":${jstr(soloErrs.mkString(" | "))}"""
               val replaced = median(solo) < median(v)
-              soloNote(name) = s"""{"sweep_median":${r3(median(v))},""" +
+              soloNote(name) = s"""{$extraNote"sweep_median":${r3(median(v))},""" +
                 s""""sweep_spread":${r3(v.max - v.min)},""" +
                 s""""solo_median":${r3(median(solo))},""" +
                 s""""solo_spread":${r3(solo.max - solo.min)},""" +
@@ -312,13 +396,12 @@ object Bench {
             } else {
               if (soloErrs.nonEmpty)
                 errors(name) = "solo: " + soloErrs.mkString(" | ").take(230)
-              soloNote(name) = s"""{"sweep_median":${r3(median(v))},""" +
+              soloNote(name) = s"""{$extraNote"sweep_median":${r3(median(v))},""" +
                 s""""sweep_spread":${r3(v.max - v.min)},""" +
                 s""""solo_failed":true}"""
             }
           }
         }
-      }
     }
     emitSummary(false)
     spark.stop()

@@ -880,6 +880,53 @@ object EventQueries {
     EventOps.ruleAlerts(ev(s, dir),
       graft.events.ControlPlane.rules(s, "templated"))
 
+  /** WEBHOOK round trip for templated rule actions (r13 verdict #7):
+    * the `ev_rule_templated` output is delivered over real HTTP to an
+    * in-JVM receiver ([[graft.sources.WebhookReceiver]]) through the
+    * chunked sender with retry-with-backoff
+    * ([[graft.sources.Webhook]], the reference's POST retries —
+    * dk-installer.py:1273-1281 — at its 100/post pacing,
+    * demo_helper.py:803-816), under THREE injected adversities: a
+    * one-shot 503 on the first-arriving chunk (the sender must retry
+    * it), a FULL second delivery of every chunk under the original
+    * idempotency keys (an epoch replay the receiver must dedup), and
+    * multi-partition senders posting concurrently. The query returns
+    * what the RECEIVER stored, re-parsed against the action schema —
+    * gated against the SAME oracle as ev_rule_templated, so a dropped
+    * chunk (retry failed), a double-stored replay (dedup failed), or a
+    * mangled payload all break the hash. The requires make the
+    * adversities non-optional: a run where the injection or the replay
+    * silently didn't fire FAILS rather than gating nothing.
+    */
+  def webhookRuleActions(s: SparkSession, dir: String): DataFrame = {
+    val actions = ruleTemplated(s, dir)
+    val schema = actions.schema
+    // micros-precision timestamp format on BOTH legs: the default JSON
+    // format is millis and would silently shave event timestamps
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    import s.implicits._
+    // materialize the JSON lines once so both deliveries iterate the
+    // SAME partitions — the replay's idempotency keys must match
+    val lines = actions
+      .select(to_json(struct(actions.columns.map(col): _*),
+        Map("timestampFormat" -> fmt)).as("j"))
+      .as[String].repartition(4).localCheckpoint(true)
+    val rx = new graft.sources.WebhookReceiver(injectFailures = 1)
+    try {
+      graft.sources.Webhook.deliverLines(lines, rx.url, 100, replayTag = 0)
+      graft.sources.Webhook.deliverLines(lines, rx.url, 100, replayTag = 0)
+      require(rx.injected == 1,
+        "webhook gate: the injected 503 never fired")
+      require(rx.duplicates >= rx.storedChunks,
+        s"webhook gate: full replay produced only ${rx.duplicates} " +
+          s"duplicate posts for ${rx.storedChunks} chunks")
+      s.read.schema(schema).option("timestampFormat", fmt)
+        .json(s.createDataset(rx.lines))
+        .orderBy("rule_id", "event_id")
+        .localCheckpoint(true)
+    } finally rx.stop()
+  }
+
   /** SQL mirror of [[EventOps.templateColumn]]: the same template string
     * compiled to a `||` concatenation, so Spark and the oracle always
     * render the same payload for the same rule list.
@@ -1266,6 +1313,7 @@ object EventQueries {
     "ev_missed_runs" -> (missedRuns _),
     "ev_duration_baseline" -> (durationBaseline _),
     "ev_rule_templated" -> (ruleTemplated _),
+    "webhook_rule_actions" -> (webhookRuleActions _),
     "ev_rule_instance_alerts" -> (ruleInstanceAlerts _),
     "stream_sessions_bounded" -> (streamSessionsBounded _),
     "stream_journeys_bounded" -> (streamJourneysBounded _),
@@ -1320,6 +1368,9 @@ object EventQueries {
     "ev_missed_runs" -> missedRunsSql,
     "ev_duration_baseline" -> durationBaselineSql,
     "ev_rule_templated" -> ruleTemplatedSql,
+    // the webhook leg is content-lossless by contract: the receiver's
+    // deduped store re-parses to exactly the action rows
+    "webhook_rule_actions" -> ruleTemplatedSql,
     "ev_rule_instance_alerts" -> ruleInstanceAlertsSql,
     "stream_sessions_bounded" -> streamSessionsBoundedSql,
     "stream_journeys_bounded" -> journeysBoundedSql,

@@ -213,12 +213,23 @@ object TextQueries {
        |bands AS (SELECT doc_id, i // $r AS band,
        |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
        |  FROM sig GROUP BY doc_id, i // $r),
-       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       |bx AS (SELECT a.doc_id, a.band, a.bh, b.bh AS bx
+       |  FROM bands a JOIN bands b ON b.doc_id = a.doc_id
+       |    AND b.band = (a.band + 1) % $LshBands),
+       |n1 AS (SELECT band, bh, count(*) AS n FROM bands
+       |  GROUP BY band, bh),
+       |keyed AS (SELECT k.doc_id, k.band, k.bh,
+       |    CASE WHEN n1.n <= ${Dedup.LshMaxBucket} THEN ''
+       |         ELSE k.bx END AS ext
+       |  FROM bx k JOIN n1 ON n1.band = k.band AND n1.bh = k.bh),
+       |ok AS (SELECT band, bh, ext FROM keyed GROUP BY band, bh, ext
        |  HAVING count(*) <= ${Dedup.LshMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh),
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.ext = b.ext
+       |      AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+       |    AND ok.ext = a.ext),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT doc_a, doc_b, count(*) AS c
        |  FROM cand JOIN sh a ON a.doc_id = doc_a
@@ -266,12 +277,23 @@ object TextQueries {
        |bands AS (SELECT doc_id, i // $r AS band,
        |    string_agg(m::VARCHAR, ':' ORDER BY i) AS bh
        |  FROM sig GROUP BY doc_id, i // $r),
-       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       |bx AS (SELECT a.doc_id, a.band, a.bh, b.bh AS bx
+       |  FROM bands a JOIN bands b ON b.doc_id = a.doc_id
+       |    AND b.band = (a.band + 1) % $LshBands),
+       |n1 AS (SELECT band, bh, count(*) AS n FROM bands
+       |  GROUP BY band, bh),
+       |keyed AS (SELECT k.doc_id, k.band, k.bh,
+       |    CASE WHEN n1.n <= ${Dedup.LshMaxBucket} THEN ''
+       |         ELSE k.bx END AS ext
+       |  FROM bx k JOIN n1 ON n1.band = k.band AND n1.bh = k.bh),
+       |ok AS (SELECT band, bh, ext FROM keyed GROUP BY band, bh, ext
        |  HAVING count(*) <= ${Dedup.LshMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh),
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.ext = b.ext
+       |      AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+       |    AND ok.ext = a.ext),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT doc_a, doc_b, count(*) AS c
        |  FROM cand JOIN sh a ON a.doc_id = doc_a

@@ -508,6 +508,31 @@ object Dedup {
     * Only bucket-mates ever meet — the join key is the bucket, so the
     * plan is explode → shuffle on bucket → per-bucket join, with a
     * bucket-size aggregation on the same shuffle keying the cap.
+    *
+    * ADAPTIVE BAND-KEY WIDENING (r13 verdict #1 — the sf10 scale
+    * probe measured the collapse query super-linear, 17.5× per 10× row
+    * step): on a low-entropy corpus the band-key space SATURATES — the
+    * sf0.1 documents table holds only 961 distinct shingles, so minhash
+    * slots concentrate on the globally smallest shingle hashes and the
+    * number of distinct (band, bh) keys stops growing with rows. Bucket
+    * occupancy then rises linearly with corpus size and candidate
+    * volume as Σ bucket² — quadratically — until buckets cross the cap
+    * and get DROPPED wholesale (cost explosion first, silent recall
+    * collapse after). The fix is the LSH-Forest move (Bawa et al.,
+    * WWW'05: variable-length hash keys — extend a bucket's key until it
+    * is small): members of a bucket EXCEEDING `maxBucket` are re-keyed
+    * by the NEXT band's hash, splitting background-dense buckets into
+    * sub-buckets whose occupancy reflects genuine signature agreement
+    * (r more matching slots), while under-cap buckets — where measured
+    * recall lives — keep the exact r-slot semantics. A sub-bucket still
+    * over the cap is dropped as before (a > cap cluster of near-
+    * IDENTICAL variants shares the extension band too — that regime
+    * stays documented-degraded, measured by RecallGate's nd_cap/cl_cap
+    * families). Recall is monotonically ≥ the plain cap's: every pair
+    * the old path emitted still shares its cool bucket, and pairs in
+    * formerly-dropped hot buckets now survive when they also agree on
+    * the extension band. Occupancy — and so per-bucket join cost — stays
+    * flat as rows grow, which is the 100 TB property the probe gates.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
                     bands: Int, crossEngine: Boolean = false,
@@ -522,20 +547,37 @@ object Dedup {
       if (crossEngine) concat_ws(":", slots.map(_.cast(StringType)): _*)
       else xxhash64(slots: _*)
     }
+    // each exploded row carries its band's key AND the next band's key
+    // (the extension used only if this bucket turns out hot)
     val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"), bandKey(j).as("bh"))
+      struct(lit(j).as("band"), bandKey(j).as("bh"),
+        bandKey((j + 1) % bands).as("bx"))
     }
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bh").as("bh"), col("bb.bx").as("bx"))
       .localCheckpoint(true)
-    val ok = buckets.groupBy("band", "bh")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select(col("band"), col("bh"))
-    val capped = buckets.join(ok, Seq("band", "bh"))
+    // pass 1: occupancy per raw bucket. Cool buckets (≤ cap) keep a
+    // constant extension; hot buckets split on the next band's key. The
+    // sentinel value cannot collide ACROSS buckets — (band, bh) stays in
+    // the key, and hot/cool is a property of the whole bucket.
+    val sentinel: Column =
+      if (crossEngine) lit("") else lit(0L)
+    val n1 = buckets.groupBy("band", "bh").agg(count(lit(1)).as("__n"))
+    val keyed = buckets.join(n1, Seq("band", "bh"))
+      .select(col(idCol), col("band"), col("bh"),
+        when(col("__n") <= maxBucket, sentinel)
+          .otherwise(col("bx")).as("ext"))
+    // pass 2: cap on the WIDENED key — the deterministic final guard
+    val ok = keyed.groupBy("band", "bh", "ext")
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") <= maxBucket)
+      .select(col("band"), col("bh"), col("ext"))
+    val capped = keyed.join(ok, Seq("band", "bh", "ext"))
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.ext") === col("b.ext") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
