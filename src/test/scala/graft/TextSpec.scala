@@ -96,6 +96,45 @@ class TextSpec extends AnyFunSuite {
     assert(ce == pairs)
   }
 
+  test("adaptive band-key widening: hot buckets split on the next band's " +
+      "key, chains of hot buckets stay dropped, cool buckets keep exact " +
+      "semantics (r13 verdict #1)") {
+    import spark.implicits._
+    // crafted SIGNATURES (k=8, bands=4, r=2, cap=4) with an equality
+    // pattern where the planted pair (1,2) collides ONLY inside hot
+    // buckets: band0 bucket of 10 (hot), band1 bucket of 7 (hot), band2
+    // bucket of 7 (hot) — the pre-widening code dropped all three and
+    // returned NOTHING for it. Under widening, the band0 bucket splits
+    // on the band1 key and the band1 bucket on the band2 key, both
+    // isolating {1,2}; group B (31..40) shares band0 AND band1, so its
+    // widened sub-bucket is still 10 > cap and stays dropped; (51,52)
+    // share one cool bucket and come through the plain path.
+    def sig(b0: Long, b1: Long, b2: Long, b3: Long): Array[Long] =
+      Array(b0, b0, b1, b1, b2, b2, b3, b3)
+    val rows: Seq[(Long, Array[Long])] =
+      (1L to 10L).map { d =>
+        val b1 = if (d <= 2) 201L else 210L + d
+        val b2 = if (d <= 2) 301L else 310L + d
+        (d, sig(100L, b1, b2, 400L + d))
+      } ++
+      (11L to 15L).map(d => (d, sig(110L + d, 201L, 310L + d, 400L + d))) ++
+      (16L to 20L).map(d => (d, sig(120L + d, 220L + d, 301L, 400L + d))) ++
+      (31L to 40L).map(d => (d, sig(500L, 600L, 320L + d, 400L + d))) ++
+      Seq((51L, sig(700L, 230L, 330L, 451L)),
+        (52L, sig(700L, 231L, 331L, 452L)))
+    val sigs = rows.toDF("doc_id", "sig")
+    val got = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4,
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (51L, 52L)), s"got $got")
+    // crossEngine keying (string band keys, the oracle-mirrored path)
+    // must produce the identical set
+    val ce = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4,
+        crossEngine = true, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ce == got)
+  }
+
   test("universal-hash minhash coefficients stay inside the overflow-safe " +
     "envelope") {
     // slot arithmetic is (a*h + b) with h < 2^32: a < P and b < P keep
