@@ -726,6 +726,75 @@ object StreamingOps {
     }
   }
 
+  /** Scale-adaptive shuffle/state partition count for a stream gate
+    * (r14, guide §2.2/§2.4): a stateful micro-batch commits one state
+    * store per shuffle partition — a delta file + commit marker each —
+    * and every foreachBatch delta write emits one parquet part per
+    * non-empty partition, so the per-TRIGGER fixed cost is proportional
+    * to the partition count while the per-trigger data is
+    * corpus-bytes / nSlices. Inheriting the session-wide batch setting
+    * (= core count in the bench) made every gate pay 32 state-store
+    * commits per trigger to aggregate a few thousand rows; measured at
+    * sf0.1/32 CPUs (tools/StreamShufProbe, configs INTERLEAVED per rep
+    * so JVM warm-up cannot masquerade as a config effect, min of 3):
+    * 32 → 8 partitions is stream_volume_restart 12.1 → 6.4 s,
+    * stream_late_update 10.8 → 6.3 s, stream_liveness_availablenow
+    * 10.5 → 6.6 s, stream_sessions_restart_rocksdb 7.4 → 3.7 s (each
+    * RocksDB store instance owns a native DB), stream_sessions_bounded
+    * 2.7 → 1.7 s; 4 buys little more and regresses the gates whose
+    * per-batch COMPUTE wants task parallelism (stream_profile_restart
+    * 5.25 → 5.72 s), so the floor is 8.
+    *
+    * The count is derived from the SOURCE BYTES the gate replays —
+    * ~32 MiB of input per partition, floored at 8 and capped by the
+    * session's parallelism — so it grows with the corpus instead of
+    * being a local-mode constant: sf0.1 (2 MB events) → 8, sf10
+    * (~200 MB) → 8, and at cluster scale the cap (defaultParallelism)
+    * governs long before the floor matters. `SPARK_GRAFT_STREAM_PARTS`
+    * overrides for deployments that size state partitions explicitly
+    * (the production knob; state partition count is fixed at first
+    * checkpoint, so production picks it for peak throughput, not for
+    * one bounded replay).
+    *
+    * Results are partition-count-invariant by construction: every
+    * stateful op here is keyed (flatMapGroupsWithState / windowed agg),
+    * sums are exact decimals or longs, HLL register merges are
+    * commutative, and every gate's summary tail re-sorts. The DuckDB
+    * oracle comparison (tools/check.py) re-proves this per round.
+    */
+  private[graft] def streamGateParts(spark: SparkSession,
+                                     srcBytes: Long): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .orElse(sys.props.get("graft.stream.parts")) // probe/test override
+      .map(_.toInt).getOrElse {
+        val target = 32L << 20
+        val par = spark.sparkContext.defaultParallelism.toLong
+        val floor = par.min(8L).max(1L) // never exceed the core count
+        ((srcBytes + target - 1) / target)
+          .max(floor).min(par.max(floor)).toInt
+      }
+
+  /** Scope `spark.sql.shuffle.partitions` to [[streamGateParts]] around
+    * a gate body (streams read it at query START for a fresh
+    * checkpoint; both runs of a restart gate share one scope, so the
+    * checkpoint-pinned state partitioning is consistent). Same
+    * conf-scoping discipline (shared lock, restore-on-exit) as
+    * [[withStateStoreProvider]]; the lock is reentrant, so gates
+    * wrapped in a provider scope compose.
+    */
+  private[graft] def withStreamParts[T](spark: SparkSession,
+                                        srcBytes: Long)(f: => T): T =
+    confScopeLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, streamGateParts(spark, srcBytes).toString)
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Memoized TIME-SLICED rewrite of a source table, shared across the
     * stream gates (r8 verdict #2): `updateModeRun` and `restartRun`
     * each need the source re-written as `nSlices` disjoint, name-ordered
@@ -901,6 +970,7 @@ object StreamingOps {
       def stamp(p: java.nio.file.Path, i: Int): Unit =
         Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
           .fromMillis(base.toMillis + i * 1000L))
+      var srcBytes = 0L
       if (Files.isDirectory(src)) {
         val walk = Files.list(src)
         try {
@@ -909,11 +979,19 @@ object StreamingOps {
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .sortBy(_.getFileName.toString)
             .zipWithIndex.foreach { case (f, i) =>
+              srcBytes += Files.size(f)
               stamp(Files.copy(f, drop.resolve(f"staged-$i%05d.parquet")), i)
             }
         } finally walk.close()
-      } else stamp(Files.copy(src, drop.resolve("staged-00000.parquet")), 0)
-      run(drop.toString, ckpt.toString)
+      } else {
+        srcBytes = Files.size(src)
+        stamp(Files.copy(src, drop.resolve("staged-00000.parquet")), 0)
+      }
+      // every bounded/update/availableNow gate funnels through here:
+      // the whole gate body (stream + its summarize tail, which
+      // localCheckpoints inside the scope) runs at the gate partition
+      // count (r14 — see streamGateParts)
+      withStreamParts(spark, srcBytes) { run(drop.toString, ckpt.toString) }
     } finally {
       // each teardown step is individually non-fatal-guarded: a cleanup
       // failure (e.g. a file still held after a failed query) must not
@@ -1599,6 +1677,7 @@ object StreamingOps {
           .sortBy(_.getFileName.toString)
         finally walk.close()
       }
+      val srcBytes = parts.map(Files.size).sum
       def stage(fs: Seq[java.nio.file.Path], offset: Int): Unit =
         fs.zipWithIndex.foreach { case (f, i) =>
           val staged = Files.copy(f,
@@ -1629,18 +1708,23 @@ object StreamingOps {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      stage(parts.take(stopAfter), 0)
-      runOnce(build) // run 1: dies (stops) after `stopAfter` batches
-      stage(parts.drop(stopAfter), stopAfter)
-      // run 2: SAME checkpoint — state + source log recovered. An
-      // UPGRADED application may resume here (buildAfterRestart —
-      // user-function changes are a supported restart change; the
-      // evolve gate pairs this with versioned-envelope state)
-      runOnce(buildAfterRestart.getOrElse(build))
-      try summarize(
-          if (foldKeys.isEmpty) sink.readAll() else sink.read())
-        .localCheckpoint(true)
-      finally rmTreeQuiet(sinkDir)
+      // one partition scope over BOTH runs: the state partition count
+      // is pinned into the checkpoint at run 1's first batch, and run 2
+      // resumes it (r14 — see streamGateParts)
+      withStreamParts(spark, srcBytes) {
+        stage(parts.take(stopAfter), 0)
+        runOnce(build) // run 1: dies (stops) after `stopAfter` batches
+        stage(parts.drop(stopAfter), stopAfter)
+        // run 2: SAME checkpoint — state + source log recovered. An
+        // UPGRADED application may resume here (buildAfterRestart —
+        // user-function changes are a supported restart change; the
+        // evolve gate pairs this with versioned-envelope state)
+        runOnce(buildAfterRestart.getOrElse(build))
+        try summarize(
+            if (foldKeys.isEmpty) sink.readAll() else sink.read())
+          .localCheckpoint(true)
+        finally rmTreeQuiet(sinkDir)
+      }
     } finally {
       import scala.util.control.NonFatal
       try rmTree(drop) catch { case NonFatal(_) => () }
