@@ -38,6 +38,32 @@ object Tables {
     normalize(raw, name)
   }
 
+  /** Fan a scan-shaped dataset out to the session's full task
+    * parallelism before a compute-heavy per-row codec/synthesis
+    * mapPartitions (r14, guide §1.2 "the distributed algorithm" +
+    * §2.6 idle capacity). The harness documents table is ONE small
+    * parquet file, so `spark.sql.files.openCostInBytes` (4 MB) makes
+    * its scan a single input split — and every downstream media codec
+    * ran single-task on a 32-core session: tools/QueryAnatomy measured
+    * video_framesample_documents at wall 4.6 s / 4 tasks with
+    * taskSec == wall (zero parallelism), same shape across the
+    * audio/μ-law/JPEG/PNG/AVI/BPE codec queries. A round-robin
+    * repartition of the id rows costs one control-plane-sized exchange
+    * and buys cores-wide codec work.
+    *
+    * Scale posture: never SHRINKS an input — when the scan already
+    * carries >= parallelism partitions (any corpus big enough to
+    * split, e.g. the 100 TB layout), this is the identity; the fan-out
+    * only fires in the small-file regime where it is free. Safe on
+    * exchange-free plans (scan/filter/select) — `.rdd` there builds
+    * lineage without running a job.
+    */
+  def fanout[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions >= par) ds else ds.repartition(par)
+  }
+
   /** Timestamp normalization, shared by the batch reader and the
     * streaming file source (which derives its schema from the same
     * footer). Works on both batch and streaming frames — pure column

@@ -172,7 +172,8 @@ object JpegQueries {
 
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    Tables.fanout(
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
   }
 
   // ---------------------------------------------------------------------

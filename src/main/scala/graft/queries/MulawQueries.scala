@@ -121,7 +121,8 @@ object MulawQueries {
 
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    Tables.fanout(
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
   }
 
   /** The corpus PCM for doc d — the SAME closed form as the lossless

@@ -97,7 +97,8 @@ object VideoQueries {
 
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    Tables.fanout(
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
   }
 
   private def encodeDoc(d: Long): Array[Byte] =

@@ -78,6 +78,13 @@ object Webhook {
     }
   }
 
+  /** Probe-only alias of [[postWithRetry]] (tools/WebhookProbe times
+    * the exact production post path without widening its visibility).
+    */
+  private[graft] def probePost(client: HttpClient, url: String,
+                               key: String, body: String): Unit =
+    postWithRetry(client, url, key, body)
+
   /** Deliver a Dataset of one-line JSON documents to `url` in chunks of
     * `batchSize` lines per POST (the reference's 100/post pacing), each
     * POST keyed `replayTag-partition-chunk`. Call twice with the SAME
@@ -108,6 +115,16 @@ object Webhook {
   * receiver is the user's endpoint and this class is the test double.
   */
 final class WebhookReceiver(injectFailures: Int = 0) {
+  // r14 perf: the HttpServer response is two socket writes (headers,
+  // then the tiny body); with Nagle on, the body write stalls behind
+  // the client's DELAYED ACK on every KEEP-ALIVE request — measured
+  // ~45-50 ms per POST on loopback whatever the client does
+  // (tools/WebhookProbe: shared JDK client 50 ms, raw NODELAY
+  // keep-alive socket 45 ms, fresh connection per post 9-12 ms). The
+  // JDK's documented escape hatch is the `sun.net.httpserver.nodelay`
+  // property, read at ServerConfig class-init — set it before the
+  // first HttpServer in this JVM is created. Post-fix: ~0.2 ms/post.
+  WebhookReceiver.ensureNoDelay()
   private val store = new ConcurrentHashMap[String, String]()
   private val failBudget = new AtomicInteger(injectFailures)
   private val injectedCount = new AtomicInteger(0)
@@ -166,4 +183,10 @@ final class WebhookReceiver(injectFailures: Int = 0) {
   def storedChunks: Int = store.size()
 
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object WebhookReceiver {
+  private def ensureNoDelay(): Unit =
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
 }

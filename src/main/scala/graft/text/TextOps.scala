@@ -643,7 +643,8 @@ object TextOps {
     val outSchema = StructType(Seq(df.schema(idCol).copy(name = idCol),
       StructField("nc", LongType, nullable = false),
       StructField("nt", LongType, nullable = false)))
-    val enc = df.select(col(idCol), col(textCol).cast(StringType))
+    val enc = graft.Tables.fanout(
+        df.select(col(idCol), col(textCol).cast(StringType)))
       .mapPartitions { it =>
         it.flatMap { r =>
           val ws = Option(r.getString(1)).getOrElse("").trim.split("\\s+")
@@ -694,7 +695,8 @@ object TextOps {
     val outSchema = StructType(Seq(df.schema(idCol).copy(name = idCol),
       StructField("word", StringType, nullable = false),
       StructField("violation", StringType, nullable = false)))
-    df.select(col(idCol), col(textCol).cast(StringType))
+    graft.Tables.fanout(
+        df.select(col(idCol), col(textCol).cast(StringType)))
       .mapPartitions { it =>
         it.flatMap { r =>
           val ws = Option(r.getString(1)).getOrElse("").trim.split("\\s+")
