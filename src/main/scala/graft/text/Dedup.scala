@@ -557,24 +557,36 @@ object Dedup {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.bh").as("bh"), col("bb.bx").as("bx"))
-      .localCheckpoint(true)
     // pass 1: occupancy per raw bucket. Cool buckets (≤ cap) keep a
     // constant extension; hot buckets split on the next band's key. The
     // sentinel value cannot collide ACROSS buckets — (band, bh) stays in
     // the key, and hot/cool is a property of the whole bucket.
     val sentinel: Column =
       if (crossEngine) lit("") else lit(0L)
-    val n1 = buckets.groupBy("band", "bh").agg(count(lit(1)).as("__n"))
-    val keyed = buckets.join(n1, Seq("band", "bh"))
-      .select(col(idCol), col("band"), col("bh"),
-        when(col("__n") <= maxBucket, sentinel)
-          .otherwise(col("bx")).as("ext"))
-    // pass 2: cap on the WIDENED key — the deterministic final guard
-    val ok = keyed.groupBy("band", "bh", "ext")
-      .agg(count(lit(1)).as("__m"))
+    // Both occupancy passes as WINDOW counts over one hash exchange
+    // (r14, guide §2.4 — the r13 shape was two aggregate+join pairs,
+    // i.e. two extra shuffles plus a checkpoint barrier of the exploded
+    // band rows): count over (band, bh) decides hot/cool, and the
+    // widened-key count reuses the same partitioning because
+    // (band, bh) clusters every (band, bh, ext) refinement. Identical
+    // hot/cool/cap semantics row for row — both DuckDB oracle mirrors
+    // are unchanged and keep hashing green.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val capped = buckets
+      .withColumn("ext",
+        when(count(lit(1)).over(wBucket) <= maxBucket, sentinel)
+          .otherwise(col("bx")))
+      .withColumn("__m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"), col("ext"))))
       .filter(col("__m") <= maxBucket)
-      .select(col("band"), col("bh"), col("ext"))
-    val capped = keyed.join(ok, Seq("band", "bh", "ext"))
+      .select(col(idCol), col("band"), col("bh"), col("ext"))
+      // materialized ONCE: the self-join below consumes both sides from
+      // this checkpoint — without it each side re-runs the explode +
+      // window chain (plan-verified: two full Window/Sort/Exchange
+      // subtrees)
+      .localCheckpoint(true)
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.ext") === col("b.ext") &&
@@ -627,15 +639,19 @@ object Dedup {
                               idCol: String, n: Int, k: Int, bands: Int,
                               minJaccard: Double,
                               crossEngine: Boolean = false): DataFrame = {
-    val classes = df
-      .select(md5(normalize(col(textCol))).as("__h"), col(idCol))
+    // representative rows: the min-id doc's raw text (min_by on the
+    // unique id — deterministic) + its class size, in the SAME
+    // aggregation that collapses the class (r14, guide §2.4: the r13
+    // shape computed ids-only classes and then equi-joined the text
+    // back — a second shuffle of the full text column for rows the
+    // groupBy already saw). Same rows, same representative, one shuffle.
+    val reps = df
+      .select(md5(normalize(col(textCol))).as("__h"), col(idCol),
+        col(textCol))
       .groupBy(col("__h"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__sz"))
-    // representative rows: the min-id doc's raw text + its class size.
-    // doc-count-sized on both sides — a plain equi-join on the id, NOT a
-    // broadcast (at 100 TB neither side is small)
-    val reps = classes
-      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__sz"),
+        min_by(col(textCol), col(idCol)).as(textCol))
+      .drop("__h")
       .localCheckpoint(true)
     val sh = shingles(reps, textCol, idCol, n).localCheckpoint(true)
     val cand = lshCandidates(minhashSignatures(sh, idCol, k, crossEngine),
