@@ -51,17 +51,25 @@ object Tables {
     * repartition of the id rows costs one control-plane-sized exchange
     * and buys cores-wide codec work.
     *
-    * Scale posture: never SHRINKS an input — when the scan already
-    * carries >= parallelism partitions (any corpus big enough to
-    * split, e.g. the 100 TB layout), this is the identity; the fan-out
-    * only fires in the small-file regime where it is free. Safe on
-    * exchange-free plans (scan/filter/select) — `.rdd` there builds
-    * lineage without running a job.
+    * Scale posture: never SHRINKS a big input — the fan-out fires only
+    * in the SMALL-source regime (optimizer size estimate below one
+    * fanout-partition-per-core of 32 MiB splits), where the extra
+    * exchange moves control-plane bytes; a corpus big enough to split
+    * (the 100 TB layout) keeps its scan partitioning untouched. The
+    * guard reads `optimizedPlan.stats` — logical planning only; the
+    * first fanout implementation probed `.rdd.getNumPartitions`, which
+    * compiles a SECOND physical plan + codegen for the un-repartitioned
+    * subtree and measurably taxed every sub-second codec query (~0.3 to
+    * 0.7 s: audio_meta 0.28 → 1.00 s in the r14 midpoint sweep; back to
+    * ~0.3 s with the stats guard).
     */
   def fanout[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] = {
+    if (sys.props.contains("graft.fanout.off")) return ds // A/B probes
     val par = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions >= par) ds else ds.repartition(par)
+    val bytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(par.toLong) * (32L << 20)) ds
+    else ds.repartition(par)
   }
 
   /** Timestamp normalization, shared by the batch reader and the

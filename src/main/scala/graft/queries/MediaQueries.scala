@@ -263,8 +263,8 @@ object MediaQueries {
     */
   private[queries] def ndHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(Tables.load(s, dir, "documents")
-        .select(col("doc_id")).as[Long])
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { d =>
         val bytes = Ppm.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
         val bs = Ppm.dHashBands(bytes)
@@ -451,9 +451,9 @@ object MediaQueries {
     */
   def mediaMetaPng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 50)
-        .select(col("doc_id")).as[Long])
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { d =>
         val bytes = Png.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
         val h = Png.ihdr(bytes)
@@ -481,8 +481,8 @@ object MediaQueries {
     */
   def imageNeardupPng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = Tables.fanout(Tables.load(s, dir, "documents")
-        .select(col("doc_id")).as[Long])
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { d =>
         val bytes = Png.encode(ImgW, ImgH, (x, y) => synthNdPixel(d, x, y))
         val bs = Ppm.dHashBandsOf(Png.decode(bytes))

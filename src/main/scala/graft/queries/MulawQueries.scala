@@ -121,8 +121,10 @@ object MulawQueries {
 
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.fanout(
-      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+    // NO fanout here (r14 A/B, tools/FanoutAb): this family's per-row
+    // codec work is sub-millisecond, so the fan-out exchange costs more
+    // than it buys (audio_meta 0.44 s without vs 0.68 s with).
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
   }
 
   /** The corpus PCM for doc d — the SAME closed form as the lossless
