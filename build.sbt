@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from stdout with a
+// line-oriented json.loads. sbt's default forked-run logger prefixes
+// every line with "[info] ", which defeated that parse in every round
+// (BENCH_r10..r14 all have parsed: null). StdoutOutput passes the
+// forked JVM's stdout through unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Control-plane fixtures double as classpath resources: ControlPlane's
 // path resolution falls back to the classpath when neither the cwd nor
 // GRAFT_REPO_ROOT holds fixtures/ (a harness launched from an arbitrary

@@ -133,37 +133,16 @@ object Bench {
         java.nio.file.Paths.get(detailPathNote),
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"solo":$soloJson,"solo_skipped":$skippedJson,"errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote$singleNote$shedNote,"sf":"$sfDirNote"}""")
       catch { case _: Throwable => () }
-      // compact stdout line: fixed family-representative headliners
-      // first, then the slowest remaining queries, size-capped so the
-      // line plus its surroundings always fits the driver's ~2000-byte
-      // stdout tail window (the FULL per-query map lives in the detail
-      // FILE — printing it blew the window in r5/r6 and the official
-      // artifact recorded `parsed: null` both rounds)
-      val headliners = Vector(
-        "q1_pricing", "q3_top_orders", "q5_region_revenue",
-        "w1_running_revenue", "rollup_pricing", "topk_event_type",
-        "profile_compare_lineitem", "dq_autogen_lineitem", "ev_sessions",
-        "ev_journeys", "ev_late_starts", "dedup_exact_documents",
-        "neardup_minhash_collapsed_documents", "knn_embeddings",
-        "ann_lsh_embeddings", "semantic_dedup_ann_prod", "bm25_documents",
-        "bpe_pairs_documents", "curation_funnel_documents",
-        "stream_sessions_bounded", "stream_curate_bounded")
-      val medMap = med.toMap
-      val bySlowest = med.sortBy(-_._2).map(_._1)
-      val ordered = (headliners.filter(medMap.contains) ++
-        bySlowest.filterNot(headliners.contains)).distinct
-      val budget = 1200
-      val picked = scala.collection.mutable.ListBuffer.empty[String]
-      var used = 2
-      var truncated = 0
-      ordered.foreach { n =>
-        val frag = jstr(n) + ":" + r3(medMap(n))
-        if (used + frag.length + 1 <= budget) {
-          picked += frag; used += frag.length + 1
-        } else truncated += 1
-      }
-      val qs = picked.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${med.size},"omitted":$truncated,"detail":"$detailPathNote","errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote$singleNote$shedNote,"sf":"$sfDirNote"}""")
+      // stdout line: the COMPLETE per-query map (~5 KB at 195 queries).
+      // The r5/r6 "blown window" was a symptom of the real bug — sbt's
+      // forked-run logger prefixed the line with "[info] ", so the
+      // driver's line-oriented json.loads never matched and only a
+      // truncated tail was ever inspected (parsed: null in BENCH_r10..
+      // r14). With `run / outputStrategy := StdoutOutput` (build.sbt)
+      // the line reaches stdout unprefixed and the driver parses the
+      // full map; BENCH_FULL.json stays as the detail fallback (spread,
+      // solo notes).
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"n_queries":${med.size},"detail":"$detailPathNote","errors":$errs,"reps":$repsPlanned,"reps_done":$repsDone$partialNote$singleNote$shedNote,"sf":"$sfDirNote"}""")
       System.out.flush()
     }
   }
