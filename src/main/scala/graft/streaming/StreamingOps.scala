@@ -766,7 +766,17 @@ object StreamingOps {
                                      srcBytes: Long): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS")
       .orElse(sys.props.get("graft.stream.parts")) // probe/test override
-      .map(_.toInt).getOrElse {
+      // validate: a malformed or non-positive override must fall back to
+      // the derived count, not throw NumberFormatException deep inside a
+      // gate run (or set an invalid partition count) — r14 advice
+      .flatMap(v => scala.util.Try(v.toInt).toOption.filter(_ > 0)
+        .orElse {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ignoring invalid stream-parts override '$v' " +
+              "(needs a positive int); using the derived count")
+          None
+        })
+      .getOrElse {
         val target = 32L << 20
         val par = spark.sparkContext.defaultParallelism.toLong
         val floor = par.min(8L).max(1L) // never exceed the core count
@@ -774,24 +784,44 @@ object StreamingOps {
           .max(floor).min(par.max(floor)).toInt
       }
 
-  /** Scope `spark.sql.shuffle.partitions` to [[streamGateParts]] around
-    * a gate body (streams read it at query START for a fresh
-    * checkpoint; both runs of a restart gate share one scope, so the
-    * checkpoint-pinned state partitioning is consistent). Same
+  /** Scope the gate-run streaming confs around a gate body. Same
     * conf-scoping discipline (shared lock, restore-on-exit) as
     * [[withStateStoreProvider]]; the lock is reentrant, so gates
     * wrapped in a provider scope compose.
+    *
+    *  - `spark.sql.shuffle.partitions` → [[streamGateParts]] (streams
+    *    read it at query START for a fresh checkpoint; both runs of a
+    *    restart gate share one scope, so the checkpoint-pinned state
+    *    partitioning is consistent).
+    *  - `spark.sql.streaming.checkpoint.fileChecksum.enabled` → false
+    *    (r15, guide §6 file-op volume): Spark 4.1 writes a companion
+    *    checksum file for EVERY checkpoint file (offset log, commit
+    *    log, state deltas — with 8 state partitions that is ~20 extra
+    *    file creates per trigger), to detect corruption in long-lived
+    *    checkpoints on unreliable storage. Every gate checkpoint here
+    *    is a per-run temp dir deleted right after the drain, so the
+    *    checksums protect nothing and only double the per-trigger file
+    *    ops (tools/CkSumAb, min of 3 interleaved: stream_late_update
+    *    7.6→5.7 s, most gates −4-8%). A deployment pointing gates at
+    *    durable checkpoints re-enables via SPARK_GRAFT_CKPT_CHECKSUM=
+    *    true; restart gates are unaffected semantically either way —
+    *    the conf is read per run and files without checksums are
+    *    accepted on resume.
     */
   private[graft] def withStreamParts[T](spark: SparkSession,
                                         srcBytes: Long)(f: => T): T =
     confScopeLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, streamGateParts(spark, srcBytes).toString)
+      val keyVals = Seq(
+        "spark.sql.shuffle.partitions" ->
+          streamGateParts(spark, srcBytes).toString,
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+          sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      val prev = keyVals.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keyVals.foreach { case (k, v) => spark.conf.set(k, v) }
       try f
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 
