@@ -47,6 +47,24 @@ object ConcurrentPasses {
     (schema, Row.fromSeq(rows.flatMap(_.toSeq)))
   }
 
+  /** One row per pass, all passes in flight on one bounded pool.
+    *
+    * NEGATIVE RESULT (r15, kept so a later round does not re-try it):
+    * collecting all passes in ONE Spark job — tagging each pass's
+    * `queryExecution.toRdd` and collecting a single
+    * `sparkContext.union` (one job, all pass tasks in one stage) — was
+    * built and A/B-measured against this job-per-pass pool on sf0.1
+    * lineitem (tools/ProfPlanProbe): union 4.5-4.9 s vs pool
+    * 2.7-3.0 s for the same 31 pre-planned passes. The union's single
+    * task binary carries the lineage of ALL pass plans and every task
+    * pays its deserialization; that costs more than the per-job
+    * overhead it saves, and the pool path keeps per-pass AQE and
+    * failure isolation.
+    */
+  private def awaitAll(spark: SparkSession,
+                       passes: Seq[DataFrame]): Seq[Row] =
+    awaitAllOn(spark, passes.map(p => () => p.collect()(0)))
+
   /** [[collectRow]] wrapped back into a one-row LocalRelation frame. */
   def collectOneRow(spark: SparkSession,
                     passes: Seq[DataFrame]): DataFrame = {
@@ -83,9 +101,9 @@ object ConcurrentPasses {
     }
   }
 
-  /** One row per pass, all passes in flight on one bounded pool. */
-  private def awaitAll(spark: SparkSession,
-                       passes: Seq[DataFrame]): Seq[Row] = {
+  /** Run the thunks on one bounded pool; preserves input order. */
+  private def awaitAllOn[A](spark: SparkSession,
+                            thunks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val timeout = Duration(
@@ -102,12 +120,10 @@ object ConcurrentPasses {
     val bound = spark.conf.getOption("spark.graft.passPool")
       .map(_.toInt).getOrElse(16)
     val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(passes.size, bound))
+      .newFixedThreadPool(math.min(thunks.size, bound))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    try Await.result(
-      Future.sequence(passes.map(p => Future(p.collect()(0)))),
-      timeout)
+    try Await.result(Future.sequence(thunks.map(t => Future(t()))), timeout)
     finally pool.shutdown()
   }
 }

@@ -179,9 +179,54 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }.toSeq
     require(fields.nonEmpty, s"no profilable columns in $tableName")
+    val passes = memoPasses(df, s"std:$distincts:$exactPercentiles")(
+      buildPasses(df, fields, distincts, exactPercentiles))
     val agged = graft.operators.ConcurrentPasses.collectOneRow(
-      df.sparkSession, buildPasses(df, fields, distincts, exactPercentiles))
+      df.sparkSession, passes)
     assemble(agged, tableName, fields, distincts)
+  }
+
+  /** PASS-PLAN memo (r15, guide §1.2 "per-task work" at the driver):
+    * one profile invocation spends ~2 s of pure DRIVER work building,
+    * analyzing, optimizing and codegen-preparing its ~31 fresh pass
+    * DataFrames — measured (tools/ProfInterleave, interleaved in-JVM):
+    * collecting PRE-BUILT passes concurrently takes 1.2-1.5 s while the
+    * full profile() takes 3.3-5.1 s on the same sf0.1 lineitem. The
+    * pass set is a pure function of (input plan, mode), so re-profiling
+    * the same input reuses the built frames, keyed by the input's
+    * CANONICALIZED analyzed plan (exprId-normalized — structurally
+    * equal inputs only; parquet relations compare by root path, the
+    * immutable-inputs-within-a-session posture of every Spark plan
+    * cache) plus the owning session by reference.
+    *
+    * This caches PLANS, never results: every invocation re-executes
+    * every scan/aggregate job against the parquet inputs — exactly the
+    * class of reuse Spark's own generated-class cache provides one
+    * layer down. Bounded true-LRU (64 entries); per-micro-batch
+    * streaming profiles have distinct batch plans and simply churn one
+    * slot.
+    */
+  private val passMemo = new java.util.LinkedHashMap[
+    (AnyRef, AnyRef, String), Seq[DataFrame]](16, 0.75f, true)
+
+  private def memoPasses(df: DataFrame, tag: String)
+                        (build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val key = (df.sparkSession: AnyRef,
+      df.queryExecution.analyzed.canonicalized: AnyRef, tag)
+    val hit = passMemo.synchronized(Option(passMemo.get(key)))
+    hit.getOrElse {
+      val built = build
+      passMemo.synchronized {
+        Option(passMemo.get(key)).getOrElse {
+          while (passMemo.size >= 64) {
+            val it = passMemo.entrySet().iterator()
+            if (it.hasNext) { it.next(); it.remove() }
+          }
+          passMemo.put(key, built)
+          built
+        }
+      }
+    }
   }
 
   /** Recombine the collected one-row pass results into the profile
@@ -316,14 +361,31 @@ object Profiler {
           .select(col("__dd").as(s"__dd_$i"))
     })
 
+  /** Exact-percentile passes fan the projected column out to session
+    * parallelism before aggregating (r15, guide §2.6 idle capacity):
+    * on the single-split harness layout the pass is otherwise ONE task,
+    * and a near-unique double column (sf0.1 l_extendedprice) costs
+    * 1.23 s solo — the slowest pass of the whole profile — because the
+    * Percentile buffer ingests 600k map entries on one core. The
+    * fan-out parallelizes the partial (update) phase; the merge of the
+    * partial count-maps is commutative and the sorted totals are
+    * identical, so the exact quantile is BIT-IDENTICAL under any
+    * partitioning (ProfilerSpec pins this). Tables.fanout's stats guard
+    * makes it a no-op on inputs that already split (the 100 TB path).
+    * The APPROX pass stays un-fanned: approx_percentile's sketch merge
+    * is partitioning-SENSITIVE — values would shift within the sketch's
+    * accuracy bound, and profile_approx_lineitem publishes those raw
+    * values.
+    */
   private def pctPasses(df: DataFrame, fields: Seq[(StructField, Int)],
                         exactPercentiles: Boolean): Seq[DataFrame] =
     fields.collect {
       case (f, i) if f.dataType.isInstanceOf[NumericType] =>
         val ps = array(lit(0.25), lit(0.5), lit(0.75))
-        df.select(col(f.name).cast(DoubleType).as(V))
-          .agg((if (exactPercentiles) percentile(col(V), ps)
-                else approx_percentile(col(V), ps, lit(10000))).as("__q"))
+        val in = df.select(col(f.name).cast(DoubleType).as(V))
+        (if (exactPercentiles)
+           graft.Tables.fanout(in).agg(percentile(col(V), ps).as("__q"))
+         else in.agg(approx_percentile(col(V), ps, lit(10000)).as("__q")))
           .select(col("__q").as(s"__q_$i"))
     }
 
@@ -350,7 +412,8 @@ object Profiler {
       fs
     }
     val groups = inputs.zip(fieldsPer).map { case ((df, _), fs) =>
-      buildPasses(df, fs, distincts, exactPercentiles = exactDistinct)
+      memoPasses(df, s"std:$distincts:$exactDistinct")(
+        buildPasses(df, fs, distincts, exactPercentiles = exactDistinct))
     }
     val aggeds = graft.operators.ConcurrentPasses
       .collectOneRowGroups(spark, groups)
@@ -398,22 +461,31 @@ object Profiler {
       case (f, _) => isProfilable(f.dataType)
     }.toSeq
     require(fields.nonEmpty, s"no profilable columns in $tableName")
-    val shared = basePasses(df, fields, "hll")
-    val exactD = distinctPasses(df, fields, "exact").map { p =>
-      p.select(p.columns.map(c => col(c).as("__e" + c.stripPrefix("__"))): _*)
-    }
+    val shared = memoPasses(df, "fused:base")(basePasses(df, fields, "hll"))
+    val exactD = memoPasses(df, "fused:exactD")(
+      distinctPasses(df, fields, "exact").map { p =>
+        p.select(p.columns.map(c =>
+          col(c).as("__e" + c.stripPrefix("__"))): _*)
+      })
     // exact AND approx percentiles fused into ONE ObjectHashAggregate
     // pass per numeric column — both are TypedImperative aggregates, so
     // they ride the same scan (one pass per column instead of two; at
     // 100 TB that is one less full pass over every numeric column)
-    val pctBoth = fields.collect {
+    // fanned out like the exact pctPasses (same 1.2 s single-task
+    // bottleneck). The approx side rides along: its sketch-merge values
+    // shift with partitioning, but this query's OUTPUT is the violation
+    // set of a 5%-tolerance gate against the exact quantile — the
+    // sketch's own guarantee at accuracy 10000 is a 0.01% rank error,
+    // ~500× inside the gate, so the result stays the same empty set.
+    val pctBoth = memoPasses(df, "fused:pct")(fields.collect {
       case (f, i) if f.dataType.isInstanceOf[NumericType] =>
         val ps = array(lit(0.25), lit(0.5), lit(0.75))
-        df.select(col(f.name).cast(DoubleType).as(V))
+        graft.Tables.fanout(
+            df.select(col(f.name).cast(DoubleType).as(V)))
           .agg(percentile(col(V), ps).as("__q"),
             approx_percentile(col(V), ps, lit(10000)).as("__aq"))
           .select(col("__q").as(s"__eq_$i"), col("__aq").as(s"__q_$i"))
-    }
+    })
     val merged = graft.operators.ConcurrentPasses.collectOneRow(
       spark, shared ++ exactD ++ pctBoth)
     val statCols = fields.flatMap { case (f, i) =>

@@ -342,4 +342,32 @@ class ProfilerSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("value")).toSeq == Seq("a", "b"))
     assert(rows.head.getAs[Long]("value_ct") == 3)
   }
+
+  test("exact percentiles are partitioning-invariant (the r15 pct-pass " +
+      "fan-out must not move a single quantile bit)") {
+    // near-unique doubles — the l_extendedprice shape whose exact
+    // Percentile pass the fan-out parallelizes — plus ties and negatives
+    val vals = (1 to 4001).map(i => (i * 37 % 4003) / 7.0 - 11.0) ++
+      Seq(3.5, 3.5, 3.5)
+    val df = vals.toDF("x")
+    import org.apache.spark.sql.functions.{array, col, lit, percentile}
+    val ps = array(lit(0.25), lit(0.5), lit(0.75))
+    def q(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.agg(percentile(col("x"), ps)).collect()(0)
+        .getSeq[Double](0)
+    val one = q(df.coalesce(1))
+    Seq(2, 7, 32).foreach { n =>
+      val r = q(df.repartition(n))
+      assert(r == one, s"repartition($n): $r != $one")
+    }
+    // and through the profiler itself: fanned (default) vs fan-out
+    // disabled via the probe flag must produce identical profile rows
+    val li = spark.read.parquet(s"${SparkTestSession.sf}/lineitem.parquet")
+    val fanned = Profiler.profile(li, "lineitem").collect().toSeq
+    System.setProperty("graft.fanout.off", "1")
+    try {
+      val plain = Profiler.profile(li, "lineitem").collect().toSeq
+      assert(fanned == plain)
+    } finally System.clearProperty("graft.fanout.off")
+  }
 }
