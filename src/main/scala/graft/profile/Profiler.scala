@@ -186,48 +186,17 @@ object Profiler {
     assemble(agged, tableName, fields, distincts)
   }
 
-  /** PASS-PLAN memo (r15, guide §1.2 "per-task work" at the driver):
-    * one profile invocation spends ~2 s of pure DRIVER work building,
-    * analyzing, optimizing and codegen-preparing its ~31 fresh pass
-    * DataFrames — measured (tools/ProfInterleave, interleaved in-JVM):
-    * collecting PRE-BUILT passes concurrently takes 1.2-1.5 s while the
-    * full profile() takes 3.3-5.1 s on the same sf0.1 lineitem. The
-    * pass set is a pure function of (input plan, mode), so re-profiling
-    * the same input reuses the built frames, keyed by the input's
-    * CANONICALIZED analyzed plan (exprId-normalized — structurally
-    * equal inputs only; parquet relations compare by root path, the
-    * immutable-inputs-within-a-session posture of every Spark plan
-    * cache) plus the owning session by reference.
-    *
-    * This caches PLANS, never results: every invocation re-executes
-    * every scan/aggregate job against the parquet inputs — exactly the
-    * class of reuse Spark's own generated-class cache provides one
-    * layer down. Bounded true-LRU (64 entries); per-micro-batch
-    * streaming profiles have distinct batch plans and simply churn one
-    * slot.
+  /** PASS-PLAN memo (r15): see [[graft.operators.PassMemo]] — one
+    * profile invocation spends ~2 s of pure DRIVER work building,
+    * analyzing and planning its ~31 fresh pass DataFrames (measured,
+    * tools/ProfInterleave: pre-built passes collect in 1.2-1.5 s where
+    * the full profile() takes 3.3-5.1 s on sf0.1 lineitem). Plans are
+    * cached, results never: every invocation re-executes every
+    * scan/aggregate job.
     */
-  private val passMemo = new java.util.LinkedHashMap[
-    (AnyRef, AnyRef, String), Seq[DataFrame]](16, 0.75f, true)
-
   private def memoPasses(df: DataFrame, tag: String)
-                        (build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val key = (df.sparkSession: AnyRef,
-      df.queryExecution.analyzed.canonicalized: AnyRef, tag)
-    val hit = passMemo.synchronized(Option(passMemo.get(key)))
-    hit.getOrElse {
-      val built = build
-      passMemo.synchronized {
-        Option(passMemo.get(key)).getOrElse {
-          while (passMemo.size >= 64) {
-            val it = passMemo.entrySet().iterator()
-            if (it.hasNext) { it.next(); it.remove() }
-          }
-          passMemo.put(key, built)
-          built
-        }
-      }
-    }
-  }
+                        (build: => Seq[DataFrame]): Seq[DataFrame] =
+    graft.operators.PassMemo.passes(df, tag)(build)
 
   /** Recombine the collected one-row pass results into the profile
     * frame: one struct of ~50 statistics per column, exploded to one

@@ -219,8 +219,17 @@ object Quickstart {
           }
         def execute(ctx: Ctx): Unit = {
           failHook(name)
+          // profile only the CONFIGURED columns (r15, guide §1.2 "don't
+          // compute things you throw away"): the generate step consumes
+          // exactly the configured columns' stats (generateDefs filters
+          // the profile to `t.cols`), so profiling every column of all
+          // four tables paid ~4× the passes for rows nobody read. The
+          // projection changes only `ordinal` in the dropped-anyway
+          // rows; TestGenerator reads no ordinal, and QuickstartSpec's
+          // parity gate pins the generated (column, test_type) set.
           val profiles = Profiler.profileMany(
-            Config.map(t => (Tables.load(s, dir, t.table), t.table)))
+            Config.map(t => (Tables.load(s, dir, t.table)
+              .select(t.cols.map(c => col(c.column)): _*), t.table)))
           tables.zip(profiles).foreach { case (t, p) =>
             ctx.update(s"profile:$t", p)
           }
@@ -248,10 +257,15 @@ object Quickstart {
         val name = "evaluate"
         def execute(ctx: Ctx): Unit = {
           failHook(name)
-          Config.foreach { t =>
-            val defs = ctx(s"defs:${t.table}").asInstanceOf[Seq[TestDef]]
-            ctx.update(s"outcomes:${t.table}",
-              TestEvaluator.run(Tables.load(s, dir, t.table), defs))
+          // all four tables' suites through ONE shared pass pool
+          // (TestEvaluator.runMany, r15) instead of four serialized
+          // eager evaluations — same values, widest-wave wall clock
+          val outcomes = TestEvaluator.runMany(Config.map { t =>
+            (Tables.load(s, dir, t.table),
+              ctx(s"defs:${t.table}").asInstanceOf[Seq[TestDef]])
+          })
+          tables.zip(outcomes).foreach { case (t, o) =>
+            ctx.update(s"outcomes:$t", o)
           }
         }
         override def onJobFail(ctx: Ctx): Unit =

@@ -481,9 +481,36 @@ object TestEvaluator {
           approxDistinct: Boolean = false): DataFrame = {
     require(defs.nonEmpty)
     val indexed = defs.map(compile(_, approxDistinct)).zipWithIndex
+    // pass-plan memo (r15): the suite passes are a pure function of
+    // (input plan, defs, mode) — see graft.operators.PassMemo. Plans
+    // cached, results never; TestDef is a value class so the key
+    // compares by content.
+    val passes = graft.operators.PassMemo.passes(
+      df, (defs, approxDistinct))(suitePasses(df, indexed))
     val agged = graft.operators.ConcurrentPasses.collectOneRow(
-      df.sparkSession, suitePasses(df, indexed))
+      df.sparkSession, passes)
     assemble(agged, indexed)
+  }
+
+  /** Several suites through ONE shared pass pool — each result
+    * bit-identical to `run(df, defs)` alone, wall clock ≈ the widest
+    * pass wave instead of the sum of tables (the Profiler.profileMany
+    * pattern, r15): sequential run() calls are each EAGER, so
+    * evaluating four tables back to back serializes their pools even
+    * on an idle cluster. Used by the quickstart saga's evaluate step.
+    */
+  def runMany(inputs: Seq[(DataFrame, Seq[TestDef])],
+              approxDistinct: Boolean = false): Seq[DataFrame] = {
+    require(inputs.nonEmpty && inputs.forall(_._2.nonEmpty))
+    val indexedPer = inputs.map { case (_, defs) =>
+      defs.map(compile(_, approxDistinct)).zipWithIndex }
+    val groups = inputs.zip(indexedPer).map { case ((df, defs), idx) =>
+      graft.operators.PassMemo.passes(df, (defs, approxDistinct))(
+        suitePasses(df, idx))
+    }
+    val aggeds = graft.operators.ConcurrentPasses.collectOneRowGroups(
+      inputs.head._1.sparkSession, groups)
+    indexedPer.zip(aggeds).map { case (idx, agged) => assemble(agged, idx) }
   }
 
   /** The aggregation passes one suite evaluation runs (base pass first),
@@ -656,17 +683,19 @@ object TestEvaluator {
     // single wide agg runs interpreted): exact plain measures (≡ approx
     // plain measures) as __m_i, approx sketch measures for the
     // distinct-backed tests as __am_i, plus the shared row-count pass
-    val rcPass = df.agg(count(lit(1)).cast(D).as("__rc"))
-    val fusedBase = approxIdx.groupBy(_._1.d.column).toSeq.sortBy(_._1)
-      .map { case (_, ms) =>
-        val aggs = ms.map { case (t, i) =>
-          t.measure.as(if (distinctIdxs(i)) s"__am_$i" else s"__m_$i") }
-        df.agg(aggs.head, aggs.tail: _*)
-      }
-    // the exact mode's distinct passes are the only non-shared scans
-    val exactDistinct = distinctSuitePasses(df, exactIdx)
+    val passes = graft.operators.PassMemo.passes(df, ("fusedDq", defs)) {
+      val rcPass = df.agg(count(lit(1)).cast(D).as("__rc"))
+      val fusedBase = approxIdx.groupBy(_._1.d.column).toSeq.sortBy(_._1)
+        .map { case (_, ms) =>
+          val aggs = ms.map { case (t, i) =>
+            t.measure.as(if (distinctIdxs(i)) s"__am_$i" else s"__m_$i") }
+          df.agg(aggs.head, aggs.tail: _*)
+        }
+      // the exact mode's distinct passes are the only non-shared scans
+      (rcPass +: fusedBase) ++ distinctSuitePasses(df, exactIdx)
+    }
     val merged = graft.operators.ConcurrentPasses.collectOneRow(
-      df.sparkSession, (rcPass +: fusedBase) ++ exactDistinct)
+      df.sparkSession, passes)
     val exactSide = merged.select(merged.columns.collect {
       case c if !c.startsWith("__am_") => col(c)
     }: _*)
