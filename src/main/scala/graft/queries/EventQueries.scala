@@ -54,6 +54,16 @@ object EventQueries {
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        |  FROM sflag)""".stripMargin
 
+  // NO fanout (r15 negative result, kept so a later round does not
+  // re-try it): the events scan is one ~2 MB split and ev_rule_engine
+  // runs its JSON/rule expressions single-task (QueryAnatomy: wall
+  // 1.8 s ≈ taskSec), but an interleaved Tables.fanout A/B
+  // (tools/FanoutAb, min of 3) REGRESSED most of the family —
+  // ev_sessions 0.94→1.90, ev_dag_mine 0.86→1.62, ev_late_starts
+  // 0.57→1.26 (the keyed windows/aggregates already reshuffle by
+  // user_id right after the scan, so the extra exchange moves the whole
+  // props column for nothing) — and the rule-engine win was inside
+  // noise (1.75 vs 2.06).
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 

@@ -72,13 +72,60 @@ object Dedup {
     * into several clusters, so dedup keeps extra representatives.
     * Conservative: never drops a non-duplicate.
     */
+  /** Edge-count gate below which the components are computed by a
+    * DRIVER union-find instead of the distributed loop (r15, guide
+    * §1.2 "the distributed algorithm" / §7 job-count): each propagation
+    * round costs ~5 driver-scheduled jobs (two shuffles + convergence
+    * probe + checkpoints), so a tiny pair graph — the NORMAL case for a
+    * deduplicated corpus, where true-dup pairs are control-plane-sized
+    * by definition — paid ~20 jobs of fixed overhead to converge. 1M
+    * edges collect to ~16 MB (well under the result-size cap), the
+    * min-label-per-component fixed point is identical (PropertySpec
+    * already pins dupClusters against a driver union-find on random
+    * graphs), and a bigger graph takes the unchanged distributed loop.
+    */
+  val DriverUnionFindMaxEdges: Long = 1L << 20
+
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val raw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint(true)
+    val longIds = raw.schema.fields.forall(_.dataType == LongType)
+    if (longIds && raw.count() <= DriverUnionFindMaxEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      raw.collect().foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_id").orderBy("doc_id")
+    }
+    dupClustersDistributed(raw, maxRounds)
+  }
+
+  /** The distributed min-label-propagation loop — the over-gate path of
+    * [[dupClusters]], split out so PropertySpec can pin it against the
+    * driver union-find regardless of the gate. `raw` is the directed
+    * (src, dst) edge list.
+    */
+  private[graft] def dupClustersDistributed(raw: DataFrame,
+                                            maxRounds: Int): DataFrame = {
     // No dedup shuffle on the edge list: min-label propagation is
     // insensitive to duplicate edges (min over a multiset), and reversing
     // a unique unordered pair list cannot create collisions anyway.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)

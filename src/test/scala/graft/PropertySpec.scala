@@ -131,6 +131,15 @@ class PropertySpec extends AnyFunSuite {
       // union-find roots are already the component minima here because
       // unions always point the larger root at the smaller one
       assert(got == want, s"edges: $pairs")
+      // the DISTRIBUTED loop (the over-gate path since the r15 driver
+      // union-find short-circuit) must agree on the same edges
+      import org.apache.spark.sql.functions.col
+      val gotDist = graft.text.Dedup.dupClustersDistributed(
+          pairs.toDF("id_a", "id_b")
+            .select(col("id_a").as("src"), col("id_b").as("dst")),
+          maxRounds = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"distributed, edges: $pairs")
     }
   }
 
