@@ -68,7 +68,14 @@ object Tables {
     if (sys.props.contains("graft.fanout.off")) return ds // A/B probes
     val par = ds.sparkSession.sparkContext.defaultParallelism
     val bytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= BigInt(par.toLong) * (32L << 20)) ds
+    // ABSOLUTE cap alongside the per-core threshold (r14 advice): the
+    // par×32 MiB bound alone scales with parallelism, so on a 4000-core
+    // session a ~100 GB input — which already scans with many splits —
+    // would still be round-robin shuffled wholesale. Above 1 GiB an
+    // input has ≥8 natural 128 MB splits and the single-split pathology
+    // this fan-out exists for cannot occur.
+    val cap = BigInt(par.toLong) * (32L << 20) min BigInt(1L << 30)
+    if (bytes >= cap) ds
     else ds.repartition(par)
   }
 

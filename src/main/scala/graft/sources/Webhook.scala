@@ -186,7 +186,31 @@ final class WebhookReceiver(injectFailures: Int = 0) {
 }
 
 object WebhookReceiver {
-  private def ensureNoDelay(): Unit =
-    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+  // the JDK reads the property ONCE, at ServerConfig class-init — if
+  // any com.sun HttpServer was created earlier in this JVM, setting it
+  // now is silently ignored and the ~45 ms/post keep-alive stall
+  // returns with no signal (r14 advice). Detect that: when ServerConfig
+  // is ALREADY initialized at our first call, log the attribution line
+  // so a perf regression in the webhook gate is explainable from the
+  // log instead of needing a re-bisect.
+  private def ensureNoDelay(): Unit = {
+    val alreadyInit =
+      try {
+        // loads without initializing; returns null iff not yet loaded
+        val cl = classOf[HttpServer].getClassLoader
+        val m = classOf[ClassLoader].getDeclaredMethod(
+          "findLoadedClass", classOf[String])
+        m.setAccessible(true)
+        m.invoke(cl, "sun.net.httpserver.ServerConfig") != null
+      } catch { case _: Throwable => false }
+    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
       System.setProperty("sun.net.httpserver.nodelay", "true")
+      if (alreadyInit)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "sun.net.httpserver.nodelay was set AFTER an HttpServer " +
+            "already initialized in this JVM — the property is read " +
+            "once at class-init, so keep-alive POSTs to this receiver " +
+            "may stall ~45 ms each behind delayed ACKs")
+    }
+  }
 }

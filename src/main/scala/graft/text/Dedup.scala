@@ -618,6 +618,14 @@ object Dedup {
     // (band, bh) clusters every (band, bh, ext) refinement. Identical
     // hot/cool/cap semantics row for row — both DuckDB oracle mirrors
     // are unchanged and keep hashing green.
+    // SKEW exposure on the UNCOLLAPSED path (r14 advice): WindowExec
+    // buffers each whole (band, bh) partition before emitting, so a
+    // mega-duplicate cluster makes ONE task sort/spill its entire hot
+    // bucket where the old pass-1 groupBy enjoyed partial aggregation.
+    // Acceptable because nearDuplicatesCollapsed — the huge-corpus
+    // entry point — bounds bucket occupancy by construction (a class of
+    // m identical docs collapses to one representative before banding);
+    // route mega-duplicate corpora there rather than nearDuplicates.
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
     val capped = buckets
